@@ -1,0 +1,357 @@
+"""Sampled-spectrum radiometry for the TPU renderer.
+
+Capability parity with the reference's spectrum layer
+(/root/reference/src/core/spectrum.{h,cpp}):
+
+* Spectra are 31 uniform bins spanning 395-705 nm, always on — the fork
+  unconditionally defines PBRT_SAMPLED_SPECTRUM (reference: src/core/pbrt.h:126-133,
+  src/core/spectrum.h:48-50).  Here a spectrum is simply the trailing axis of
+  size ``N_SPECTRAL_SAMPLES`` on any jnp array, so all arithmetic is ordinary
+  broadcasting and fuses into surrounding XLA computations.
+* CIE XYZ conversion via binned standard-observer curves
+  (reference: spectrum.h:402-426, CIE tables in spectrum.cpp).  The observer
+  curves here are generated from the Wyman/Sloan/Shirley multi-lobe Gaussian
+  analytic fit of the CIE 1931 tables rather than copying the 471-entry table.
+* RGB -> spectrum promotion in Reflectance / Illuminant / Display flavors
+  (reference: spectrum.h:68,386-399,491).  Instead of shipping precomputed
+  Smits tables, the seven base spectra (white/cyan/magenta/yellow/red/green/blue)
+  are solved at import time as smoothness-regularized least-squares problems
+  constrained to reproduce the target RGB — the same construction Smits'
+  method approximates.  The Display flavor models LCD primaries with
+  Gaussian emission lines (reference uses measured Apple-LCD data).
+* Piecewise-linear SPD resampling into bins (reference: spectrum.h:301-320
+  FromSampled / AverageSpectrumSamples) including the fork's
+  ``ResampleLinearSpectrum`` point-resampler (spectrum.cpp:1259) and
+  ``GetValueAtWavelength`` (spectrum.h:439-473).
+* Blackbody emission (spectrum.cpp:1018).
+
+Everything table-like is a module-level numpy constant converted lazily to jnp
+so scene compilation can run host-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Bin layout (reference: src/core/spectrum.h:48-50)
+# ---------------------------------------------------------------------------
+
+LAMBDA_START = 395.0
+LAMBDA_END = 705.0
+N_SPECTRAL_SAMPLES = 31
+
+_EDGES = np.linspace(LAMBDA_START, LAMBDA_END, N_SPECTRAL_SAMPLES + 1)
+BIN_EDGES = _EDGES
+#: center wavelength of each bin, used for per-ray wavelength tagging
+BIN_CENTERS = 0.5 * (_EDGES[:-1] + _EDGES[1:])
+BIN_WIDTH = (LAMBDA_END - LAMBDA_START) / N_SPECTRAL_SAMPLES
+
+
+# ---------------------------------------------------------------------------
+# CIE 1931 standard observer (analytic multi-lobe Gaussian fit)
+# ---------------------------------------------------------------------------
+
+def _gauss(x, alpha, mu, s1, s2):
+    s = np.where(x < mu, s1, s2)
+    return alpha * np.exp(-0.5 * ((x - mu) / s) ** 2)
+
+
+def cie_xyz_bar(lam):
+    """CIE 1931 2-deg observer curves at wavelengths ``lam`` (nm).
+
+    Multi-lobe Gaussian fit (Wyman, Sloan & Shirley, JCGT 2013); max error
+    vs the measured tables is well under 1%.
+    """
+    lam = np.asarray(lam, dtype=np.float64)
+    x = (_gauss(lam, 0.362, 442.0, 16.0, 26.7)
+         + _gauss(lam, 1.056, 599.8, 37.9, 31.0)
+         + _gauss(lam, -0.065, 501.1, 20.4, 26.2))
+    y = (_gauss(lam, 0.821, 568.8, 46.9, 40.5)
+         + _gauss(lam, 0.286, 530.9, 16.3, 31.1))
+    z = (_gauss(lam, 1.217, 437.0, 11.8, 36.0)
+         + _gauss(lam, 0.681, 459.0, 26.0, 13.8))
+    return x, y, z
+
+
+def _bin_average(fn, n_sub=16):
+    """Average a wavelength-function over each spectral bin."""
+    out = np.zeros((3, N_SPECTRAL_SAMPLES))
+    for i in range(N_SPECTRAL_SAMPLES):
+        lo, hi = _EDGES[i], _EDGES[i + 1]
+        lam = np.linspace(lo, hi, n_sub)
+        vals = fn(lam)
+        for c in range(3):
+            out[c, i] = np.trapezoid(vals[c], lam) / (hi - lo)
+    return out
+
+_XYZ_BINS = _bin_average(cie_xyz_bar)
+#: binned observer curves, shape [31] each (averaged over each bin like
+#: the reference's FromSampled, spectrum.h:330-345)
+CIE_X = _XYZ_BINS[0]
+CIE_Y = _XYZ_BINS[1]
+CIE_Z = _XYZ_BINS[2]
+#: integral of ybar over the sampled range, used to normalize XYZ
+#: (reference: CIE_Y_integral, spectrum.h:95)
+CIE_Y_INTEGRAL = float(np.sum(CIE_Y) * BIN_WIDTH)
+
+
+# sRGB / Rec.709 primaries, D65 whitepoint (reference: spectrum.cpp XYZToRGB)
+XYZ_TO_RGB = np.array([
+    [3.2404542, -1.5371385, -0.4985314],
+    [-0.9692660, 1.8760108, 0.0415560],
+    [0.0556434, -0.2040259, 1.0572252],
+])
+RGB_TO_XYZ = np.linalg.inv(XYZ_TO_RGB)
+
+
+def xyz_to_rgb(xyz):
+    """[..., 3] XYZ -> linear RGB (reference: spectrum.h XYZToRGB)."""
+    return xyz @ jnp.asarray(XYZ_TO_RGB.T, dtype=xyz.dtype)
+
+
+def rgb_to_xyz(rgb):
+    return rgb @ jnp.asarray(RGB_TO_XYZ.T, dtype=rgb.dtype)
+
+
+# ---------------------------------------------------------------------------
+# spectrum <-> XYZ / RGB / luminance
+# ---------------------------------------------------------------------------
+
+def to_xyz(s):
+    """[..., 31] spectrum -> [..., 3] XYZ (reference: spectrum.h:402-415)."""
+    w = jnp.asarray(np.stack([CIE_X, CIE_Y, CIE_Z], -1), dtype=s.dtype)
+    return s @ w * (BIN_WIDTH / CIE_Y_INTEGRAL)
+
+
+def to_rgb(s):
+    return xyz_to_rgb(to_xyz(s))
+
+
+def luminance(s):
+    """y(): photometric luminance of a spectrum (reference: spectrum.h:417-424)."""
+    w = jnp.asarray(CIE_Y, dtype=s.dtype)
+    return (s @ w) * (BIN_WIDTH / CIE_Y_INTEGRAL)
+
+
+# ---------------------------------------------------------------------------
+# RGB -> spectrum  (Smits-style base spectra, solved not tabulated)
+# ---------------------------------------------------------------------------
+
+def _d65_spd(lam):
+    """Smooth analytic stand-in for CIE D65 relative SPD (normalized ~1)."""
+    lam = np.asarray(lam, dtype=np.float64)
+    # blackbody 6500K times a mild short-wave boost approximates D65 shape
+    h, c, kb, T = 6.626e-34, 2.998e8, 1.381e-23, 6504.0
+    l = lam * 1e-9
+    bb = (2 * h * c * c) / (l ** 5 * (np.exp(h * c / (l * kb * T)) - 1))
+    bb = bb / bb[np.argmin(np.abs(lam - 560.0))]
+    return bb
+
+
+_D65_BINS = _d65_spd(BIN_CENTERS)
+
+
+def _solve_base(rgb_target, illuminant=None):
+    """Smoothest *nonnegative* spectrum whose RGB equals rgb_target.
+
+    minimize ||D2 s||^2 + w^2 ||M s - rgb||^2  s.t. s >= 0 (NNLS), where M
+    maps a binned spectrum (times optional illuminant) to linear RGB.  This
+    is the construction Smits' precomputed tables approximate (reference
+    ships them as RGBRefl2Spect* data, spectrum.h:88-103).
+    """
+    from scipy.optimize import nnls
+    n = N_SPECTRAL_SAMPLES
+    cie = np.stack([CIE_X, CIE_Y, CIE_Z], 0)  # [3, n]
+    wgt = np.ones(n) if illuminant is None else illuminant
+    M = XYZ_TO_RGB @ (cie * wgt[None, :]) * (BIN_WIDTH / CIE_Y_INTEGRAL)
+    D = np.zeros((n - 2, n))
+    for i in range(n - 2):
+        D[i, i], D[i, i + 1], D[i, i + 2] = 1.0, -2.0, 1.0
+    w = 300.0
+    A = np.vstack([w * M, D])
+    b = np.concatenate([w * rgb_target, np.zeros(n - 2)])
+    sol, _ = nnls(A, b, maxiter=10000)
+    return sol
+
+
+def _build_bases(illuminant=None):
+    targets = {
+        "white": (1, 1, 1), "cyan": (0, 1, 1), "magenta": (1, 0, 1),
+        "yellow": (1, 1, 0), "red": (1, 0, 0), "green": (0, 1, 0),
+        "blue": (0, 0, 1),
+    }
+    return {k: _solve_base(np.array(v, dtype=np.float64), illuminant)
+            for k, v in targets.items()}
+
+
+_REFL_BASES = _build_bases(None)
+# illuminant flavor: spectra shaped by D65 so emitters look like daylight-ish
+# sources for the same RGB (reference's RGBIllum2Spect tables play this role)
+_ILLUM_BASES = {k: v * _D65_BINS / np.mean(_D65_BINS)
+                for k, v in _build_bases(None).items()}
+
+
+def _lcd_primary(mu, sigma, mu2=None, sigma2=None, a2=0.0):
+    p = np.exp(-0.5 * ((BIN_CENTERS - mu) / sigma) ** 2)
+    if mu2 is not None:
+        p = p + a2 * np.exp(-0.5 * ((BIN_CENTERS - mu2) / sigma2) ** 2)
+    return p
+
+
+# Display flavor: emission-line LCD primary model (reference uses measured
+# Apple LCD data, spectrum.h:76-80,386-399; here modeled as Gaussian lines)
+_DISPLAY_R = _lcd_primary(611.0, 12.0, 630.0, 8.0, 0.4)
+_DISPLAY_G = _lcd_primary(549.0, 16.0)
+_DISPLAY_B = _lcd_primary(464.0, 14.0)
+
+
+def _normalize_display():
+    # scale primaries so equal RGB drive gives the D65-ish white XYZ
+    prim = np.stack([_DISPLAY_R, _DISPLAY_G, _DISPLAY_B], 0)  # [3, n]
+    cie = np.stack([CIE_X, CIE_Y, CIE_Z], 0)
+    M = (cie @ prim.T) * (BIN_WIDTH / CIE_Y_INTEGRAL)  # [3,3] xyz of each primary
+    # want M @ diag(s) @ (1,1,1) = white XYZ
+    white_xyz = RGB_TO_XYZ @ np.ones(3)
+    s = np.linalg.solve(M, white_xyz)
+    return prim * s[:, None]
+
+_DISPLAY_PRIM = _normalize_display()  # [3, 31]
+
+
+def from_rgb(rgb, kind="reflectance"):
+    """Promote [..., 3] linear RGB to a [..., 31] spectrum.
+
+    Smits-style decomposition (reference: spectrum.h FromRGB, :491):
+    split into white + secondary + primary components so the result is as
+    smooth as possible, then clamp to >= 0.
+
+    kind: "reflectance" | "illuminant" | "display"
+    (reference SpectrumType enum incl. the fork's Display, spectrum.h:68)
+    """
+    rgb = jnp.asarray(rgb)
+    if kind == "display":
+        prim = jnp.asarray(_DISPLAY_PRIM, dtype=rgb.dtype)
+        return jnp.maximum(rgb @ prim, 0.0)
+    bases = _REFL_BASES if kind == "reflectance" else _ILLUM_BASES
+    B = {k: jnp.asarray(v, dtype=rgb.dtype) for k, v in bases.items()}
+    r, g, b = rgb[..., 0:1], rgb[..., 1:2], rgb[..., 2:3]
+
+    def branch(lo, mid, hi, c_lo, c_mid, c_hi):
+        # lo <= mid <= hi component split
+        return lo * B["white"] + (mid - lo) * c_mid + (hi - mid) * c_hi
+
+    # r smallest
+    s_r_gb = jnp.where(g <= b,
+                       r * B["white"] + (g - r) * B["cyan"] + (b - g) * B["blue"],
+                       r * B["white"] + (b - r) * B["cyan"] + (g - b) * B["green"])
+    # g smallest
+    s_g_rb = jnp.where(r <= b,
+                       g * B["white"] + (r - g) * B["magenta"] + (b - r) * B["blue"],
+                       g * B["white"] + (b - g) * B["magenta"] + (r - b) * B["red"])
+    # b smallest
+    s_b_rg = jnp.where(r <= g,
+                       b * B["white"] + (r - b) * B["yellow"] + (g - r) * B["green"],
+                       b * B["white"] + (g - b) * B["yellow"] + (r - g) * B["red"])
+
+    s = jnp.where((r <= g) & (r <= b), s_r_gb,
+                  jnp.where((g <= r) & (g <= b), s_g_rb, s_b_rg))
+    return jnp.maximum(s, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# SPD resampling (reference: spectrum.h:301-345 FromSampled /
+# AverageSpectrumSamples; fork's ResampleLinearSpectrum spectrum.cpp:1259)
+# ---------------------------------------------------------------------------
+
+def from_sampled(lambdas, values, n_sub=8):
+    """Piecewise-linear SPD (lambdas must be sorted) -> binned [31] spectrum.
+
+    Averages the piecewise-linear interpolant over each bin, with constant
+    extension beyond the sampled range — the reference's
+    AverageSpectrumSamples semantics.  Host-side numpy (scene compile time).
+    """
+    lambdas = np.asarray(lambdas, dtype=np.float64).reshape(-1)
+    values = np.asarray(values, dtype=np.float64).reshape(-1)
+    order = np.argsort(lambdas)
+    lambdas, values = lambdas[order], values[order]
+    out = np.zeros(N_SPECTRAL_SAMPLES)
+    for i in range(N_SPECTRAL_SAMPLES):
+        lam = np.linspace(_EDGES[i], _EDGES[i + 1], n_sub * 4 + 1)
+        v = np.interp(lam, lambdas, values)
+        out[i] = np.trapezoid(v, lam) / (_EDGES[i + 1] - _EDGES[i])
+    return out
+
+
+def value_at_wavelength(s, lam):
+    """Point-evaluate a binned spectrum at wavelength(s) ``lam`` by linear
+    interpolation between bin centers (fork's GetValueAtWavelength,
+    spectrum.h:439-473).  jnp; differentiable."""
+    s = jnp.asarray(s)
+    centers = jnp.asarray(BIN_CENTERS, dtype=s.dtype)
+    lam = jnp.clip(jnp.asarray(lam, dtype=s.dtype), centers[0], centers[-1])
+    idx = jnp.clip(jnp.searchsorted(centers, lam) - 1, 0, N_SPECTRAL_SAMPLES - 2)
+    t = (lam - centers[idx]) / (centers[idx + 1] - centers[idx])
+    return (1 - t) * jnp.take(s, idx, axis=-1) + t * jnp.take(s, idx + 1, axis=-1)
+
+
+def wavelength_to_bin(lam):
+    """Nearest bin index for wavelength(s) ``lam`` (for per-ray lambda tags)."""
+    lam = jnp.asarray(lam)
+    return jnp.clip(((lam - LAMBDA_START) / BIN_WIDTH).astype(jnp.int32),
+                    0, N_SPECTRAL_SAMPLES - 1)
+
+
+def resample_linear(values_in, lambda_start_in, lambda_end_in, n_out,
+                    lambda_start_out=None, lambda_end_out=None):
+    """Fork utility ResampleLinearSpectrum (spectrum.cpp:1259): point-resample
+    a uniformly sampled spectrum to a new uniform sampling by linear interp."""
+    values_in = np.asarray(values_in, dtype=np.float64)
+    if lambda_start_out is None:
+        lambda_start_out = lambda_start_in
+    if lambda_end_out is None:
+        lambda_end_out = lambda_end_in
+    x_in = np.linspace(lambda_start_in, lambda_end_in, len(values_in))
+    x_out = np.linspace(lambda_start_out, lambda_end_out, n_out)
+    return np.interp(x_out, x_in, values_in)
+
+
+# ---------------------------------------------------------------------------
+# Blackbody (reference: spectrum.cpp:1018 Blackbody / BlackbodyNormalized)
+# ---------------------------------------------------------------------------
+
+_H = 6.62606957e-34
+_C = 299792458.0
+_KB = 1.3806488e-23
+
+
+def blackbody(lam_nm, T):
+    """Planck spectral radiance at wavelengths [nm], W/(m^2 sr m)."""
+    lam = np.asarray(lam_nm, dtype=np.float64) * 1e-9
+    return (2 * _H * _C * _C) / (lam ** 5 *
+                                 np.expm1(_H * _C / (lam * _KB * T)))
+
+
+def blackbody_normalized(lam_nm, T):
+    """Planck SPD normalized so its max (at Wien's peak) is 1."""
+    lam_max = 2.8977721e-3 / T * 1e9
+    return blackbody(lam_nm, T) / blackbody(np.array([lam_max]), T)[0]
+
+
+def blackbody_spectrum(T, scale=1.0):
+    """Binned normalized blackbody emission spectrum, [31]."""
+    return scale * blackbody_normalized(BIN_CENTERS, T)
+
+
+# ---------------------------------------------------------------------------
+# misc helpers
+# ---------------------------------------------------------------------------
+
+def constant(value, dtype=jnp.float32):
+    """A flat spectrum [31] with the given value."""
+    return jnp.full((N_SPECTRAL_SAMPLES,), value, dtype=dtype)
+
+
+def is_black(s, axis=-1):
+    return jnp.all(s == 0.0, axis=axis)
