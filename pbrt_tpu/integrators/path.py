@@ -1,0 +1,217 @@
+"""Wavefront path-tracing integrator (reference: src/integrators/path.cpp).
+
+The reference's recursive `Li` over a per-ray call stack becomes a
+fixed-depth *wavefront* loop over an SoA path-state batch: every bounce is
+one round of {closest-hit, NEE shadow ray, BSDF sample} over all lanes with
+dead lanes masked.  Depth is a statically unrolled Python loop so every
+sampler dimension is static and the whole program is reverse-mode
+differentiable (the reference has no differentiability at all).
+
+MIS structure: the reference evaluates both NEE and BSDF-sampling
+estimators inside EstimateDirect (integrator.cpp:108-216), intersecting the
+scene twice per bounce.  Here the BSDF-sampling estimator is folded into the
+*next* path vertex (`hit emissive -> weight by power heuristic against the
+previous vertex's light pdf`), the standard GPU-wavefront formulation — the
+same pair of MIS'd strategies with one closest-hit + one shadow ray per
+bounce.
+
+Russian roulette matches path.cpp:185-191 (starts after bounce 3, keyed on
+beta * etaScale against rrThreshold).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.core import geometry as geom
+from pbrt_tpu.core import sampling
+from pbrt_tpu.core import spectrum as spec
+from pbrt_tpu.materials import bsdf
+from pbrt_tpu.lights import lights
+from pbrt_tpu.ops import intersect as isect
+from pbrt_tpu.samplers.samplers import SamplerConfig, sample_dim
+from pbrt_tpu.film import film as filmmod
+from pbrt_tpu.scene import ir
+
+# sampler dimension layout (counter-based; stable across shardings)
+DIM_PIXEL_X = 0
+DIM_PIXEL_Y = 1
+DIM_LENS_U = 2
+DIM_LENS_V = 3
+DIM_TIME = 4
+DIMS_PER_BOUNCE = 7
+DIM_BOUNCE_BASE = 5
+
+
+def _bdim(bounce, k):
+    return DIM_BOUNCE_BASE + bounce * DIMS_PER_BOUNCE + k
+
+
+def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
+                cfg: SamplerConfig, max_depth=5, rr_threshold=1.0,
+                wavelength_mask=None):
+    """Estimate radiance for a batch of camera rays; returns L [B,31].
+
+    wavelength_mask: optional [B,31] 0/1 mask restricting transport to a
+    band subset (used by the spectralpath CA integrator).
+    """
+    B = ray.o.shape[0]
+    NS = spec.N_SPECTRAL_SAMPLES
+    L = jnp.zeros((B, NS))
+    beta = jnp.ones((B, NS))
+    if wavelength_mask is not None:
+        beta = beta * wavelength_mask
+    alive = jnp.ones(B, bool)
+    specular = jnp.ones(B, bool)       # bounce 0 counts Le un-MIS'd
+    prev_pdf = jnp.ones(B)
+    prev_p = ray.o
+    eta_scale = jnp.ones(B)
+    n_lights = max(scene.n_lights, 1)
+    inv_sel_pdf = jnp.float32(n_lights)
+
+    for bounce in range(max_depth + 1):
+        hit = isect.intersect_full(scene, ray)
+        dnorm = geom.normalize(ray.d)
+
+        # ---- emitted radiance at the hit (path.cpp:98-107 + folded MIS) --
+        le = lights.area_le(scene, hit.light, hit.ng, hit.wo)
+        if bounce == 0:
+            w_hit = jnp.ones(B)
+        else:
+            pdf_light = lights.pdf_li_area(
+                scene, hit.light, prev_p, dnorm, hit.t, hit.ng) / n_lights
+            w_hit = jnp.where(specular, 1.0, sampling.power_heuristic(
+                1.0, prev_pdf, 1.0, pdf_light))
+        L = L + jnp.where((alive & hit.valid)[:, None],
+                          beta * le * w_hit[:, None], 0.0)
+
+        # ---- escaped rays: infinite lights (path.cpp:100-103) ------------
+        if scene.has_infinite:
+            env = lights.env_le(scene, dnorm)
+            if bounce == 0:
+                w_env = jnp.ones(B)
+            else:
+                pdf_env = lights.pdf_li_infinite(scene) / n_lights
+                w_env = jnp.where(specular, 1.0, sampling.power_heuristic(
+                    1.0, prev_pdf, 1.0, pdf_env))
+            L = L + jnp.where((alive & ~hit.valid)[:, None],
+                              beta * env * w_env[:, None], 0.0)
+
+        alive = alive & hit.valid
+        if bounce == max_depth:
+            break
+
+        # ---- shading frame ----------------------------------------------
+        mat = bsdf.gather_materials(scene, hit.material)
+        ss, ts = geom.coordinate_system(hit.ns)
+        wo_l = geom.world_to_frame(ss, ts, hit.ns, hit.wo)
+
+        # ---- NEE: one light, MIS power heuristic (integrator.cpp:85-216) -
+        if scene.n_lights > 0:
+            u_sel = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 0))
+            u1 = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 1))
+            u2 = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 2))
+            l = jnp.minimum((u_sel * n_lights).astype(jnp.int32), n_lights - 1)
+            wi, li, pdf_l, dist, delta_l = lights.sample_li(
+                scene, l, hit.p, hit.ns, u1, u2)
+            wi_l = geom.world_to_frame(ss, ts, hit.ns, wi)
+            f = bsdf.eval_f(mat, wo_l, wi_l) * \
+                geom.absdot(wi, hit.ns)[:, None]
+            cand = alive & (pdf_l > 1e-12) & ~spec.is_black(li) \
+                & ~spec.is_black(f)
+            # shadow ray; dead lanes get tmax<=0 so traversal skips them
+            sray = isect.spawn_ray(hit.p, hit.ng, wi, ray.wavelength,
+                                   tmax=jnp.where(cand, dist * 0.999, -1.0))
+            occ = isect.occluded(scene, sray)
+            pdf_b = bsdf.pdf_f(mat, wo_l, wi_l)
+            w_l = jnp.where(delta_l, 1.0,
+                            sampling.power_heuristic(1.0, pdf_l, 1.0, pdf_b))
+            contrib = beta * f * li * (w_l / jnp.maximum(pdf_l, 1e-12)
+                                       * inv_sel_pdf)[:, None]
+            L = L + jnp.where((cand & ~occ)[:, None], contrib, 0.0)
+
+        # ---- BSDF sampling (path.cpp:141-148) ----------------------------
+        u_lobe = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 3))
+        ub1 = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 4))
+        ub2 = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 5))
+        wi_l, f, pdf, is_spec, transmitted, eta_fac = bsdf.sample_f(
+            mat, wo_l, u_lobe, ub1, ub2)
+        wi_w = geom.frame_to_world(ss, ts, hit.ns, wi_l)
+        cos_t = geom.absdot(wi_w, hit.ns)
+        ok = (pdf > 1e-12) & ~spec.is_black(f)
+        beta_new = beta * f * (cos_t / jnp.maximum(pdf, 1e-12))[:, None]
+        alive = alive & ok
+        beta = jnp.where(alive[:, None], beta_new, beta)
+        eta_scale = eta_scale * jnp.where(alive, eta_fac, 1.0)
+        specular = is_spec
+        prev_pdf = pdf
+        prev_p = hit.p
+        nray = isect.spawn_ray(hit.p, hit.ng, wi_w, ray.wavelength,
+                               time=ray.time)
+        # dead lanes: zero-length rays so traversal exits immediately
+        ray = nray.replace(tmax=jnp.where(alive, nray.tmax, -1.0))
+
+        # ---- Russian roulette (path.cpp:185-191) -------------------------
+        if bounce > 3:
+            rr_max = jnp.max(beta, -1) * eta_scale
+            u_rr = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 6))
+            q = jnp.maximum(0.05, 1.0 - rr_max)
+            apply_rr = rr_max < rr_threshold
+            kill = apply_rr & (u_rr < q)
+            alive = alive & ~kill
+            scale = jnp.where(apply_rr & alive, 1.0 / (1.0 - q), 1.0)
+            beta = beta * scale[:, None]
+            ray = ray.replace(tmax=jnp.where(alive, ray.tmax, -1.0))
+
+    # NaN/Inf scrub (reference: integrator.cpp:295-316)
+    L = jnp.where(jnp.isfinite(L), L, 0.0)
+    return jnp.maximum(L, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# render driver (reference: SamplerIntegrator::Render, integrator.cpp:228)
+# ---------------------------------------------------------------------------
+
+def camera_rays_for_sample(camera, film, cfg, sample_idx, generate_rays):
+    """Build one camera ray per pixel for sample index `sample_idx`."""
+    H, W = film.height, film.width
+    iy, ix = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    pixel_id = (iy * W + ix).reshape(-1).astype(jnp.uint32)
+    sidx = jnp.full_like(pixel_id, sample_idx)
+    jx = sample_dim(cfg, pixel_id, sidx, DIM_PIXEL_X)
+    jy = sample_dim(cfg, pixel_id, sidx, DIM_PIXEL_Y)
+    pfilm = jnp.stack([ix.reshape(-1) + jx, iy.reshape(-1) + jy], -1)
+    ulens = jnp.stack(
+        [sample_dim(cfg, pixel_id, sidx, DIM_LENS_U),
+         sample_dim(cfg, pixel_id, sidx, DIM_LENS_V)], -1)
+    utime = sample_dim(cfg, pixel_id, sidx, DIM_TIME)
+    ray, weight = generate_rays(camera, pfilm, ulens, utime,
+                                width=W, height=H)
+    return ray, weight, pfilm, pixel_id, sidx
+
+
+def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
+           generate_rays=None, trace_fn=None, progress=None):
+    """Full render: loops sample passes, jitting one pass.
+
+    Returns the accumulated Film.
+    """
+    from pbrt_tpu.cameras import projective
+    if generate_rays is None:
+        generate_rays = projective.generate_rays
+    if trace_fn is None:
+        trace_fn = trace_paths
+
+    @jax.jit
+    def one_pass(film, sample_idx):
+        ray, weight, pfilm, pixel_id, sidx = camera_rays_for_sample(
+            camera, film, cfg, sample_idx, generate_rays)
+        L = trace_fn(scene, ray, pixel_id, sidx, cfg, max_depth=max_depth)
+        return filmmod.add_samples(film, pfilm, L, weight)
+
+    for s in range(spp):
+        film = one_pass(film, jnp.uint32(s))
+        if progress is not None:
+            progress(s + 1, spp)
+    return film

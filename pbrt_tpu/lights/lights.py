@@ -1,0 +1,201 @@
+"""Unified light table: sampling, pdf, emitted radiance.
+
+Reference layer: src/core/light.{h,cpp} + src/lights/* (point, spot, distant,
+diffuse area, infinite) and Shape::Sample/Pdf solid-angle sampling
+(shapes/sphere.cpp:232+, shapes/triangle.cpp:470+).  All light types are
+evaluated under lane masks from the tagged light table in SceneData.
+
+NEE contract (used by the wavefront integrators):
+  sample_li(scene, l, p, u1, u2) -> (wi, Li, pdf_solid_angle, dist, is_delta)
+  pdf_li(scene, l, p, wi, ...)   -> solid-angle pdf of NEE having sampled wi
+  area_le(scene, hit, wo)        -> emission of a hit emissive primitive
+  env_le(scene, d)               -> infinite-light radiance for escaped rays
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pbrt_tpu.core import geometry as geom
+from pbrt_tpu.core import sampling
+from pbrt_tpu.core import spectrum as spec
+from pbrt_tpu.scene import ir
+
+
+def _sphere_data(scene, l):
+    """Per-lane sphere-light data: center (world), radius (world)."""
+    qi = jnp.clip(scene.light_quad[l], 0, scene.quad_params.shape[0] - 1)
+    o2w = scene.quad_o2w[qi]
+    center = o2w[..., :3, 3]
+    # uniform-scale assumption for sphere lights (builder computed area so)
+    s = jnp.linalg.norm(o2w[..., :3, 0], axis=-1)
+    radius = scene.quad_params[qi][..., 0] * s
+    return center, radius
+
+
+def sample_li(scene: ir.SceneData, l, p, n, u1, u2):
+    """Sample incident direction from light `l` [B] toward points p [B,3].
+
+    Returns (wi [B,3], Li [B,31], pdf [B], dist [B], is_delta [B]).
+    pdf is w.r.t. solid angle at p.  dist is the distance to the sampled
+    light point (for shadow-ray tmax); inf for distant/infinite.
+    """
+    lt = scene.light_type[l]
+    L = scene.light_L[l]
+    lpos = scene.light_pos[l]
+
+    # --- point (lights/point.cpp): Li = I / r^2 ---
+    to_l = lpos - p
+    d2 = jnp.maximum(geom.length_sq(to_l), 1e-12)
+    dist_point = jnp.sqrt(d2)
+    wi_point = to_l / dist_point[..., None]
+    li_point = L / d2[..., None]
+
+    # --- spot (lights/spot.cpp): point falloff by cone ---
+    cos_total = scene.light_params[l][..., 0]
+    cos_fall = scene.light_params[l][..., 1]
+    ldir = scene.light_dir[l]
+    cos_t = geom.dot(-wi_point, ldir)
+    delta = jnp.clip((cos_t - cos_total) /
+                     jnp.maximum(cos_fall - cos_total, 1e-6), 0.0, 1.0)
+    falloff = jnp.where(cos_t < cos_total, 0.0,
+                        jnp.where(cos_t > cos_fall, 1.0, delta ** 4))
+    li_spot = li_point * falloff[..., None]
+
+    # --- distant (lights/distant.cpp) ---
+    wi_dist = -ldir
+    li_dist = L
+
+    # --- area: sphere (cone sampling, sphere.cpp:232+) or tri mesh ---
+    center, radius = _sphere_data(scene, l)
+    to_c = center - p
+    dc2 = jnp.maximum(geom.length_sq(to_c), 1e-12)
+    dc = jnp.sqrt(dc2)
+    inside = dc2 <= radius * radius * 1.0001
+    # cone toward sphere
+    sin2_max = jnp.clip(radius * radius / dc2, 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
+    wz = geom.normalize(to_c)
+    wx, wy = geom.coordinate_system(wz)
+    cs = (1.0 - u1) + u1 * cos_max
+    sn = jnp.sqrt(jnp.maximum(0.0, 1.0 - cs * cs))
+    phi = 2 * jnp.pi * u2
+    wi_sph = geom.frame_to_world(
+        wx, wy, wz, geom.spherical_direction(sn, cs, phi))
+    pdf_sph = sampling.uniform_cone_pdf(cos_max)
+    # distance to sphere surface along wi (law of cosines)
+    ds = dc * cs - jnp.sqrt(jnp.maximum(
+        radius * radius - dc2 * sn * sn, 0.0))
+    # inside the sphere: fall back to uniform sphere point (rare)
+    pdf_sph = jnp.where(inside, 0.0, pdf_sph)
+
+    # --- area: triangle mesh (uniform-by-area over light tris) ---
+    T = scene.light_tri_idx.shape[1]
+    cdf = scene.light_tri_cdf[l]                      # [B,T+1]
+    # pick triangle by u1 (reuse: stratification sacrificed for 2D economy)
+    ti = jnp.clip(jnp.sum((cdf <= u1[..., None]).astype(jnp.int32), -1) - 1,
+                  0, T - 1)
+    tri = jnp.take_along_axis(scene.light_tri_idx[l], ti[..., None], 1)[..., 0]
+    tri = jnp.clip(tri, 0, scene.tri_v0.shape[0] - 1)
+    # sample point: remap u1 within the chosen cdf span, keep u2
+    c0 = jnp.take_along_axis(cdf, ti[..., None], 1)[..., 0]
+    c1 = jnp.take_along_axis(cdf, ti[..., None] + 1, 1)[..., 0]
+    u1r = jnp.clip((u1 - c0) / jnp.maximum(c1 - c0, 1e-9), 0.0, 0.999999)
+    bc = sampling.uniform_sample_triangle(u1r, u2)
+    v0 = scene.tri_v0[tri]
+    q = v0 + bc[..., 0:1] * scene.tri_e1[tri] + bc[..., 1:2] * scene.tri_e2[tri]
+    n_l = geom.normalize(jnp.cross(scene.tri_e1[tri], scene.tri_e2[tri]))
+    n_l = jnp.where(scene.prim_flip_normal[tri][..., None], -n_l, n_l)
+    to_q = q - p
+    dq2 = jnp.maximum(geom.length_sq(to_q), 1e-12)
+    dq = jnp.sqrt(dq2)
+    wi_tri = to_q / dq[..., None]
+    cos_l = geom.dot(n_l, -wi_tri)
+    area = jnp.maximum(scene.light_area[l], 1e-12)
+    pdf_tri = dq2 / jnp.maximum(jnp.abs(cos_l) * area, 1e-9)
+
+    is_mesh = scene.light_quad[l] < 0
+    wi_area = jnp.where(is_mesh[..., None], wi_tri, wi_sph)
+    pdf_area = jnp.where(is_mesh, pdf_tri, pdf_sph)
+    dist_area = jnp.where(is_mesh, dq, ds)
+    two = scene.light_two_sided[l]
+    front_mesh = two | (cos_l > 0)
+    li_area = jnp.where(is_mesh[..., None],
+                        jnp.where(front_mesh[..., None], L, 0.0), L)
+
+    # --- infinite (lights/infinite.cpp); v1 constant env ---
+    wi_inf = sampling.uniform_sample_sphere(u1, u2)
+    pdf_inf = jnp.full_like(u1, sampling.INV_4PI)
+    li_inf = _env_radiance(scene, wi_inf) * jnp.ones_like(L)
+
+    INFD = jnp.float32(1e30)
+    # select by type
+    def sel(vp, vs, vd, va, vi, extra_dim=False):
+        def w(m, x, y):
+            return jnp.where(m[..., None] if extra_dim else m, x, y)
+        out = w(lt == ir.LIGHT_POINT, vp, vi)
+        out = w(lt == ir.LIGHT_SPOT, vs, out)
+        out = w(lt == ir.LIGHT_DISTANT, vd, out)
+        out = w(lt == ir.LIGHT_AREA, va, out)
+        return out
+
+    wi = sel(wi_point, wi_point, wi_dist, wi_area, wi_inf, True)
+    li = sel(li_point, li_spot, li_dist, li_area, li_inf, True)
+    pdf = sel(jnp.ones_like(u1), jnp.ones_like(u1), jnp.ones_like(u1),
+              pdf_area, pdf_inf)
+    dist = sel(dist_point, dist_point, INFD, dist_area, INFD)
+    is_delta = (lt == ir.LIGHT_POINT) | (lt == ir.LIGHT_SPOT) | \
+        (lt == ir.LIGHT_DISTANT)
+    return wi, li, pdf, dist, is_delta
+
+
+def pdf_li_area(scene: ir.SceneData, light_idx, prev_p, wi, hit_t, hit_ng):
+    """Solid-angle pdf that NEE at prev_p would sample direction wi hitting
+    an area light at distance hit_t with normal hit_ng (reference:
+    Shape::Pdf(ref, wi), shape.cpp:136)."""
+    l = jnp.clip(light_idx, 0, scene.light_L.shape[0] - 1)
+    is_mesh = scene.light_quad[l] < 0
+    # mesh: dist^2 / (|cos| * area)
+    cos_l = jnp.abs(geom.dot(hit_ng, -wi))
+    area = jnp.maximum(scene.light_area[l], 1e-12)
+    pdf_mesh = hit_t * hit_t / jnp.maximum(cos_l * area, 1e-9)
+    # sphere: cone pdf
+    center, radius = _sphere_data(scene, l)
+    dc2 = jnp.maximum(geom.length_sq(center - prev_p), 1e-12)
+    sin2_max = jnp.clip(radius * radius / dc2, 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
+    pdf_sph = sampling.uniform_cone_pdf(cos_max)
+    return jnp.where(is_mesh, pdf_mesh, pdf_sph)
+
+
+def pdf_li_infinite(scene: ir.SceneData):
+    """Solid-angle pdf of the (constant) infinite light sampler."""
+    return sampling.INV_4PI
+
+
+def area_le(scene: ir.SceneData, light_idx, ng, wo):
+    """Emitted radiance of an area light prim toward wo (diffuse.h:55-76)."""
+    l = jnp.clip(light_idx, 0, scene.light_L.shape[0] - 1)
+    L = scene.light_L[l]
+    two = scene.light_two_sided[l]
+    facing = two | (geom.dot(ng, wo) > 0)
+    has = (light_idx >= 0) & (scene.light_type[l] == ir.LIGHT_AREA)
+    return jnp.where((has & facing)[..., None], L, 0.0)
+
+
+def _env_radiance(scene: ir.SceneData, d):
+    """Env-map lookup in light space (equirect); works for 1x1 constant."""
+    dl = d @ scene.env_to_light[:3, :3].T
+    He, We = scene.env_map.shape[:2]
+    phi = geom.spherical_phi(dl)
+    theta = geom.spherical_theta(dl)
+    x = jnp.clip((phi * (0.5 / jnp.pi) * We).astype(jnp.int32), 0, We - 1)
+    y = jnp.clip((theta / jnp.pi * He).astype(jnp.int32), 0, He - 1)
+    return scene.env_map[y, x]
+
+
+def env_le(scene: ir.SceneData, d):
+    """Radiance from infinite lights for escaped rays (infinite.h Le)."""
+    if not scene.has_infinite:
+        return jnp.zeros(d.shape[:-1] + (spec.N_SPECTRAL_SAMPLES,))
+    return _env_radiance(scene, d)

@@ -1,0 +1,400 @@
+"""Vectorized spectral BSDFs with mask-based type dispatch.
+
+Reference layer: src/core/reflection.{h,cpp} (BxDF lobes), src/core/
+microfacet.{h,cpp} (Beckmann/GGX), src/materials/* (lobe assembly).
+Instead of virtual BxDF objects allocated per-hit in an arena, every ray
+carries a gathered material-parameter record and each material *type* is a
+closed-form eval/sample/pdf computed under a lane mask — the wavefront
+analog of pbrt's BSDF::Sample_f over <=8 lobes (reflection.h:153).
+
+Conventions match the reference: shading frame with z = shading normal,
+wo/wi point away from the surface, eval returns f (no cosine), sample
+returns (wi, f, pdf, flags).  All spectra are [...,31].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from pbrt_tpu.core import geometry as geom
+from pbrt_tpu.core import sampling
+from pbrt_tpu.scene import ir
+
+INV_PI = sampling.INV_PI
+PI = sampling.PI
+
+
+@struct.dataclass
+class MaterialParams:
+    """Per-ray gathered material record."""
+    type: jnp.ndarray        # [B]
+    kd: jnp.ndarray          # [B,31]
+    ks: jnp.ndarray
+    kr: jnp.ndarray
+    kt: jnp.ndarray
+    rough_u: jnp.ndarray     # [B] (already alpha-remapped)
+    rough_v: jnp.ndarray
+    eta: jnp.ndarray         # [B]
+    eta_spec: jnp.ndarray    # [B,31]
+    k_spec: jnp.ndarray      # [B,31]
+    sigma: jnp.ndarray       # [B]
+    opacity: jnp.ndarray     # [B,31]
+
+
+def roughness_to_alpha(rough):
+    """pbrt's RoughnessToAlpha (microfacet.h:83)."""
+    x = jnp.log(jnp.maximum(rough, 1e-3))
+    return (1.62142 + 0.819955 * x + 0.1734 * x * x
+            + 0.0171201 * x ** 3 + 0.000640711 * x ** 4)
+
+
+def gather_materials(scene: ir.SceneData, material_idx) -> MaterialParams:
+    m = jnp.clip(material_idx, 0, scene.mat_type.shape[0] - 1)
+    rough_u = scene.mat_rough_u[m]
+    rough_v = scene.mat_rough_v[m]
+    remap = scene.mat_remap_rough[m]
+    au = jnp.where(remap, roughness_to_alpha(rough_u), rough_u)
+    av = jnp.where(remap, roughness_to_alpha(rough_v), rough_v)
+    # rough==0 stays 0 (perfect specular marker)
+    au = jnp.where(rough_u > 0, jnp.maximum(au, 1e-3), 0.0)
+    av = jnp.where(rough_v > 0, jnp.maximum(av, 1e-3), 0.0)
+    return MaterialParams(
+        type=jnp.where(material_idx >= 0, scene.mat_type[m], ir.MAT_NONE),
+        kd=scene.mat_kd[m], ks=scene.mat_ks[m], kr=scene.mat_kr[m],
+        kt=scene.mat_kt[m], rough_u=au, rough_v=av,
+        eta=scene.mat_eta[m], eta_spec=scene.mat_eta_spec[m],
+        k_spec=scene.mat_k_spec[m], sigma=scene.mat_sigma[m],
+        opacity=scene.mat_opacity[m])
+
+
+# ---------------------------------------------------------------------------
+# local-frame helpers (reflection.h:50-115)
+# ---------------------------------------------------------------------------
+
+def cos_theta(w):
+    return w[..., 2]
+
+
+def abs_cos_theta(w):
+    return jnp.abs(w[..., 2])
+
+
+def same_hemisphere(a, b):
+    return a[..., 2] * b[..., 2] > 0
+
+
+# ---------------------------------------------------------------------------
+# Fresnel (reflection.cpp FrDielectric / FrConductor)
+# ---------------------------------------------------------------------------
+
+def fresnel_dielectric(cos_i, eta_i, eta_t):
+    """Unpolarized dielectric Fresnel; handles entering/exiting by sign."""
+    cos_i = jnp.clip(cos_i, -1.0, 1.0)
+    entering = cos_i > 0
+    ei = jnp.where(entering, eta_i, eta_t)
+    et = jnp.where(entering, eta_t, eta_i)
+    ci = jnp.abs(cos_i)
+    sin_t = ei / et * jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+    tir = sin_t >= 1.0
+    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    r_par = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-9)
+    r_perp = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-9)
+    f = 0.5 * (r_par * r_par + r_perp * r_perp)
+    return jnp.where(tir, 1.0, f)
+
+
+def fresnel_conductor(cos_i, eta, k):
+    """Spectral conductor Fresnel (reflection.cpp FrConductor); eta,k [...,31]."""
+    ci = jnp.clip(jnp.abs(cos_i), 0.0, 1.0)[..., None]
+    ci2 = ci * ci
+    si2 = 1.0 - ci2
+    eta2 = eta * eta
+    k2 = k * k
+    t0 = eta2 - k2 - si2
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4 * eta2 * k2, 0.0))
+    t1 = a2b2 + ci2
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    t2 = 2.0 * a * ci
+    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-9)
+    t3 = ci2 * a2b2 + si2 * si2
+    t4 = t2 * si2
+    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-9)
+    return 0.5 * (rp + rs)
+
+
+# ---------------------------------------------------------------------------
+# Trowbridge-Reitz / GGX microfacet distribution (microfacet.{h,cpp})
+# ---------------------------------------------------------------------------
+
+def ggx_d(wh, ax, ay):
+    cos2 = wh[..., 2] ** 2
+    sin2 = jnp.maximum(0.0, 1.0 - cos2)
+    e = (wh[..., 0] ** 2 / jnp.maximum(ax * ax, 1e-12)
+         + wh[..., 1] ** 2 / jnp.maximum(ay * ay, 1e-12)) + cos2
+    return 1.0 / jnp.maximum(PI * ax * ay * e * e, 1e-12)
+
+
+def _ggx_lambda(w, ax, ay):
+    """Smith Lambda for GGX (microfacet.cpp:80)."""
+    abs_tan2 = jnp.maximum(0.0, 1.0 - w[..., 2] ** 2) / jnp.maximum(
+        w[..., 2] ** 2, 1e-12)
+    c2 = w[..., 2] ** 2
+    s2 = jnp.maximum(0.0, 1.0 - c2)
+    inv_s = 1.0 / jnp.sqrt(jnp.maximum(s2, 1e-20))
+    cos_phi = jnp.where(s2 > 1e-20, w[..., 0] * inv_s, 1.0)
+    sin_phi = jnp.where(s2 > 1e-20, w[..., 1] * inv_s, 0.0)
+    alpha2 = cos_phi ** 2 * ax * ax + sin_phi ** 2 * ay * ay
+    return 0.5 * (-1.0 + jnp.sqrt(1.0 + alpha2 * abs_tan2))
+
+
+def ggx_g(wo, wi, ax, ay):
+    return 1.0 / (1.0 + _ggx_lambda(wo, ax, ay) + _ggx_lambda(wi, ax, ay))
+
+
+def ggx_g1(w, ax, ay):
+    return 1.0 / (1.0 + _ggx_lambda(w, ax, ay))
+
+
+def ggx_sample_wh(wo, u1, u2, ax, ay):
+    """Sample the visible GGX NDF (Heitz 2018 ellipsoid trick;
+    reference: TrowbridgeReitzSample, microfacet.cpp:244)."""
+    flip = wo[..., 2] < 0
+    w = jnp.where(flip[..., None], -wo, wo)
+    # stretch
+    vh = geom.normalize(jnp.stack(
+        [ax * w[..., 0], ay * w[..., 1], w[..., 2]], -1))
+    # orthonormal basis
+    lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+    inv = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-20))
+    t1 = jnp.where((lensq > 1e-20)[..., None],
+                   jnp.stack([-vh[..., 1] * inv, vh[..., 0] * inv,
+                              jnp.zeros_like(inv)], -1),
+                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), vh.shape))
+    t2 = jnp.cross(vh, t1)
+    r = jnp.sqrt(u1)
+    phi = 2 * PI * u2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh[..., 2])
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2
+    pz = jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))
+    nh = (p1[..., None] * t1 + p2[..., None] * t2 + pz[..., None] * vh)
+    wh = geom.normalize(jnp.stack(
+        [ax * nh[..., 0], ay * nh[..., 1],
+         jnp.maximum(nh[..., 2], 1e-6)], -1))
+    return jnp.where(flip[..., None], -wh, wh)
+
+
+def ggx_pdf_wh(wo, wh, ax, ay):
+    """Visible-NDF pdf (microfacet.h Pdf: D * G1 * |wo.wh| / |cos wo|)."""
+    return (ggx_d(wh, ax, ay) * ggx_g1(wo, ax, ay)
+            * jnp.abs(geom.dot(wo, wh))
+            / jnp.maximum(abs_cos_theta(wo), 1e-9))
+
+
+# ---------------------------------------------------------------------------
+# lobe primitives
+# ---------------------------------------------------------------------------
+
+def lambertian_f(kd):
+    return kd * INV_PI
+
+
+def oren_nayar_f(kd, sigma_deg, wo, wi):
+    """Oren-Nayar (reflection.cpp:117)."""
+    sigma = jnp.radians(sigma_deg)
+    s2 = sigma * sigma
+    A = 1.0 - s2 / (2.0 * (s2 + 0.33))
+    Bc = 0.45 * s2 / (s2 + 0.09)
+    sin_to = jnp.sqrt(jnp.maximum(0.0, 1.0 - wo[..., 2] ** 2))
+    sin_ti = jnp.sqrt(jnp.maximum(0.0, 1.0 - wi[..., 2] ** 2))
+    # max(0, cos(phi_i - phi_o))
+    denom_i = jnp.maximum(sin_ti, 1e-9)
+    denom_o = jnp.maximum(sin_to, 1e-9)
+    cos_dphi = ((wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1])
+                / (denom_i * denom_o))
+    max_cos = jnp.where((sin_ti > 1e-4) & (sin_to > 1e-4),
+                        jnp.maximum(0.0, cos_dphi), 0.0)
+    abs_ci = jnp.abs(wi[..., 2])
+    abs_co = jnp.abs(wo[..., 2])
+    big = jnp.maximum(abs_ci, abs_co) + 1e-9
+    small = jnp.minimum(abs_ci, abs_co)
+    sin_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - small * small))
+    tan_b = jnp.sqrt(jnp.maximum(0.0, 1.0 - big * big)) / big
+    return kd * INV_PI * (A + Bc * max_cos * sin_a * tan_b)[..., None]
+
+
+def microfacet_reflection_f(ks, wo, wi, ax, ay, F):
+    """Torrance-Sparrow (reflection.cpp:408): D G F / (4 cos_o cos_i)."""
+    co = abs_cos_theta(wo)
+    ci = abs_cos_theta(wi)
+    wh = wo + wi
+    wh_len = geom.length(wh)
+    ok = (co > 1e-6) & (ci > 1e-6) & (wh_len > 1e-9) & same_hemisphere(wo, wi)
+    wh = wh / jnp.maximum(wh_len, 1e-9)[..., None]
+    d = ggx_d(wh, ax, ay)
+    g = ggx_g(wo, wi, ax, ay)
+    f = ks * F * (d * g / jnp.maximum(4 * co * ci, 1e-9))[..., None]
+    return jnp.where(ok[..., None], f, 0.0)
+
+
+def microfacet_reflection_pdf(wo, wi, ax, ay):
+    wh = geom.normalize(wo + wi)
+    pdf = ggx_pdf_wh(wo, wh, ax, ay) / jnp.maximum(
+        4 * jnp.abs(geom.dot(wo, wh)), 1e-9)
+    return jnp.where(same_hemisphere(wo, wi), pdf, 0.0)
+
+
+def fresnel_blend_f(rd, rs, wo, wi, ax, ay):
+    """Ashikhmin-Shirley FresnelBlend (reflection.cpp:480, substrate)."""
+    def pow5(x):
+        return x * x * x * x * x
+    ci = abs_cos_theta(wi)
+    co = abs_cos_theta(wo)
+    diffuse = ((28.0 / (23.0 * PI)) * rd * (1.0 - rs)
+               * ((1.0 - pow5(1.0 - 0.5 * ci))
+                  * (1.0 - pow5(1.0 - 0.5 * co)))[..., None])
+    wh = wo + wi
+    wh_len = geom.length(wh)
+    ok = wh_len > 1e-9
+    wh = wh / jnp.maximum(wh_len, 1e-9)[..., None]
+    d = ggx_d(wh, ax, ay)
+    dot_iw = jnp.abs(geom.dot(wi, wh))
+    schlick = rs + pow5(1.0 - dot_iw)[..., None] * (1.0 - rs)
+    spec = (d / jnp.maximum(4 * dot_iw * jnp.maximum(ci, co), 1e-9))[..., None] * schlick
+    out = diffuse + jnp.where(ok[..., None], spec, 0.0)
+    return jnp.where(same_hemisphere(wo, wi)[..., None], out, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# type dispatch: eval / pdf / sample
+# ---------------------------------------------------------------------------
+
+def _masks(t):
+    has_diff = ((t == ir.MAT_MATTE) | (t == ir.MAT_PLASTIC)
+                | (t == ir.MAT_UBER))
+    has_ggx_diel = (t == ir.MAT_PLASTIC) | (t == ir.MAT_UBER)
+    is_metal = t == ir.MAT_METAL
+    is_substrate = t == ir.MAT_SUBSTRATE
+    is_mirror = t == ir.MAT_MIRROR
+    is_glass = t == ir.MAT_GLASS
+    is_delta = is_mirror | is_glass
+    n_lobes = (has_diff.astype(jnp.float32) + has_ggx_diel + is_metal
+               + is_substrate)
+    return (has_diff, has_ggx_diel, is_metal, is_substrate, is_mirror,
+            is_glass, is_delta, jnp.maximum(n_lobes, 1.0))
+
+
+def eval_f(params: MaterialParams, wo, wi):
+    """f(wo, wi) for non-delta lobes, local frame; [B,31]."""
+    t = params.type
+    (has_diff, has_ggx_diel, is_metal, is_substrate, _, _, is_delta,
+     _) = _masks(t)
+    co = abs_cos_theta(wo)
+    ci = abs_cos_theta(wi)
+    valid = (co > 1e-6) & (ci > 1e-6) & ~is_delta & (t != ir.MAT_NONE)
+    refl = same_hemisphere(wo, wi)
+
+    f = jnp.zeros_like(params.kd)
+    # diffuse (lambert / oren-nayar)
+    f_lam = lambertian_f(params.kd)
+    f_diff = jnp.where((params.sigma > 1e-6)[..., None],
+                       oren_nayar_f(params.kd, params.sigma, wo, wi), f_lam)
+    f = f + jnp.where((has_diff & refl)[..., None], f_diff, 0.0)
+
+    ax, ay = params.rough_u, params.rough_v
+    wh_raw = wo + wi
+    wh_ok = geom.length(wh_raw) > 1e-9
+    wh = geom.normalize(jnp.where(wh_ok[..., None], wh_raw,
+                                  jnp.asarray([0.0, 0.0, 1.0])))
+    # dielectric-coat microfacet (plastic/uber)
+    F_diel = fresnel_dielectric(geom.dot(wi, wh), 1.0, params.eta)[..., None]
+    f_spec_d = microfacet_reflection_f(params.ks, wo, wi, ax, ay, F_diel)
+    f = f + jnp.where((has_ggx_diel & (ax > 0))[..., None], f_spec_d, 0.0)
+    # conductor microfacet (metal) — ks holds the scale (1 by default)
+    F_cond = fresnel_conductor(geom.dot(wi, wh), params.eta_spec,
+                               params.k_spec)
+    f_metal = microfacet_reflection_f(params.ks, wo, wi, ax, ay, F_cond)
+    f = f + jnp.where((is_metal & (ax > 0))[..., None], f_metal, 0.0)
+    # substrate
+    f_sub = fresnel_blend_f(params.kd, params.ks, wo, wi, ax, ay)
+    f = f + jnp.where(is_substrate[..., None], f_sub, 0.0)
+    return jnp.where(valid[..., None], f, 0.0)
+
+
+def pdf_f(params: MaterialParams, wo, wi):
+    t = params.type
+    (has_diff, has_ggx_diel, is_metal, is_substrate, _, _, is_delta,
+     n_lobes) = _masks(t)
+    refl = same_hemisphere(wo, wi)
+    pdf_diff = jnp.where(refl, abs_cos_theta(wi) * INV_PI, 0.0)
+    ax, ay = params.rough_u, params.rough_v
+    pdf_ggx = microfacet_reflection_pdf(wo, wi, ax, ay)
+    pdf = (jnp.where(has_diff, pdf_diff, 0.0)
+           + jnp.where((has_ggx_diel | is_metal) & (ax > 0), pdf_ggx, 0.0)
+           + jnp.where(is_substrate, 0.5 * (pdf_diff + pdf_ggx), 0.0))
+    pdf = pdf / n_lobes
+    return jnp.where(is_delta | (t == ir.MAT_NONE), 0.0, pdf)
+
+
+def sample_f(params: MaterialParams, wo, u_lobe, u1, u2):
+    """Sample wi; returns (wi, f, pdf, is_specular, transmitted, eta_fac).
+
+    eta_fac: multiplicative update for the path's etaScale (Russian-roulette
+    radiance correction, reference path.cpp:150-156).
+    """
+    t = params.type
+    (has_diff, has_ggx_diel, is_metal, is_substrate, is_mirror, is_glass,
+     is_delta, n_lobes) = _masks(t)
+    ax, ay = params.rough_u, params.rough_v
+    sgn = jnp.sign(wo[..., 2:3])
+
+    # lobe candidates
+    wi_diff = sampling.cosine_sample_hemisphere(u1, u2) * jnp.concatenate(
+        [jnp.ones_like(sgn), jnp.ones_like(sgn), sgn], -1)
+    wh = ggx_sample_wh(wo, u1, u2, jnp.maximum(ax, 1e-4), jnp.maximum(ay, 1e-4))
+    wi_ggx = geom.reflect(wo, wh)
+
+    # choose among lobes: uniform over present lobes (pbrt BSDF::Sample_f)
+    two_lobe = has_ggx_diel | is_substrate
+    pick_spec = (two_lobe & (u_lobe >= 0.5)) | is_metal
+    wi = jnp.where(pick_spec[..., None], wi_ggx, wi_diff)
+
+    # delta lobes
+    wi_mirror = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+    # smooth glass: Fresnel-weighted reflect/transmit
+    F = fresnel_dielectric(cos_theta(wo), 1.0, params.eta)
+    entering = cos_theta(wo) > 0
+    eta_ratio = jnp.where(entering, 1.0 / params.eta, params.eta)
+    n_up = jnp.concatenate([jnp.zeros_like(sgn), jnp.zeros_like(sgn), sgn], -1)
+    can_refract, wi_t = geom.refract(wo, n_up, eta_ratio)
+    do_reflect = (u_lobe < F) | ~can_refract
+    wi_glass = jnp.where(do_reflect[..., None], wi_mirror, wi_t)
+    wi = jnp.where(is_mirror[..., None], wi_mirror, wi)
+    wi = jnp.where(is_glass[..., None], wi_glass, wi)
+    wi = geom.normalize(wi)
+
+    # pdf+f for non-delta
+    f = eval_f(params, wo, wi)
+    pdf = pdf_f(params, wo, wi)
+
+    # delta overrides
+    abs_ci = jnp.maximum(abs_cos_theta(wi), 1e-9)
+    f_mirror = params.kr / abs_ci[..., None]
+    f = jnp.where(is_mirror[..., None], f_mirror, f)
+    pdf = jnp.where(is_mirror, 1.0, pdf)
+    # glass: reflect part f = F kr/|cos|; transmit f = (1-F) kt eta_ratio^2 /|cos|
+    f_glass_r = (F / abs_ci)[..., None] * params.kr
+    f_glass_t = (((1.0 - F) * eta_ratio * eta_ratio) / abs_ci)[..., None] * params.kt
+    f_glass = jnp.where(do_reflect[..., None], f_glass_r, f_glass_t)
+    pdf_glass = jnp.where(do_reflect, jnp.where(can_refract, F, 1.0), 1.0 - F)
+    f = jnp.where(is_glass[..., None], f_glass, f)
+    pdf = jnp.where(is_glass, pdf_glass, pdf)
+
+    transmitted = is_glass & ~do_reflect
+    # etaScale update: eta^2 entering, 1/eta^2 exiting (path.cpp:150-156)
+    eta_fac = jnp.where(transmitted,
+                        jnp.where(entering, params.eta ** 2,
+                                  1.0 / params.eta ** 2), 1.0)
+    return wi, f, pdf, is_delta, transmitted, eta_fac

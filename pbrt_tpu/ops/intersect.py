@@ -1,0 +1,352 @@
+"""Ray-scene intersection: skip-link BVH traversal over lockstep ray batches.
+
+This replaces the reference's stack-based LinearBVHNode traversal + per-shape
+virtual Intersect calls (bvh.cpp:662-700, triangle.cpp:188-426, sphere.cpp)
+with a single `lax.while_loop` advancing every ray through the threaded BVH
+in lockstep:
+
+    box hit & interior -> next node (i+1, DFS child)
+    box hit & leaf     -> test the leaf's <=K primitives, then skip[i]
+    box miss           -> skip[i]
+
+All rays share the iteration count of the slowest ray but there is no
+divergence *inside* an iteration — every lane does one AABB slab test and K
+primitive tests (triangle Moller-Trumbore or quadric, selected by mask).
+A Pallas variant with per-ray early exit lives in ops/pallas_bvh.py.
+
+Hit records are SoA (reference SurfaceInteraction, interaction.h:103-160)
+including the fork's instanceId/materialId columns.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pbrt_tpu.core import geometry as geom
+from pbrt_tpu.scene.ir import (SceneData, PRIM_TRIANGLE, PRIM_SPHERE,
+                               PRIM_CYLINDER, PRIM_DISK, PRIM_CONE,
+                               PRIM_PARABOLOID, PRIM_HYPERBOLOID)
+
+F32_MAX = jnp.float32(3.4e38)
+
+
+@struct.dataclass
+class Hit:
+    """SoA surface-interaction batch."""
+    valid: jnp.ndarray       # [B] bool
+    t: jnp.ndarray           # [B]
+    p: jnp.ndarray           # [B,3]
+    ng: jnp.ndarray          # [B,3] geometric normal (unit)
+    ns: jnp.ndarray          # [B,3] shading normal (unit)
+    uv: jnp.ndarray          # [B,2]
+    wo: jnp.ndarray          # [B,3]
+    prim: jnp.ndarray        # [B] prim index (BVH order)
+    material: jnp.ndarray    # [B] materialId (fork: interaction.h:155)
+    light: jnp.ndarray       # [B] area light idx or -1
+    instance: jnp.ndarray    # [B] instanceId (fork: interaction.h:154)
+
+
+# ---------------------------------------------------------------------------
+# primitive tests
+# ---------------------------------------------------------------------------
+
+def ray_triangle(o, d, v0, e1, e2, tmax, eps=1e-7):
+    """Moller-Trumbore; o,d [B,3] vs per-lane triangles [B,K,3].
+
+    Returns (t, b1, b2, hit) each [B,K].  The reference uses a watertight
+    permute/shear test with double fallback (triangle.cpp:188-426); the fp32
+    MT form here is the throughput-oriented choice — robustness is recovered
+    via normal-offset ray spawning.
+    """
+    o = o[:, None, :]
+    d = d[:, None, :]
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, -1)
+    inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
+    tvec = o - v0
+    b1 = jnp.sum(tvec * pvec, -1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    b2 = jnp.sum(d * qvec, -1) * inv_det
+    t = jnp.sum(e2 * qvec, -1) * inv_det
+    hit = ((jnp.abs(det) > eps) & (b1 >= 0) & (b2 >= 0) & (b1 + b2 <= 1)
+           & (t > 0) & (t < tmax[:, None]))
+    return t, b1, b2, hit
+
+
+def _quadric_ts(qtype, params, oo, od):
+    """Solve the quadric for both roots in object space.
+
+    oo,od: [B,K,3] object-space origin/dir. Returns (t0, t1, ok) with
+    t0<=t1.  Implements sphere/cylinder/disk/cone/paraboloid/hyperboloid
+    (reference: src/shapes/*.cpp quadratic setups).
+    """
+    r = params[..., 0]
+    zmin = params[..., 1]
+    zmax = params[..., 2]
+    ox, oy, oz = oo[..., 0], oo[..., 1], oo[..., 2]
+    dx, dy, dz = od[..., 0], od[..., 1], od[..., 2]
+
+    is_sphere = qtype == PRIM_SPHERE
+    is_cyl = qtype == PRIM_CYLINDER
+    is_disk = qtype == PRIM_DISK
+    is_cone = qtype == PRIM_CONE
+    is_par = qtype == PRIM_PARABOLOID
+
+    # default quadratic coefficients (sphere)
+    a = dx * dx + dy * dy + dz * dz
+    b = 2 * (dx * ox + dy * oy + dz * oz)
+    c = ox * ox + oy * oy + oz * oz - r * r
+    # cylinder
+    a = jnp.where(is_cyl, dx * dx + dy * dy, a)
+    b = jnp.where(is_cyl, 2 * (dx * ox + dy * oy), b)
+    c = jnp.where(is_cyl, ox * ox + oy * oy - r * r, c)
+    # cone: height h = zmax, radius r at z=0 tapering to 0 at h
+    h = zmax
+    k = (r / jnp.where(h == 0, 1.0, h)) ** 2
+    a = jnp.where(is_cone, dx * dx + dy * dy - k * dz * dz, a)
+    b = jnp.where(is_cone, 2 * (dx * ox + dy * oy - k * dz * (oz - h)), b)
+    c = jnp.where(is_cone, ox * ox + oy * oy - k * (oz - h) ** 2, c)
+    # paraboloid: z = h*(x^2+y^2)/r^2
+    kp = zmax / jnp.where(r == 0, 1.0, r * r)
+    a = jnp.where(is_par, kp * (dx * dx + dy * dy), a)
+    b = jnp.where(is_par, 2 * kp * (dx * ox + dy * oy) - dz, b)
+    c = jnp.where(is_par, kp * (ox * ox + oy * oy) - oz, c)
+
+    disc = b * b - 4 * a * c
+    ok = disc >= 0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # numerically stable roots
+    q = jnp.where(b < 0, -0.5 * (b - sq), -0.5 * (b + sq))
+    safe_a = jnp.where(a == 0, 1.0, a)
+    safe_q = jnp.where(q == 0, 1.0, q)
+    t0 = q / safe_a
+    t1 = c / safe_q
+    lin = jnp.abs(a) < 1e-12
+    # disk: plane z = zmin ("height"); single root
+    t_disk = (zmin - oz) / jnp.where(dz == 0, 1.0, dz)
+    t0 = jnp.where(is_disk, t_disk, jnp.minimum(t0, t1))
+    t1 = jnp.where(is_disk, t_disk, jnp.maximum(q / safe_a, c / safe_q))
+    ok = jnp.where(is_disk, dz != 0, ok & ~lin)
+    return t0, t1, ok
+
+
+def ray_quadric(qtype, w2o, params, o, d, tmax):
+    """Quadric intersection: o,d [B,3]; w2o [B,K,4,4]; params [B,K,4].
+
+    Returns (t, u, v, hit) in world-space t units.
+    """
+    oo = jnp.einsum('bkij,bj->bki', w2o[..., :3, :3], o) + w2o[..., :3, 3]
+    od = jnp.einsum('bkij,bj->bki', w2o[..., :3, :3], d)
+    t0, t1, ok = _quadric_ts(qtype, params, oo, od)
+
+    zmin = params[..., 1]
+    zmax = params[..., 2]
+    phimax = params[..., 3]
+    r = params[..., 0]
+    is_disk = qtype == PRIM_DISK
+
+    def clip_ok(t):
+        ph = oo + t[..., None] * od
+        z_ok = (ph[..., 2] >= jnp.minimum(zmin, zmax) - 1e-5) & \
+               (ph[..., 2] <= jnp.maximum(zmin, zmax) + 1e-5)
+        # disks: radial clipping, zmax slot stores inner radius
+        rad2 = ph[..., 0] ** 2 + ph[..., 1] ** 2
+        z_ok = jnp.where(is_disk, rad2 <= r * r, z_ok)
+        phi = jnp.arctan2(ph[..., 1], ph[..., 0])
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+        return z_ok & (phi <= phimax + 1e-5), ph, phi
+
+    ok0, p0, phi0 = clip_ok(t0)
+    ok1, p1, phi1 = clip_ok(t1)
+    use0 = ok & (t0 > 1e-5) & (t0 < tmax[:, None]) & ok0
+    use1 = ok & (t1 > 1e-5) & (t1 < tmax[:, None]) & ok1 & ~use0
+    hit = use0 | use1
+    t = jnp.where(use0, t0, t1)
+    ph = jnp.where(use0[..., None], p0, p1)
+    phi = jnp.where(use0, phi0, phi1)
+    # uv parameterization (sphere-style; adequate for all quadrics v1)
+    u = phi / jnp.maximum(phimax, 1e-6)
+    zc = jnp.clip(ph[..., 2] / jnp.maximum(r, 1e-6), -1.0, 1.0)
+    v = jnp.where(is_disk,
+                  jnp.sqrt(ph[..., 0] ** 2 + ph[..., 1] ** 2) / jnp.maximum(r, 1e-6),
+                  (jnp.arccos(zc)) / jnp.pi)
+    return t, u, v, hit & (jnp.abs(t) < F32_MAX)
+
+
+def quadric_normal_obj(qtype, params, ph):
+    """Object-space outward normal at object-space hit point ph [...,3]."""
+    r = params[..., 0]
+    zmax = params[..., 2]
+    n_sphere = ph
+    n_cyl = jnp.stack([ph[..., 0], ph[..., 1], jnp.zeros_like(ph[..., 0])], -1)
+    n_disk = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), ph.shape)
+    h = jnp.where(zmax == 0, 1.0, zmax)
+    k = (r / h) ** 2
+    n_cone = jnp.stack([ph[..., 0], ph[..., 1], k * (h - ph[..., 2])], -1)
+    kp = zmax / jnp.where(r == 0, 1.0, r * r)
+    n_par = jnp.stack([2 * kp * ph[..., 0], 2 * kp * ph[..., 1],
+                       -jnp.ones_like(ph[..., 0])], -1)
+    n = n_sphere
+    n = jnp.where((qtype == PRIM_CYLINDER)[..., None], n_cyl, n)
+    n = jnp.where((qtype == PRIM_DISK)[..., None], n_disk, n)
+    n = jnp.where((qtype == PRIM_CONE)[..., None], n_cone, n)
+    n = jnp.where((qtype == PRIM_PARABOLOID)[..., None], n_par, n)
+    return n
+
+
+# ---------------------------------------------------------------------------
+# BVH traversal
+# ---------------------------------------------------------------------------
+
+def _leaf_test(scene: SceneData, o, d, offs, count, t_best, leaf_mask):
+    """Test the K primitives of each lane's leaf. Returns updated
+    (t_best, prim_best, b1, b2) candidates."""
+    K = scene.max_leaf
+    P = scene.prim_type.shape[0]
+    pid = offs[:, None] + jnp.arange(K)[None, :]            # [B,K]
+    valid = leaf_mask[:, None] & (jnp.arange(K)[None, :] < count[:, None])
+    pid_safe = jnp.clip(pid, 0, P - 1)
+
+    ptype = scene.prim_type[pid_safe]                        # [B,K]
+    # triangles
+    v0 = scene.tri_v0[pid_safe]
+    e1 = scene.tri_e1[pid_safe]
+    e2 = scene.tri_e2[pid_safe]
+    t_tri, b1, b2, hit_tri = ray_triangle(o, d, v0, e1, e2, t_best)
+    # quadrics
+    qi = jnp.clip(scene.quad_idx[pid_safe], 0, scene.quad_params.shape[0] - 1)
+    w2o = scene.quad_w2o[qi]
+    qpar = scene.quad_params[qi]
+    t_q, uq, vq, hit_q = ray_quadric(ptype, w2o, qpar, o, d, t_best)
+
+    is_tri = ptype == PRIM_TRIANGLE
+    t_cand = jnp.where(is_tri, t_tri, t_q)
+    hit = valid & jnp.where(is_tri, hit_tri, hit_q) & (t_cand > 1e-5)
+    u_cand = jnp.where(is_tri, b1, uq)
+    v_cand = jnp.where(is_tri, b2, vq)
+
+    t_masked = jnp.where(hit, t_cand, F32_MAX)
+    k_best = jnp.argmin(t_masked, axis=1)                    # [B]
+    t_new = jnp.take_along_axis(t_masked, k_best[:, None], 1)[:, 0]
+    hit_best = jnp.take_along_axis(hit, k_best[:, None], 1)[:, 0]
+    any_hit = hit_best & (t_new < t_best)
+    prim_new = jnp.take_along_axis(pid_safe, k_best[:, None], 1)[:, 0]
+    u_new = jnp.take_along_axis(u_cand, k_best[:, None], 1)[:, 0]
+    v_new = jnp.take_along_axis(v_cand, k_best[:, None], 1)[:, 0]
+    return any_hit, t_new, prim_new, u_new, v_new
+
+
+def intersect(scene: SceneData, ray: geom.Ray, any_hit: bool = False):
+    """Closest-hit (or any-hit) traversal.
+
+    Returns (t, prim, u, v, found) arrays [B]; use `make_hit` to build the
+    full surface-interaction record.
+    """
+    o, d = ray.o, ray.d
+    B = o.shape[0]
+    N = scene.n_nodes
+    inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, jnp.sign(d) * 1e20 + 1e20)
+
+    def cond(s):
+        node = s[0]
+        return jnp.any(node < N)
+
+    def body(s):
+        node, t_best, prim, u, v = s
+        active = node < N
+        nsafe = jnp.minimum(node, N - 1)
+        lo = scene.bvh_lo[nsafe]
+        hi = scene.bvh_hi[nsafe]
+        box_hit = active & geom.bounds_ray_intersect(lo, hi, o, inv_d, t_best)
+        offs = scene.bvh_prim_offset[nsafe]
+        cnt = scene.bvh_prim_count[nsafe]
+        is_leaf = offs >= 0
+        leaf_mask = box_hit & is_leaf
+        hit_new, t_new, prim_new, u_new, v_new = _leaf_test(
+            scene, o, d, jnp.maximum(offs, 0), cnt, t_best, leaf_mask)
+        t_best = jnp.where(hit_new, t_new, t_best)
+        prim = jnp.where(hit_new, prim_new, prim)
+        u = jnp.where(hit_new, u_new, u)
+        v = jnp.where(hit_new, v_new, v)
+        nxt = jnp.where(box_hit & ~is_leaf, nsafe + 1, scene.bvh_skip[nsafe])
+        if any_hit:
+            nxt = jnp.where(prim >= 0, N, nxt)
+        node = jnp.where(active, nxt, N)
+        return node, t_best, prim, u, v
+
+    node0 = jnp.zeros(B, jnp.int32)
+    state = (node0, ray.tmax.astype(jnp.float32),
+             jnp.full(B, -1, jnp.int32), jnp.zeros(B), jnp.zeros(B))
+    node, t, prim, u, v = jax.lax.while_loop(cond, body, state)
+    return t, prim, u, v, prim >= 0
+
+
+def occluded(scene: SceneData, ray: geom.Ray):
+    """Shadow-ray IntersectP (reference scene.h:59)."""
+    _, _, _, _, found = intersect(scene, ray, any_hit=True)
+    return found
+
+
+def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
+    """Gather full surface-interaction data for the winning primitives."""
+    P = scene.prim_type.shape[0]
+    pid = jnp.clip(prim, 0, P - 1)
+    ptype = scene.prim_type[pid]
+    is_tri = ptype == PRIM_TRIANGLE
+
+    p = ray.at(t)
+    # triangle geometric normal
+    e1 = scene.tri_e1[pid]
+    e2 = scene.tri_e2[pid]
+    ng_tri = geom.normalize(jnp.cross(e1, e2))
+    # triangle shading normal: barycentric interp; fall back to geometric
+    ns_all = scene.tri_ns[pid]                     # [B,3,3]
+    b0 = (1.0 - u - v)[..., None]
+    ns_tri = b0 * ns_all[:, 0] + u[..., None] * ns_all[:, 1] \
+        + v[..., None] * ns_all[:, 2]
+    has_ns = jnp.sum(ns_tri * ns_tri, -1) > 1e-12
+    ns_tri = jnp.where(has_ns[..., None], geom.normalize(ns_tri), ng_tri)
+    # keep shading normal on the same side as geometric
+    ns_tri = jnp.where(geom.dot(ns_tri, ng_tri)[..., None] < 0, -ns_tri, ns_tri)
+    # triangle uv from vertex uvs
+    uv_all = scene.tri_uv[pid]                     # [B,3,2]
+    uv_tri = (b0[..., 0:1] * uv_all[:, 0] + u[..., None] * uv_all[:, 1]
+              + v[..., None] * uv_all[:, 2])
+
+    # quadric normal
+    qi = jnp.clip(scene.quad_idx[pid], 0, scene.quad_params.shape[0] - 1)
+    w2o = scene.quad_w2o[qi]
+    o2w = scene.quad_o2w[qi]
+    ph = jnp.einsum('bij,bj->bi', w2o[:, :3, :3], p) + w2o[:, :3, 3]
+    n_obj = quadric_normal_obj(ptype, scene.quad_params[qi], ph)
+    ng_quad = geom.normalize(jnp.einsum('bji,bj->bi', w2o[:, :3, :3], n_obj))
+
+    ng = jnp.where(is_tri[..., None], ng_tri, ng_quad)
+    ns = jnp.where(is_tri[..., None], ns_tri, ng_quad)
+    uv = jnp.where(is_tri[..., None], uv_tri, jnp.stack([u, v], -1))
+
+    flip = scene.prim_flip_normal[pid]
+    ng = jnp.where(flip[..., None], -ng, ng)
+    ns = jnp.where(flip[..., None], -ns, ns)
+
+    return Hit(valid=found, t=t, p=p, ng=ng, ns=ns, uv=uv,
+               wo=-geom.normalize(ray.d), prim=pid,
+               material=jnp.where(found, scene.prim_material[pid], -1),
+               light=jnp.where(found, scene.prim_light[pid], -1),
+               instance=jnp.where(found, scene.prim_instance[pid], -1))
+
+
+def intersect_full(scene: SceneData, ray: geom.Ray) -> Hit:
+    t, prim, u, v, found = intersect(scene, ray)
+    return make_hit(scene, ray, t, prim, u, v, found)
+
+
+def spawn_ray(p, ng, direction, wavelength, time=None, tmax=None):
+    """Offset-origin ray spawn (reference: interaction.h SpawnRay)."""
+    scale = jnp.maximum(jnp.max(jnp.abs(p), -1), 1.0)
+    eps = (1e-4 * scale)[..., None]
+    off = jnp.where(geom.dot(direction, ng)[..., None] >= 0, eps, -eps) * ng
+    return geom.Ray.make(p + off, direction, tmax=tmax,
+                         wavelength=wavelength, time=time)

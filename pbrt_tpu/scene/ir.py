@@ -1,0 +1,527 @@
+"""Scene intermediate representation: flat device tensors.
+
+This is the TPU analog of the reference's `RenderOptions::MakeScene`
+(api.cpp:1739) + `Scene` (scene.h:50-80) + `GeometricPrimitive` tables:
+the object graph is compiled host-side into a pytree of SoA tensors —
+BVH nodes, primitive SoA, material/light tables — that the wavefront
+kernels index with gathers.  Everything is static-shape.
+
+Primitive encoding: unified table with a type tag; triangles carry
+(v0, e1, e2) plus optional shading normals/uvs; quadrics (sphere, cylinder,
+disk, cone, paraboloid, hyperboloid) reference a quadric table holding
+world<->object transforms and parameters (reference shapes:
+src/shapes/{triangle,sphere,...}.cpp).
+
+The fork's metadata ids (instanceId / materialId, interaction.h:154-155)
+are first-class columns so the `metadata` integrator is a gather.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from pbrt_tpu.accel.bvh import build_bvh
+from pbrt_tpu.core import spectrum as spec
+from pbrt_tpu.core.transform import Transform
+
+# primitive type tags
+PRIM_TRIANGLE = 0
+PRIM_SPHERE = 1
+PRIM_CYLINDER = 2
+PRIM_DISK = 3
+PRIM_CONE = 4
+PRIM_PARABOLOID = 5
+PRIM_HYPERBOLOID = 6
+
+# light type tags
+LIGHT_POINT = 0
+LIGHT_DISTANT = 1
+LIGHT_AREA = 2          # references emissive primitive range
+LIGHT_INFINITE = 3
+LIGHT_SPOT = 4
+LIGHT_GONIO = 5
+LIGHT_PROJECTION = 6
+
+
+@struct.dataclass
+class SceneData:
+    """Device-side scene: the pytree passed into render kernels."""
+    # --- BVH (skip-link threaded layout; see accel/bvh.py) ---
+    bvh_lo: jnp.ndarray        # [N,3]
+    bvh_hi: jnp.ndarray        # [N,3]
+    bvh_skip: jnp.ndarray      # [N]
+    bvh_prim_offset: jnp.ndarray  # [N] (-1 interior)
+    bvh_prim_count: jnp.ndarray   # [N]
+
+    # --- primitive SoA (BVH-leaf order) ---
+    prim_type: jnp.ndarray     # [P]
+    tri_v0: jnp.ndarray        # [P,3]
+    tri_e1: jnp.ndarray        # [P,3]
+    tri_e2: jnp.ndarray        # [P,3]
+    tri_ns: jnp.ndarray        # [P,3,3] shading normals (0 => use geometric)
+    tri_uv: jnp.ndarray        # [P,3,2]
+    quad_idx: jnp.ndarray      # [P] index into quadric table (-1 for tris)
+    prim_material: jnp.ndarray  # [P]
+    prim_light: jnp.ndarray    # [P] area-light index or -1
+    prim_instance: jnp.ndarray  # [P] fork instanceId (mesh id)
+    prim_flip_normal: jnp.ndarray  # [P] bool (ReverseOrientation ^ swapsHandedness)
+
+    # --- quadric table ---
+    quad_o2w: jnp.ndarray      # [Q,4,4]
+    quad_w2o: jnp.ndarray      # [Q,4,4]
+    quad_params: jnp.ndarray   # [Q,4] (radius/zmin/zmax/phimax; type-specific)
+
+    # --- material table (tagged union of per-type params) ---
+    mat_type: jnp.ndarray      # [M]
+    mat_kd: jnp.ndarray        # [M,31]
+    mat_ks: jnp.ndarray        # [M,31]
+    mat_kr: jnp.ndarray        # [M,31]
+    mat_kt: jnp.ndarray        # [M,31]
+    mat_rough_u: jnp.ndarray   # [M]
+    mat_rough_v: jnp.ndarray   # [M]
+    mat_eta: jnp.ndarray       # [M] scalar IoR (dielectrics)
+    mat_eta_spec: jnp.ndarray  # [M,31] conductor eta(lambda)
+    mat_k_spec: jnp.ndarray    # [M,31] conductor k(lambda)
+    mat_sigma: jnp.ndarray     # [M] oren-nayar sigma (degrees)
+    mat_opacity: jnp.ndarray   # [M,31] (uber)
+    mat_remap_rough: jnp.ndarray  # [M] bool: remaproughness
+    # texture hooks: index into texture table per slot (-1 = constant above)
+    mat_kd_tex: jnp.ndarray    # [M]
+    mat_ks_tex: jnp.ndarray    # [M]
+    mat_bump_tex: jnp.ndarray  # [M]
+
+    # --- light table ---
+    light_type: jnp.ndarray    # [L]
+    light_L: jnp.ndarray       # [L,31] radiance / intensity / emission
+    light_pos: jnp.ndarray     # [L,3]
+    light_dir: jnp.ndarray     # [L,3] (distant/spot)
+    light_params: jnp.ndarray  # [L,4] type-specific (spot cos angles, etc.)
+    light_quad: jnp.ndarray    # [L] quadric idx for sphere area lights (-1)
+    light_two_sided: jnp.ndarray  # [L] bool
+    # mesh area lights: padded per-light triangle list + area CDF
+    light_tri_idx: jnp.ndarray   # [L,T] prim indices (post-BVH order), -1 pad
+    light_tri_cdf: jnp.ndarray   # [L,T+1] area cdf
+    light_area: jnp.ndarray      # [L] total area (or sphere area)
+    # infinite light env map (equal-area lat-long) — [He,We,31]; 1x1 black if none
+    env_map: jnp.ndarray
+    env_cond_cdf: jnp.ndarray    # [He, We+1]
+    env_marg_cdf: jnp.ndarray    # [He+1]
+    env_cond_int: jnp.ndarray    # [He]
+    env_to_world: jnp.ndarray    # [4,4]
+    env_to_light: jnp.ndarray    # [4,4]
+
+    # --- image texture atlas (v1: none; placeholder 1x1) ---
+    tex_atlas: jnp.ndarray       # [1,1,31]
+
+    # scalars
+    world_lo: jnp.ndarray      # [3]
+    world_hi: jnp.ndarray      # [3]
+    world_radius: jnp.ndarray  # []
+    n_lights: int = struct.field(pytree_node=False, default=0)
+    n_prims: int = struct.field(pytree_node=False, default=0)
+    n_nodes: int = struct.field(pytree_node=False, default=0)
+    max_leaf: int = struct.field(pytree_node=False, default=4)
+    has_infinite: bool = struct.field(pytree_node=False, default=False)
+
+
+# material type tags (reference dispatch: api.cpp:552-625)
+MAT_NONE = -1          # "" interface material: pass-through boundary
+MAT_MATTE = 0
+MAT_PLASTIC = 1
+MAT_MIRROR = 2
+MAT_GLASS = 3
+MAT_METAL = 4
+MAT_UBER = 5
+MAT_SUBSTRATE = 6
+MAT_TRANSLUCENT = 7
+MAT_RETRO = 8          # fork's retroreflective (materials/retroreflective.cpp)
+MAT_DISNEY = 9
+MAT_HAIR = 10
+MAT_FOURIER = 11
+MAT_MIX = 12
+MAT_ROUGHGLASS = 13    # glass with nonzero roughness
+MAT_SUBSURFACE = 14
+MAT_KDSUBSURFACE = 15
+
+
+@dataclass
+class MaterialSpec:
+    """Host-side material description fed to the builder."""
+    type: int = MAT_MATTE
+    kd: np.ndarray = None          # [31]
+    ks: np.ndarray = None
+    kr: np.ndarray = None
+    kt: np.ndarray = None
+    rough_u: float = 0.0
+    rough_v: float = 0.0
+    eta: float = 1.5
+    eta_spec: np.ndarray = None
+    k_spec: np.ndarray = None
+    sigma: float = 0.0
+    opacity: np.ndarray = None
+    remap_roughness: bool = True
+    name: str = ""
+
+    def resolved(self):
+        z = np.zeros(spec.N_SPECTRAL_SAMPLES, np.float32)
+        o = np.ones(spec.N_SPECTRAL_SAMPLES, np.float32)
+        return dict(
+            kd=z if self.kd is None else np.asarray(self.kd, np.float32),
+            ks=z if self.ks is None else np.asarray(self.ks, np.float32),
+            kr=z if self.kr is None else np.asarray(self.kr, np.float32),
+            kt=z if self.kt is None else np.asarray(self.kt, np.float32),
+            eta_spec=o if self.eta_spec is None else np.asarray(self.eta_spec, np.float32),
+            k_spec=z if self.k_spec is None else np.asarray(self.k_spec, np.float32),
+            opacity=o if self.opacity is None else np.asarray(self.opacity, np.float32),
+        )
+
+
+class SceneBuilder:
+    """Host-side scene assembly -> SceneData device pytree.
+
+    The parser's WorldEnd drives this; tests drive it programmatically
+    (model: reference src/tests/analytic_scenes.cpp builds scenes in memory).
+    """
+
+    def __init__(self):
+        self.tri_v = []       # per-prim [3,3] vertices (world space)
+        self.tri_ns = []      # [3,3] shading normals or zeros
+        self.tri_uv = []      # [3,2]
+        self.prim_type = []
+        self.quad_refs = []   # per-prim quadric index (-1)
+        self.prim_material = []
+        self.prim_light = []
+        self.prim_instance = []
+        self.prim_flip = []
+        self.quads = []       # list of (o2w 4x4, w2o 4x4, params[4], type)
+        self.materials: list[MaterialSpec] = []
+        self.lights = []      # list of dicts
+        self._mesh_light_tris = {}  # light idx -> list of prim indices
+        self.instance_names = {}
+        self.material_names = {}
+
+    # -- materials ---------------------------------------------------------
+    def add_material(self, mspec: MaterialSpec) -> int:
+        self.materials.append(mspec)
+        mid = len(self.materials) - 1
+        if mspec.name:
+            self.material_names[mid] = mspec.name
+        return mid
+
+    # -- shapes ------------------------------------------------------------
+    def add_triangle_mesh(self, vertices, indices, material_id,
+                          normals=None, uvs=None, light_id=-1,
+                          instance_id=0, flip_normal=False,
+                          object_to_world: Optional[Transform] = None):
+        """vertices [V,3], indices [F,3].  Transforms verts to world."""
+        vertices = np.asarray(vertices, np.float64).reshape(-1, 3)
+        indices = np.asarray(indices, np.int64).reshape(-1, 3)
+        if object_to_world is not None:
+            w_verts = object_to_world.apply_point(vertices)
+            if normals is not None:
+                w_norms = object_to_world.apply_normal(
+                    np.asarray(normals, np.float64).reshape(-1, 3))
+                nrm = np.linalg.norm(w_norms, axis=-1, keepdims=True)
+                w_norms = w_norms / np.maximum(nrm, 1e-20)
+            else:
+                w_norms = None
+            if object_to_world.swaps_handedness():
+                flip_normal = not flip_normal
+        else:
+            w_verts = vertices
+            w_norms = (np.asarray(normals, np.float64).reshape(-1, 3)
+                       if normals is not None else None)
+        uvs = (np.asarray(uvs, np.float64).reshape(-1, 2)
+               if uvs is not None else None)
+        first = len(self.prim_type)
+        for f in indices:
+            v = w_verts[f]
+            self.tri_v.append(v)
+            self.tri_ns.append(w_norms[f] if w_norms is not None
+                               else np.zeros((3, 3)))
+            self.tri_uv.append(uvs[f] if uvs is not None
+                               else np.array([[0., 0.], [1., 0.], [1., 1.]]))
+            self.prim_type.append(PRIM_TRIANGLE)
+            self.quad_refs.append(-1)
+            self.prim_material.append(material_id)
+            self.prim_light.append(light_id)
+            self.prim_instance.append(instance_id)
+            self.prim_flip.append(flip_normal)
+        if light_id >= 0:
+            self._mesh_light_tris.setdefault(light_id, []).extend(
+                range(first, len(self.prim_type)))
+        return first, len(indices)
+
+    def add_quadric(self, qtype, object_to_world: Transform, params,
+                    material_id, light_id=-1, instance_id=0,
+                    flip_normal=False):
+        """params: (radius, zmin, zmax, phimax_radians) — type-specific."""
+        if object_to_world.swaps_handedness():
+            flip_normal = not flip_normal
+        qi = len(self.quads)
+        self.quads.append((object_to_world.m.astype(np.float32),
+                           object_to_world.m_inv.astype(np.float32),
+                           np.asarray(params, np.float32)))
+        self.tri_v.append(np.zeros((3, 3)))
+        self.tri_ns.append(np.zeros((3, 3)))
+        self.tri_uv.append(np.zeros((3, 2)))
+        self.prim_type.append(qtype)
+        self.quad_refs.append(qi)
+        self.prim_material.append(material_id)
+        self.prim_light.append(light_id)
+        self.prim_instance.append(instance_id)
+        self.prim_flip.append(flip_normal)
+        return len(self.prim_type) - 1, qi
+
+    def add_sphere(self, object_to_world, radius, material_id, light_id=-1,
+                   zmin=None, zmax=None, phimax=2 * np.pi, **kw):
+        zmin = -radius if zmin is None else zmin
+        zmax = radius if zmax is None else zmax
+        return self.add_quadric(PRIM_SPHERE, object_to_world,
+                                (radius, zmin, zmax, phimax),
+                                material_id, light_id, **kw)
+
+    # -- lights ------------------------------------------------------------
+    def add_light(self, **kw):
+        defaults = dict(type=LIGHT_POINT,
+                        L=np.zeros(spec.N_SPECTRAL_SAMPLES, np.float32),
+                        pos=np.zeros(3, np.float32),
+                        dir=np.array([0, 0, 1], np.float32),
+                        params=np.zeros(4, np.float32),
+                        quad=-1, two_sided=False)
+        defaults.update(kw)
+        self.lights.append(defaults)
+        return len(self.lights) - 1
+
+    def add_area_light(self, L, two_sided=False):
+        """Returns light id; attach to shapes via light_id kw."""
+        return self.add_light(type=LIGHT_AREA, L=np.asarray(L, np.float32),
+                              two_sided=two_sided)
+
+    def add_point_light(self, pos, I):
+        return self.add_light(type=LIGHT_POINT, pos=np.asarray(pos, np.float32),
+                              L=np.asarray(I, np.float32))
+
+    def add_distant_light(self, direction, L):
+        d = np.asarray(direction, np.float64)
+        d = d / np.linalg.norm(d)
+        return self.add_light(type=LIGHT_DISTANT, dir=d.astype(np.float32),
+                              L=np.asarray(L, np.float32))
+
+    def add_infinite_light(self, L, env_map=None, light_to_world=None):
+        return self.add_light(type=LIGHT_INFINITE,
+                              L=np.asarray(L, np.float32),
+                              env_map=env_map,
+                              light_to_world=light_to_world)
+
+    def add_spot_light(self, pos, direction, I, cos_total, cos_falloff):
+        d = np.asarray(direction, np.float64)
+        d = d / np.linalg.norm(d)
+        return self.add_light(type=LIGHT_SPOT, pos=np.asarray(pos, np.float32),
+                              dir=d.astype(np.float32),
+                              L=np.asarray(I, np.float32),
+                              params=np.array([cos_total, cos_falloff, 0, 0],
+                                              np.float32))
+
+    # -- primitive bounds for BVH -----------------------------------------
+    def _prim_bounds(self):
+        P = len(self.prim_type)
+        lo = np.empty((P, 3))
+        hi = np.empty((P, 3))
+        for i in range(P):
+            if self.prim_type[i] == PRIM_TRIANGLE:
+                v = self.tri_v[i]
+                lo[i], hi[i] = v.min(0), v.max(0)
+            else:
+                o2w, _, params = self.quads[self.quad_refs[i]]
+                r = abs(float(params[0]))
+                zmin, zmax = float(params[1]), float(params[2])
+                if self.prim_type[i] == PRIM_DISK:
+                    ob_lo = np.array([-r, -r, params[1] - 1e-4])
+                    ob_hi = np.array([r, r, params[1] + 1e-4])
+                else:
+                    ob_lo = np.array([-r, -r, zmin])
+                    ob_hi = np.array([r, r, zmax])
+                corners = np.array([[x, y, z]
+                                    for x in (ob_lo[0], ob_hi[0])
+                                    for y in (ob_lo[1], ob_hi[1])
+                                    for z in (ob_lo[2], ob_hi[2])])
+                t = Transform(o2w.astype(np.float64))
+                wc = t.apply_point(corners)
+                lo[i], hi[i] = wc.min(0), wc.max(0)
+        return lo, hi
+
+    # -- compile -----------------------------------------------------------
+    def build(self, max_leaf_size=4, split_method="sah") -> SceneData:
+        P = len(self.prim_type)
+        lo, hi = (self._prim_bounds() if P else
+                  (np.zeros((0, 3)), np.zeros((0, 3))))
+        bvh = build_bvh(lo, hi, max_leaf_size, split_method)
+        order = bvh.prim_order if P else np.zeros(0, np.int32)
+
+        def reorder(lst, shape, dtype=np.float32):
+            if P == 0:
+                return np.zeros((1,) + shape, dtype)
+            arr = np.stack([np.asarray(lst[i], dtype) for i in order])
+            return arr
+
+        tri = reorder(self.tri_v, (3, 3))
+        tri_v0 = tri[:, 0]
+        tri_e1 = tri[:, 1] - tri[:, 0]
+        tri_e2 = tri[:, 2] - tri[:, 0]
+        prim_light_arr = reorder(self.prim_light, (), np.int32)
+
+        # quadrics
+        Q = max(len(self.quads), 1)
+        q_o2w = np.tile(np.eye(4, dtype=np.float32), (Q, 1, 1))
+        q_w2o = np.tile(np.eye(4, dtype=np.float32), (Q, 1, 1))
+        q_par = np.zeros((Q, 4), np.float32)
+        for i, (m, mi, par) in enumerate(self.quads):
+            q_o2w[i], q_w2o[i], q_par[i] = m, mi, par
+
+        # materials
+        M = max(len(self.materials), 1)
+        mats = self.materials or [MaterialSpec()]
+        mfields = [m.resolved() for m in mats]
+
+        def mcol(key):
+            return np.stack([f[key] for f in mfields]).astype(np.float32)
+
+        # lights
+        Lc = max(len(self.lights), 1)
+        lights = self.lights or [dict(type=LIGHT_POINT,
+                                      L=np.zeros(31, np.float32),
+                                      pos=np.zeros(3, np.float32),
+                                      dir=np.array([0, 0, 1], np.float32),
+                                      params=np.zeros(4, np.float32),
+                                      quad=-1, two_sided=False)]
+
+        # map old->new prim index for mesh light triangle lists
+        inv_order = np.zeros(max(P, 1), np.int64)
+        if P:
+            inv_order[order] = np.arange(P)
+        max_lt = max([len(v) for v in self._mesh_light_tris.values()] + [1])
+        lt_idx = np.full((Lc, max_lt), -1, np.int32)
+        lt_cdf = np.zeros((Lc, max_lt + 1), np.float32)
+        l_area = np.zeros(Lc, np.float32)
+        l_quad = np.full(Lc, -1, np.int32)
+        for li, l in enumerate(lights):
+            if l["type"] != LIGHT_AREA:
+                continue
+            tris = self._mesh_light_tris.get(li, [])
+            if tris:
+                new_ids = inv_order[np.asarray(tris)]
+                areas = []
+                for t_old in tris:
+                    v = self.tri_v[t_old]
+                    areas.append(0.5 * np.linalg.norm(
+                        np.cross(v[1] - v[0], v[2] - v[0])))
+                areas = np.asarray(areas)
+                total = areas.sum()
+                lt_idx[li, :len(tris)] = new_ids
+                lt_cdf[li, 1:len(tris) + 1] = np.cumsum(areas) / max(total, 1e-20)
+                lt_cdf[li, len(tris) + 1:] = 1.0
+                l_area[li] = total
+            else:
+                # sphere (or other quadric) area light: find its prim
+                for pi_old in range(P):
+                    if self.prim_light[pi_old] == li and \
+                            self.prim_type[pi_old] == PRIM_SPHERE:
+                        qi = self.quad_refs[pi_old]
+                        l_quad[li] = qi
+                        r = float(self.quads[qi][2][0])
+                        # account for uniform scale in o2w
+                        s = np.linalg.norm(self.quads[qi][0][:3, 0])
+                        l_area[li] = 4 * np.pi * (r * s) ** 2
+                        break
+
+        # infinite light env data (v1: constant -> 1x1 map)
+        has_inf = any(l["type"] == LIGHT_INFINITE for l in lights)
+        env = np.zeros((1, 1, spec.N_SPECTRAL_SAMPLES), np.float32)
+        env_to_world = np.eye(4, dtype=np.float32)
+        for l in lights:
+            if l["type"] == LIGHT_INFINITE:
+                if l.get("env_map") is not None:
+                    env = np.asarray(l["env_map"], np.float32)
+                else:
+                    env = l["L"].reshape(1, 1, -1).astype(np.float32)
+                if l.get("light_to_world") is not None:
+                    env_to_world = l["light_to_world"].m.astype(np.float32)
+        # env importance distribution (luminance-weighted, sin-theta factor)
+        He, We = env.shape[:2]
+        lum = env @ spec.CIE_Y.astype(np.float32)
+        theta = (np.arange(He) + 0.5) / He * np.pi
+        f2d = lum * np.sin(theta)[:, None] + 1e-12
+        cond_cdf = np.zeros((He, We + 1), np.float32)
+        cond_int = f2d.mean(1)
+        cond_cdf[:, 1:] = np.cumsum(f2d, 1) / np.maximum(
+            f2d.sum(1, keepdims=True), 1e-20)
+        marg = np.zeros(He + 1, np.float32)
+        marg[1:] = np.cumsum(cond_int) / max(cond_int.sum(), 1e-20)
+
+        world_lo = lo.min(0) if P else np.zeros(3)
+        world_hi = hi.max(0) if P else np.ones(3)
+        world_radius = 0.5 * float(np.linalg.norm(world_hi - world_lo)) + 1e-3
+
+        f32 = jnp.float32
+        return SceneData(
+            bvh_lo=jnp.asarray(bvh.lo), bvh_hi=jnp.asarray(bvh.hi),
+            bvh_skip=jnp.asarray(bvh.skip),
+            bvh_prim_offset=jnp.asarray(bvh.prim_offset),
+            bvh_prim_count=jnp.asarray(bvh.prim_count),
+            prim_type=jnp.asarray(reorder(self.prim_type, (), np.int32)),
+            tri_v0=jnp.asarray(tri_v0, f32), tri_e1=jnp.asarray(tri_e1, f32),
+            tri_e2=jnp.asarray(tri_e2, f32),
+            tri_ns=jnp.asarray(reorder(self.tri_ns, (3, 3))),
+            tri_uv=jnp.asarray(reorder(self.tri_uv, (3, 2))),
+            quad_idx=jnp.asarray(reorder(self.quad_refs, (), np.int32)),
+            prim_material=jnp.asarray(reorder(self.prim_material, (), np.int32)),
+            prim_light=jnp.asarray(prim_light_arr),
+            prim_instance=jnp.asarray(reorder(self.prim_instance, (), np.int32)),
+            prim_flip_normal=jnp.asarray(reorder(self.prim_flip, (), bool)),
+            quad_o2w=jnp.asarray(q_o2w), quad_w2o=jnp.asarray(q_w2o),
+            quad_params=jnp.asarray(q_par),
+            mat_type=jnp.asarray([m.type for m in mats], jnp.int32),
+            mat_kd=jnp.asarray(mcol("kd")), mat_ks=jnp.asarray(mcol("ks")),
+            mat_kr=jnp.asarray(mcol("kr")), mat_kt=jnp.asarray(mcol("kt")),
+            mat_rough_u=jnp.asarray([m.rough_u for m in mats], f32),
+            mat_rough_v=jnp.asarray([m.rough_v for m in mats], f32),
+            mat_eta=jnp.asarray([m.eta for m in mats], f32),
+            mat_eta_spec=jnp.asarray(mcol("eta_spec")),
+            mat_k_spec=jnp.asarray(mcol("k_spec")),
+            mat_sigma=jnp.asarray([m.sigma for m in mats], f32),
+            mat_opacity=jnp.asarray(mcol("opacity")),
+            mat_remap_rough=jnp.asarray([m.remap_roughness for m in mats], bool),
+            mat_kd_tex=jnp.full((M,), -1, jnp.int32),
+            mat_ks_tex=jnp.full((M,), -1, jnp.int32),
+            mat_bump_tex=jnp.full((M,), -1, jnp.int32),
+            light_type=jnp.asarray([l["type"] for l in lights], jnp.int32),
+            light_L=jnp.asarray(np.stack([l["L"] for l in lights]), f32),
+            light_pos=jnp.asarray(np.stack([l["pos"] for l in lights]), f32),
+            light_dir=jnp.asarray(np.stack([l["dir"] for l in lights]), f32),
+            light_params=jnp.asarray(np.stack([l["params"] for l in lights]), f32),
+            light_quad=jnp.asarray(l_quad),
+            light_two_sided=jnp.asarray([bool(l["two_sided"]) for l in lights]),
+            light_tri_idx=jnp.asarray(lt_idx),
+            light_tri_cdf=jnp.asarray(lt_cdf),
+            light_area=jnp.asarray(l_area),
+            env_map=jnp.asarray(env),
+            env_cond_cdf=jnp.asarray(cond_cdf),
+            env_marg_cdf=jnp.asarray(marg),
+            env_cond_int=jnp.asarray(cond_int.astype(np.float32)),
+            env_to_world=jnp.asarray(env_to_world),
+            env_to_light=jnp.asarray(np.linalg.inv(env_to_world.astype(np.float64)).astype(np.float32)),
+            tex_atlas=jnp.zeros((1, 1, spec.N_SPECTRAL_SAMPLES), f32),
+            world_lo=jnp.asarray(world_lo, f32),
+            world_hi=jnp.asarray(world_hi, f32),
+            world_radius=jnp.asarray(world_radius, f32),
+            n_lights=len(self.lights),
+            n_prims=P, n_nodes=len(bvh.skip),
+            max_leaf=max_leaf_size,
+            has_infinite=has_inf,
+        )
