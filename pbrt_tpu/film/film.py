@@ -70,6 +70,8 @@ class Film:
     """Device film state."""
     weighted: jnp.ndarray    # [H,W,31] sum of filter-weighted radiance
     weight: jnp.ndarray      # [H,W] sum of filter weights
+    raw: jnp.ndarray         # [H,W,31] unweighted per-pixel L sum — the
+    #                          fork's Pixel::L for ISET .dat (film.h:63,89)
     splat: jnp.ndarray       # [H,W,31] unweighted splats (BDPT/MLT/SPPM)
     filter_table: jnp.ndarray  # [16,16] quadrant table
     radius: jnp.ndarray      # [2] filter radius (x, y)
@@ -94,6 +96,7 @@ def make_film(width, height, filter_name="box", radius=None, **filter_params):
     return Film(
         weighted=jnp.zeros((height, width, spec.N_SPECTRAL_SAMPLES)),
         weight=jnp.zeros((height, width)),
+        raw=jnp.zeros((height, width, spec.N_SPECTRAL_SAMPLES)),
         splat=jnp.zeros((height, width, spec.N_SPECTRAL_SAMPLES)),
         filter_table=jnp.asarray(table, jnp.float32),
         radius=jnp.asarray([rx, ry], jnp.float32),
@@ -135,7 +138,11 @@ def add_samples(film: Film, pfilm, L, ray_weight=None):
             pys = jnp.clip(py, 0, H - 1)
             weighted = weighted.at[pys, pxs].add(Lw * fw[:, None])
             weight = weight.at[pys, pxs].add(fw * ray_weight)
-    return film.replace(weighted=weighted, weight=weight)
+    # unweighted box accumulation (fork's spectral pixel.L path)
+    bx = jnp.clip(pfilm[:, 0].astype(jnp.int32), 0, W - 1)
+    by = jnp.clip(pfilm[:, 1].astype(jnp.int32), 0, H - 1)
+    raw = film.raw.at[by, bx].add(Lw)
+    return film.replace(weighted=weighted, weight=weight, raw=raw)
 
 
 def add_splats(film: Film, pfilm, L):

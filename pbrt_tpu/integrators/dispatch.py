@@ -1,0 +1,46 @@
+"""Integrator selection (reference dispatch: api.cpp:1764-1789)."""
+
+from __future__ import annotations
+
+import logging
+
+from pbrt_tpu.integrators import path as pathmod
+
+log = logging.getLogger("pbrt_tpu")
+
+
+def render_with_integrator(job, camera, film, cfg, spp, max_depth,
+                           max_rays_per_pass=1 << 18, progress=None):
+    kind = job.integrator_kind
+    ip = job.integrator_params
+    trace_fn = None
+    trace_kwargs = {}
+    if kind in ("path", "volpath", "bdpt", "mlt", "sppm", "whitted",
+                "directlighting"):
+        if kind == "volpath" and job.media:
+            from pbrt_tpu.integrators import volpath
+            trace_fn = volpath.make_trace_volpath(job)
+        elif kind in ("bdpt", "mlt", "sppm"):
+            log.warning("integrator %r not yet implemented; using path", kind)
+        if kind == "directlighting":
+            max_depth = min(max_depth, 1)
+        if kind == "whitted":
+            from pbrt_tpu.integrators import whitted
+            trace_fn = whitted.make_trace_whitted()
+    elif kind == "spectralpath":
+        from pbrt_tpu.integrators import spectralpath
+        trace_fn = spectralpath.make_trace_spectral(
+            num_ca_bands=ip.get("numCABands", 4))
+    elif kind == "metadata":
+        from pbrt_tpu.integrators import metadata
+        trace_fn = metadata.make_trace_metadata(ip.get("strategy", "depth"))
+    elif kind in ("ambientocclusion", "ao"):
+        from pbrt_tpu.integrators import ao
+        trace_fn = ao.make_trace_ao(cos_sample=ip.get("cossample", True))
+    else:
+        log.warning("unknown integrator %r; using path", kind)
+    return pathmod.render(job.scene, camera, film, cfg, spp,
+                          max_depth=max_depth, trace_fn=trace_fn,
+                          progress=progress,
+                          max_rays_per_pass=max_rays_per_pass,
+                          trace_kwargs=trace_kwargs)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pbrt_tpu.core import geometry as geom
 from pbrt_tpu.core import sampling
@@ -156,7 +157,10 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
         if bounce > 3:
             rr_max = jnp.max(beta, -1) * eta_scale
             u_rr = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 6))
-            q = jnp.maximum(0.05, 1.0 - rr_max)
+            # q clamped to <=0.99 and used for BOTH the kill test and the
+            # reweight (consistent => unbiased); the clamp keeps 1/(1-q)
+            # finite so reverse-mode grads don't hit the 0*inf where-trap
+            q = jnp.clip(1.0 - jax.lax.stop_gradient(rr_max), 0.05, 0.99)
             apply_rr = rr_max < rr_threshold
             kill = apply_rr & (u_rr < q)
             alive = alive & ~kill
@@ -173,27 +177,36 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
 # render driver (reference: SamplerIntegrator::Render, integrator.cpp:228)
 # ---------------------------------------------------------------------------
 
-def camera_rays_for_sample(camera, film, cfg, sample_idx, generate_rays):
-    """Build one camera ray per pixel for sample index `sample_idx`."""
-    H, W = film.height, film.width
-    iy, ix = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
-    pixel_id = (iy * W + ix).reshape(-1).astype(jnp.uint32)
-    sidx = jnp.full_like(pixel_id, sample_idx)
-    jx = sample_dim(cfg, pixel_id, sidx, DIM_PIXEL_X)
-    jy = sample_dim(cfg, pixel_id, sidx, DIM_PIXEL_Y)
-    pfilm = jnp.stack([ix.reshape(-1) + jx, iy.reshape(-1) + jy], -1)
+def camera_rays_for_pixels(camera, W, H, cfg, pixel_id, sample_idx,
+                           generate_rays):
+    """Build camera rays for a chunk of pixel ids at one sample index."""
+    sidx = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32),
+                            pixel_id.shape)
+    valid = pixel_id < jnp.uint32(W * H)
+    pid = jnp.where(valid, pixel_id, 0)
+    ix = (pid % W).astype(jnp.float32)
+    iy = (pid // W).astype(jnp.float32)
+    jx = sample_dim(cfg, pid, sidx, DIM_PIXEL_X)
+    jy = sample_dim(cfg, pid, sidx, DIM_PIXEL_Y)
+    pfilm = jnp.stack([ix + jx, iy + jy], -1)
     ulens = jnp.stack(
-        [sample_dim(cfg, pixel_id, sidx, DIM_LENS_U),
-         sample_dim(cfg, pixel_id, sidx, DIM_LENS_V)], -1)
-    utime = sample_dim(cfg, pixel_id, sidx, DIM_TIME)
+        [sample_dim(cfg, pid, sidx, DIM_LENS_U),
+         sample_dim(cfg, pid, sidx, DIM_LENS_V)], -1)
+    utime = sample_dim(cfg, pid, sidx, DIM_TIME)
     ray, weight = generate_rays(camera, pfilm, ulens, utime,
                                 width=W, height=H)
-    return ray, weight, pfilm, pixel_id, sidx
+    weight = jnp.where(valid, weight, 0.0)
+    # padded lanes: zero-length rays exit traversal immediately
+    ray = ray.replace(tmax=jnp.where(valid, ray.tmax, -1.0))
+    return ray, weight, pfilm, pid, sidx
 
 
 def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
-           generate_rays=None, trace_fn=None, progress=None):
-    """Full render: loops sample passes, jitting one pass.
+           generate_rays=None, trace_fn=None, progress=None,
+           max_rays_per_pass=1 << 18, trace_kwargs=None):
+    """Full render: loops over (sample, pixel-tile) passes, jitting one
+    fixed-shape pass (the analog of the reference's 16x16-tile ParallelFor2D,
+    integrator.cpp:235-241 — tiles here are flat pixel-id chunks).
 
     Returns the accumulated Film.
     """
@@ -202,16 +215,31 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
         generate_rays = projective.generate_rays
     if trace_fn is None:
         trace_fn = trace_paths
+    trace_kwargs = trace_kwargs or {}
+
+    H, W = film.height, film.width
+    n_pix = H * W
+    chunk = min(n_pix, max_rays_per_pass)
+    n_chunks = (n_pix + chunk - 1) // chunk
 
     @jax.jit
-    def one_pass(film, sample_idx):
-        ray, weight, pfilm, pixel_id, sidx = camera_rays_for_sample(
-            camera, film, cfg, sample_idx, generate_rays)
-        L = trace_fn(scene, ray, pixel_id, sidx, cfg, max_depth=max_depth)
+    def one_pass(film, pixel_ids, sample_idx):
+        ray, weight, pfilm, pid, sidx = camera_rays_for_pixels(
+            camera, W, H, cfg, pixel_ids, sample_idx, generate_rays)
+        L = trace_fn(scene, ray, pid, sidx, cfg, max_depth=max_depth,
+                     **trace_kwargs)
         return filmmod.add_samples(film, pfilm, L, weight)
 
+    all_ids = np.arange(n_chunks * chunk, dtype=np.uint32)
+    all_ids[n_pix:] = 0xFFFFFFFF
+    id_chunks = [jnp.asarray(all_ids[i * chunk:(i + 1) * chunk])
+                 for i in range(n_chunks)]
+    done = 0
+    total = spp * n_chunks
     for s in range(spp):
-        film = one_pass(film, jnp.uint32(s))
-        if progress is not None:
-            progress(s + 1, spp)
+        for ids in id_chunks:
+            film = one_pass(film, ids, jnp.uint32(s))
+            done += 1
+            if progress is not None:
+                progress(done, total)
     return film

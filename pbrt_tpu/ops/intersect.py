@@ -276,9 +276,12 @@ def intersect(scene: SceneData, ray: geom.Ray, any_hit: bool = False):
         node = jnp.where(active, nxt, N)
         return node, t_best, prim, u, v
 
-    node0 = jnp.zeros(B, jnp.int32)
+    # carry components derive from ray data so their sharding/varying type
+    # matches under shard_map (replicated zeros would trip the vma check)
+    zf = jnp.zeros_like(ray.tmax)
+    node0 = zf.astype(jnp.int32)
     state = (node0, ray.tmax.astype(jnp.float32),
-             jnp.full(B, -1, jnp.int32), jnp.zeros(B), jnp.zeros(B))
+             node0 - 1, zf, zf)
     node, t, prim, u, v = jax.lax.while_loop(cond, body, state)
     return t, prim, u, v, prim >= 0
 
@@ -296,6 +299,9 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
     ptype = scene.prim_type[pid]
     is_tri = ptype == PRIM_TRIANGLE
 
+    # missed lanes carry t=F32_MAX; clamp so masked-out geometry math stays
+    # finite (inf*0 => NaN would poison reverse-mode grads via where)
+    t = jnp.where(found, t, 1.0)
     p = ray.at(t)
     # triangle geometric normal
     e1 = scene.tri_e1[pid]

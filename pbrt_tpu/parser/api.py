@@ -1,0 +1,780 @@
+"""pbrt scene-API state machine (reference: src/core/api.{h,cpp}).
+
+Implements the directive semantics of the reference's 40 pbrt* calls —
+CTM stacks, graphics-state attribute stacks, named materials/textures,
+object instancing, world block — driving a SceneBuilder and collecting
+render options, then compiling everything into a RenderJob at WorldEnd
+(the analog of RenderOptions::MakeScene/MakeIntegrator/MakeCamera,
+api.cpp:1739-1819).
+
+Deviations from the reference are breadth-of-implementation only (each
+factory lists what it supports); the grammar and state semantics match.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import logging
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from pbrt_tpu.core import spectrum as spec
+from pbrt_tpu.core import transform as tfm
+from pbrt_tpu.parser.tokenizer import (TokenStream, tokenize_file, unquote,
+                                       is_quoted)
+from pbrt_tpu.parser.paramset import ParamSet, parse_param_list
+from pbrt_tpu.scene import ir
+from pbrt_tpu.scene.ir import MaterialSpec, SceneBuilder
+from pbrt_tpu.materials.metal_data import conductor_eta_k
+
+log = logging.getLogger("pbrt_tpu")
+
+
+@dataclass
+class GraphicsState:
+    """reference: api.cpp:212+ GraphicsState."""
+    material_id: int = 0
+    material_name: str = "matte"
+    area_light: dict | None = None
+    reverse_orientation: bool = False
+    float_textures: dict = field(default_factory=dict)
+    spectrum_textures: dict = field(default_factory=dict)
+    named_materials: dict = field(default_factory=dict)
+    inside_medium: str = ""
+    outside_medium: str = ""
+
+    def clone(self):
+        g = copy.copy(self)
+        g.float_textures = dict(self.float_textures)
+        g.spectrum_textures = dict(self.spectrum_textures)
+        g.named_materials = dict(self.named_materials)
+        return g
+
+
+@dataclass
+class RenderJob:
+    """Everything WorldEnd produced; consumed by the render CLI / tests."""
+    scene: object
+    builder: SceneBuilder
+    camera_kind: str
+    camera_params: dict
+    cam_to_world: tfm.Transform
+    film_width: int
+    film_height: int
+    film_filename: str
+    film_diagonal: float
+    film_scale: float
+    spectral_flag: bool
+    crop_window: tuple
+    filter_name: str
+    filter_params: dict
+    sampler_kind: str
+    spp: int
+    integrator_kind: str
+    integrator_params: dict
+    instance_names: dict
+    material_names: dict
+    media: dict
+
+
+class PbrtAPI:
+    """State machine; feed directives via parse()."""
+
+    def __init__(self, scene_dir="."):
+        self.scene_dir = scene_dir
+        self.ctm = [tfm.Transform(), tfm.Transform()]  # two time samples
+        self.active_bits = 3
+        self.transform_stack = []
+        self.named_coord_systems = {}
+        self.graphics = GraphicsState()
+        self.graphics_stack = []
+        self.builder = SceneBuilder()
+        self.in_world = False
+        # options (reference RenderOptions)
+        self.camera_kind = "perspective"
+        self.camera_params = ParamSet()
+        self.camera_to_world = tfm.Transform()
+        self.film_params = ParamSet()
+        self.filter_name = "box"
+        self.filter_params = ParamSet()
+        self.sampler_kind = "halton"
+        self.sampler_params = ParamSet()
+        self.integrator_kind = "path"
+        self.integrator_params = ParamSet()
+        self.accel_kind = "bvh"
+        self.transform_times = (0.0, 1.0)
+        self.media = {}
+        # instancing
+        self.objects = {}
+        self.current_object = None
+        self.next_instance_id = 1
+        self.instance_names = {}
+        self._material_cache = {}
+        # seed a default matte material id 0
+        self._default_mat = self.builder.add_material(
+            MaterialSpec(type=ir.MAT_MATTE,
+                         kd=np.full(31, 0.5, np.float32), name="matte"))
+        self.graphics.material_id = self._default_mat
+
+    # ------------------------------------------------------------------ ctm
+    def _apply(self, t: tfm.Transform):
+        for i in range(2):
+            if self.active_bits & (1 << i):
+                self.ctm[i] = self.ctm[i] * t
+
+    # ------------------------------------------------------------- parsing
+    def parse_file(self, path):
+        self.scene_dir = os.path.dirname(os.path.abspath(path))
+        stream = TokenStream(tokenize_file(path), path)
+        return self._parse(stream)
+
+    def parse_string(self, text, scene_dir="."):
+        from pbrt_tpu.parser.tokenizer import tokenize
+        self.scene_dir = scene_dir
+        return self._parse(TokenStream(tokenize(text)))
+
+    def _params(self, stream):
+        return parse_param_list(stream, self.scene_dir)
+
+    def _parse(self, stream):
+        job = None
+        while True:
+            tok = stream.next()
+            if tok is None:
+                break
+            handler = getattr(self, "_d_" + tok, None)
+            if handler is None:
+                log.warning("unknown directive %r — skipped", tok)
+                continue
+            result = handler(stream)
+            if result is not None:
+                job = result
+        return job
+
+    # -------------------------------------------------------- transforms
+    def _d_Identity(self, s):
+        for i in range(2):
+            if self.active_bits & (1 << i):
+                self.ctm[i] = tfm.Transform()
+
+    def _d_Translate(self, s):
+        x, y, z = (float(s.next()) for _ in range(3))
+        self._apply(tfm.translate(x, y, z))
+
+    def _d_Scale(self, s):
+        x, y, z = (float(s.next()) for _ in range(3))
+        self._apply(tfm.scale(x, y, z))
+
+    def _d_Rotate(self, s):
+        a, x, y, z = (float(s.next()) for _ in range(4))
+        self._apply(tfm.rotate(a, x, y, z))
+
+    def _d_LookAt(self, s):
+        v = [float(s.next()) for _ in range(9)]
+        # LookAt gives world-to-camera = inverse(cam_to_world)
+        c2w = tfm.look_at(v[0:3], v[3:6], v[6:9])
+        self._apply(c2w.inverse())
+
+    def _read_matrix(self, s):
+        vals = []
+        tok = s.next()
+        assert tok == "[", "Transform expects [ 16 floats ]"
+        while True:
+            tok = s.next()
+            if tok == "]":
+                break
+            vals.append(float(tok))
+        # pbrt matrices are column-major in the file
+        return tfm.Transform(np.asarray(vals).reshape(4, 4).T)
+
+    def _d_Transform(self, s):
+        t = self._read_matrix(s)
+        for i in range(2):
+            if self.active_bits & (1 << i):
+                self.ctm[i] = t
+
+    def _d_ConcatTransform(self, s):
+        self._apply(self._read_matrix(s))
+
+    def _d_CoordinateSystem(self, s):
+        name = unquote(s.next())
+        self.named_coord_systems[name] = [tfm.Transform(self.ctm[0].m),
+                                          tfm.Transform(self.ctm[1].m)]
+
+    def _d_CoordSysTransform(self, s):
+        name = unquote(s.next())
+        if name in self.named_coord_systems:
+            self.ctm = [tfm.Transform(t.m)
+                        for t in self.named_coord_systems[name]]
+        else:
+            log.warning("unknown coordinate system %r", name)
+
+    def _d_ActiveTransform(self, s):
+        which = s.next()
+        self.active_bits = {"StartTime": 1, "EndTime": 2, "All": 3}.get(
+            which, 3)
+
+    def _d_TransformTimes(self, s):
+        self.transform_times = (float(s.next()), float(s.next()))
+
+    def _d_TransformBegin(self, s):
+        self.transform_stack.append(
+            ([tfm.Transform(self.ctm[0].m), tfm.Transform(self.ctm[1].m)],
+             self.active_bits))
+
+    def _d_TransformEnd(self, s):
+        self.ctm, self.active_bits = self.transform_stack.pop()
+
+    # ------------------------------------------------------------ options
+    def _d_Camera(self, s):
+        self.camera_kind = unquote(s.next())
+        self.camera_params = self._params(s)
+        # camera-to-world = inverse(CTM)
+        self.camera_to_world = self.ctm[0].inverse()
+        self.named_coord_systems["camera"] = [self.ctm[0], self.ctm[1]]
+
+    def _d_Film(self, s):
+        unquote(s.next())  # "image"
+        self.film_params = self._params(s)
+
+    def _d_PixelFilter(self, s):
+        self.filter_name = unquote(s.next())
+        self.filter_params = self._params(s)
+
+    def _d_Sampler(self, s):
+        self.sampler_kind = unquote(s.next())
+        self.sampler_params = self._params(s)
+
+    def _d_Integrator(self, s):
+        self.integrator_kind = unquote(s.next())
+        self.integrator_params = self._params(s)
+
+    def _d_Accelerator(self, s):
+        self.accel_kind = unquote(s.next())
+        self._params(s)
+
+    def _d_Include(self, s):
+        name = unquote(s.next())
+        path = name if os.path.isabs(name) else os.path.join(
+            self.scene_dir, name)
+        s.include(tokenize_file(path))
+
+    # -------------------------------------------------------- world block
+    def _d_WorldBegin(self, s):
+        self.in_world = True
+        self.ctm = [tfm.Transform(), tfm.Transform()]
+        self.active_bits = 3
+        self.named_coord_systems["world"] = [tfm.Transform(), tfm.Transform()]
+
+    def _d_AttributeBegin(self, s):
+        self.graphics_stack.append(self.graphics.clone())
+        self._d_TransformBegin(s)
+
+    def _d_AttributeEnd(self, s):
+        self.graphics = self.graphics_stack.pop()
+        self._d_TransformEnd(s)
+
+    def _d_ReverseOrientation(self, s):
+        self.graphics.reverse_orientation = \
+            not self.graphics.reverse_orientation
+
+    def _d_ObjectBegin(self, s):
+        self._d_AttributeBegin(s)
+        self.current_object = unquote(s.next())
+        self.objects[self.current_object] = []
+
+    def _d_ObjectEnd(self, s):
+        self.current_object = None
+        self._d_AttributeEnd(s)
+
+    def _d_ObjectInstance(self, s):
+        name = unquote(s.next())
+        shapes = self.objects.get(name)
+        if shapes is None:
+            log.warning("unknown object instance %r", name)
+            return
+        inst_id = self.next_instance_id
+        self.next_instance_id += 1
+        self.instance_names[inst_id] = name
+        xf = self.ctm[0]
+        for entry in shapes:
+            kind = entry[0]
+            if kind == "mesh":
+                _, verts, idx, norms, uvs, mat, light = entry
+                self.builder.add_triangle_mesh(
+                    verts, idx, mat, normals=norms, uvs=uvs,
+                    light_id=light, instance_id=inst_id,
+                    object_to_world=xf)
+            else:
+                _, qtype, o2w, params, mat, light, flip = entry
+                self.builder.add_quadric(qtype, xf * o2w, params, mat,
+                                         light_id=light, instance_id=inst_id,
+                                         flip_normal=flip)
+
+    # ------------------------------------------------------------- media
+    def _d_MakeNamedMedium(self, s):
+        name = unquote(s.next())
+        ps = self._params(s)
+        self.media[name] = {"name": name, "params": ps,
+                            "type": ps.find_one_string("type", "homogeneous")}
+
+    def _d_MediumInterface(self, s):
+        self.graphics.inside_medium = unquote(s.next())
+        tok = s.peek()
+        if is_quoted(tok):
+            self.graphics.outside_medium = unquote(s.next())
+
+    # ----------------------------------------------------------- textures
+    def _d_Texture(self, s):
+        name = unquote(s.next())
+        ttype = unquote(s.next())       # "float" | "color"/"spectrum"
+        tclass = unquote(s.next())      # constant/scale/imagemap/...
+        ps = self._params(s)
+        value = self._make_texture(ttype, tclass, ps)
+        if ttype == "float":
+            self.graphics.float_textures[name] = value
+        else:
+            self.graphics.spectrum_textures[name] = value
+
+    def _make_texture(self, ttype, tclass, ps):
+        """v1 resolves textures to constants (full texture maps are a
+        later phase; reference: src/textures/*)."""
+        kind = "reflectance"
+        if tclass == "constant":
+            if ttype == "float":
+                return ps.find_one_float("value", 1.0)
+            return ps.find_one_spectrum("value", 1.0, kind)
+        if tclass == "scale":
+            t1 = self._tex_or_spectrum(ps, "tex1", 1.0, ttype)
+            t2 = self._tex_or_spectrum(ps, "tex2", 1.0, ttype)
+            return t1 * t2
+        if tclass == "mix":
+            t1 = self._tex_or_spectrum(ps, "tex1", 0.0, ttype)
+            t2 = self._tex_or_spectrum(ps, "tex2", 1.0, ttype)
+            amt = ps.find_one_float("amount", 0.5)
+            return (1 - amt) * t1 + amt * t2
+        if tclass == "imagemap":
+            fname = ps.find_one_filename("filename", "")
+            log.warning("imagemap texture %r resolved to mean color (v1)",
+                        fname)
+            try:
+                from PIL import Image
+                img = np.asarray(Image.open(fname).convert("RGB"),
+                                 np.float32) / 255.0
+                mean_rgb = (img ** 2.2).mean((0, 1))
+                import jax.numpy as jnp
+                return np.asarray(spec.from_rgb(jnp.asarray(mean_rgb), kind))
+            except Exception as e:
+                log.warning("imagemap load failed (%s); using 0.5", e)
+                return (0.5 if ttype == "float"
+                        else np.full(31, 0.5, np.float32))
+        log.warning("texture class %r unsupported; using 0.5", tclass)
+        return 0.5 if ttype == "float" else np.full(31, 0.5, np.float32)
+
+    def _tex_or_spectrum(self, ps, name, default, ttype):
+        tex = ps.find_texture(name)
+        if tex is not None:
+            table = (self.graphics.float_textures if ttype == "float"
+                     else self.graphics.spectrum_textures)
+            return table.get(tex, default)
+        if ttype == "float":
+            return ps.find_one_float(name, default)
+        return ps.find_one_spectrum(name, default)
+
+    # ---------------------------------------------------------- materials
+    def _d_Material(self, s):
+        mname = unquote(s.next())
+        ps = self._params(s)
+        self.graphics.material_id = self._make_material(mname, ps)
+        self.graphics.material_name = mname
+
+    def _d_MakeNamedMaterial(self, s):
+        name = unquote(s.next())
+        ps = self._params(s)
+        mtype = ps.find_one_string("type", "matte")
+        self.graphics.named_materials[name] = self._make_material(
+            mtype, ps, name=name)
+
+    def _d_NamedMaterial(self, s):
+        name = unquote(s.next())
+        mid = self.graphics.named_materials.get(name)
+        if mid is None:
+            log.warning("unknown named material %r", name)
+            return
+        self.graphics.material_id = mid
+        self.graphics.material_name = name
+
+    def _spectrum_or_texture(self, ps, name, default, kind="reflectance"):
+        tex = ps.find_texture(name)
+        if tex is not None:
+            v = self.graphics.spectrum_textures.get(tex)
+            if v is None:
+                fv = self.graphics.float_textures.get(tex)
+                if fv is not None:
+                    return np.full(31, float(fv), np.float32)
+                log.warning("unknown texture %r", tex)
+                return np.full(31, default if np.isscalar(default) else 0.5,
+                               np.float32)
+            return np.asarray(v, np.float32)
+        return ps.find_one_spectrum(name, default, kind)
+
+    def _float_or_texture(self, ps, name, default):
+        tex = ps.find_texture(name)
+        if tex is not None:
+            v = self.graphics.float_textures.get(tex)
+            return float(v) if v is not None else default
+        return ps.find_one_float(name, default)
+
+    def _make_material(self, mname, ps, name=""):
+        """Factory (reference dispatch api.cpp:552-625 + materials/*.cpp
+        defaults).  Returns builder material id."""
+        m = MaterialSpec(name=name or mname)
+        if mname in ("", "none"):
+            m.type = ir.MAT_NONE
+        elif mname == "matte":
+            m.type = ir.MAT_MATTE
+            m.kd = self._spectrum_or_texture(ps, "Kd", 0.5)
+            m.sigma = self._float_or_texture(ps, "sigma", 0.0)
+        elif mname == "plastic":
+            m.type = ir.MAT_PLASTIC
+            m.kd = self._spectrum_or_texture(ps, "Kd", 0.25)
+            m.ks = self._spectrum_or_texture(ps, "Ks", 0.25)
+            r = self._float_or_texture(ps, "roughness", 0.1)
+            m.rough_u = m.rough_v = r
+            m.remap_roughness = ps.find_one_bool("remaproughness", True)
+        elif mname == "mirror":
+            m.type = ir.MAT_MIRROR
+            m.kr = self._spectrum_or_texture(ps, "Kr", 0.9)
+        elif mname == "glass":
+            m.kr = self._spectrum_or_texture(ps, "Kr", 1.0)
+            m.kt = self._spectrum_or_texture(ps, "Kt", 1.0)
+            m.eta = self._float_or_texture(
+                ps, "eta", self._float_or_texture(ps, "index", 1.5))
+            ur = self._float_or_texture(ps, "uroughness", 0.0)
+            vr = self._float_or_texture(ps, "vroughness", 0.0)
+            m.rough_u, m.rough_v = ur, vr
+            m.type = ir.MAT_ROUGHGLASS if (ur > 0 or vr > 0) else ir.MAT_GLASS
+            m.remap_roughness = ps.find_one_bool("remaproughness", True)
+        elif mname == "metal":
+            m.type = ir.MAT_METAL
+            eta_d, k_d = conductor_eta_k("Cu")
+            m.eta_spec = ps.find_one_spectrum("eta", eta_d)
+            m.k_spec = ps.find_one_spectrum("k", k_d)
+            r = self._float_or_texture(ps, "roughness", 0.01)
+            m.rough_u = self._float_or_texture(ps, "uroughness", r)
+            m.rough_v = self._float_or_texture(ps, "vroughness", r)
+            m.ks = np.ones(31, np.float32)
+            m.remap_roughness = ps.find_one_bool("remaproughness", True)
+        elif mname == "uber":
+            m.type = ir.MAT_UBER
+            m.kd = self._spectrum_or_texture(ps, "Kd", 0.25)
+            m.ks = self._spectrum_or_texture(ps, "Ks", 0.25)
+            m.kr = self._spectrum_or_texture(ps, "Kr", 0.0)
+            m.kt = self._spectrum_or_texture(ps, "Kt", 0.0)
+            r = self._float_or_texture(ps, "roughness", 0.1)
+            m.rough_u = self._float_or_texture(ps, "uroughness", r)
+            m.rough_v = self._float_or_texture(ps, "vroughness", r)
+            m.eta = self._float_or_texture(ps, "eta", 1.5)
+            m.opacity = ps.find_one_spectrum("opacity", 1.0)
+            m.remap_roughness = ps.find_one_bool("remaproughness", True)
+        elif mname == "substrate":
+            m.type = ir.MAT_SUBSTRATE
+            m.kd = self._spectrum_or_texture(ps, "Kd", 0.5)
+            m.ks = self._spectrum_or_texture(ps, "Ks", 0.5)
+            m.rough_u = self._float_or_texture(ps, "uroughness", 0.1)
+            m.rough_v = self._float_or_texture(ps, "vroughness", 0.1)
+            m.remap_roughness = ps.find_one_bool("remaproughness", True)
+        elif mname == "translucent":
+            m.type = ir.MAT_TRANSLUCENT
+            m.kd = self._spectrum_or_texture(ps, "Kd", 0.25)
+            m.ks = self._spectrum_or_texture(ps, "Ks", 0.25)
+            m.kr = self._spectrum_or_texture(ps, "reflect", 0.5)
+            m.kt = self._spectrum_or_texture(ps, "transmit", 0.5)
+            m.rough_u = m.rough_v = self._float_or_texture(
+                ps, "roughness", 0.1)
+        elif mname == "retroreflective":
+            # fork material (materials/retroreflective.cpp)
+            m.type = ir.MAT_RETRO
+            m.kd = self._spectrum_or_texture(ps, "Kd", 0.5)
+            m.ks = self._spectrum_or_texture(ps, "Ks", 0.5)
+            m.rough_u = m.rough_v = self._float_or_texture(
+                ps, "roughness", 0.1)
+        elif mname == "disney":
+            m.type = ir.MAT_DISNEY
+            m.kd = self._spectrum_or_texture(ps, "color", 0.5)
+            m.rough_u = m.rough_v = self._float_or_texture(
+                ps, "roughness", 0.5)
+            m.eta = self._float_or_texture(ps, "eta", 1.5)
+            m.sigma = self._float_or_texture(ps, "metallic", 0.0)
+        elif mname in ("mix", "fourier", "hair", "subsurface",
+                       "kdsubsurface"):
+            log.warning("material %r approximated as matte (v1)", mname)
+            m.type = ir.MAT_MATTE
+            m.kd = self._spectrum_or_texture(ps, "Kd", 0.5)
+        else:
+            log.warning("unknown material %r -> matte", mname)
+            m.type = ir.MAT_MATTE
+        ps.report_unused(f"material {mname}", log.warning)
+        return self.builder.add_material(m)
+
+    # ------------------------------------------------------------- lights
+    def _d_LightSource(self, s):
+        lname = unquote(s.next())
+        ps = self._params(s)
+        xf = self.ctm[0]
+        sc = ps.find_one_spectrum("scale", 1.0, "illuminant")
+        if lname == "point":
+            I = ps.find_one_spectrum("I", 1.0, "illuminant") * sc
+            p = xf.apply_point(ps.find_one_point("from", [0, 0, 0]))
+            self.builder.add_point_light(p, I)
+        elif lname == "spot":
+            I = ps.find_one_spectrum("I", 1.0, "illuminant") * sc
+            frm = xf.apply_point(ps.find_one_point("from", [0, 0, 0]))
+            to = xf.apply_point(ps.find_one_point("to", [0, 0, 1]))
+            cone = ps.find_one_float("coneangle", 30.0)
+            delta = ps.find_one_float("conedeltaangle", 5.0)
+            self.builder.add_spot_light(
+                frm, np.asarray(to) - np.asarray(frm), I,
+                float(np.cos(np.radians(cone))),
+                float(np.cos(np.radians(cone - delta))))
+        elif lname == "distant":
+            L = ps.find_one_spectrum("L", 1.0, "illuminant") * sc
+            frm = xf.apply_point(ps.find_one_point("from", [0, 0, 0]))
+            to = xf.apply_point(ps.find_one_point("to", [0, 0, 1]))
+            self.builder.add_distant_light(np.asarray(to) - np.asarray(frm), L)
+        elif lname in ("infinite", "exinfinite"):
+            L = ps.find_one_spectrum("L", 1.0, "illuminant") * sc
+            mapname = ps.find_one_filename("mapname", "")
+            env = None
+            if mapname:
+                env = _load_env_map(mapname, L)
+            self.builder.add_infinite_light(L, env_map=env, light_to_world=xf)
+        elif lname in ("goniometric", "projection"):
+            log.warning("light %r approximated as point (v1)", lname)
+            I = ps.find_one_spectrum("I", 1.0, "illuminant") * sc
+            p = xf.apply_point(np.zeros(3))
+            self.builder.add_point_light(p, I)
+        else:
+            log.warning("unknown light %r — skipped", lname)
+        ps.report_unused(f"light {lname}", log.warning)
+
+    def _d_AreaLightSource(self, s):
+        lname = unquote(s.next())
+        ps = self._params(s)
+        L = ps.find_one_spectrum("L", 1.0, "illuminant") * \
+            ps.find_one_spectrum("scale", 1.0, "illuminant")
+        self.graphics.area_light = {
+            "L": L, "twosided": ps.find_one_bool("twosided", False),
+            "samples": ps.find_one_int(
+                "nsamples", ps.find_one_int("samples", 1))}
+
+    # ------------------------------------------------------------- shapes
+    def _d_Shape(self, s):
+        sname = unquote(s.next())
+        ps = self._params(s)
+        xf = self.ctm[0]
+        g = self.graphics
+        light_id = -1
+        if g.area_light is not None:
+            light_id = self.builder.add_area_light(
+                g.area_light["L"], g.area_light["twosided"])
+        mat = g.material_id
+        flip = g.reverse_orientation
+        inst = self.next_instance_id
+        self.next_instance_id += 1
+        self.instance_names[inst] = f"{sname}_{inst}"
+
+        def record_or_add_mesh(verts, idx, norms=None, uvs=None):
+            if self.current_object is not None:
+                # store in object space of definition (apply CTM now; the
+                # instance transform is applied on top, like the reference's
+                # TransformedPrimitive, primitive.cpp:73-89)
+                wv = xf.apply_point(np.asarray(verts, np.float64))
+                wn = (xf.apply_normal(np.asarray(norms, np.float64))
+                      if norms is not None else None)
+                self.objects[self.current_object].append(
+                    ("mesh", wv, idx, wn, uvs, mat, light_id))
+            else:
+                self.builder.add_triangle_mesh(
+                    verts, idx, mat, normals=norms, uvs=uvs,
+                    light_id=light_id, instance_id=inst,
+                    flip_normal=flip, object_to_world=xf)
+
+        def record_or_add_quadric(qtype, params):
+            if self.current_object is not None:
+                self.objects[self.current_object].append(
+                    ("quadric", qtype, xf, params, mat, light_id, flip))
+            else:
+                self.builder.add_quadric(qtype, xf, params, mat,
+                                         light_id=light_id, instance_id=inst,
+                                         flip_normal=flip)
+
+        if sname == "trianglemesh":
+            verts = ps.find_points("P")
+            idx = ps.find_ints("indices").reshape(-1, 3)
+            norms = ps.find_points("N")
+            uvs = ps.find_point2s("uv")
+            if uvs is None:
+                uvs = ps.find_point2s("st")
+            record_or_add_mesh(verts, idx, norms, uvs)
+        elif sname == "plymesh":
+            from pbrt_tpu.shapes.ply import read_ply
+            fname = ps.find_one_filename("filename")
+            verts, idx, norms, uvs = read_ply(fname)
+            record_or_add_mesh(verts, idx, norms, uvs)
+        elif sname == "sphere":
+            r = ps.find_one_float("radius", 1.0)
+            zmin = ps.find_one_float("zmin", -r)
+            zmax = ps.find_one_float("zmax", r)
+            phimax = np.radians(ps.find_one_float("phimax", 360.0))
+            record_or_add_quadric(ir.PRIM_SPHERE, (r, zmin, zmax, phimax))
+        elif sname == "cylinder":
+            r = ps.find_one_float("radius", 1.0)
+            zmin = ps.find_one_float("zmin", -1.0)
+            zmax = ps.find_one_float("zmax", 1.0)
+            phimax = np.radians(ps.find_one_float("phimax", 360.0))
+            record_or_add_quadric(ir.PRIM_CYLINDER, (r, zmin, zmax, phimax))
+        elif sname == "disk":
+            h = ps.find_one_float("height", 0.0)
+            r = ps.find_one_float("radius", 1.0)
+            ir_ = ps.find_one_float("innerradius", 0.0)
+            phimax = np.radians(ps.find_one_float("phimax", 360.0))
+            record_or_add_quadric(ir.PRIM_DISK, (r, h, ir_, phimax))
+        elif sname == "cone":
+            r = ps.find_one_float("radius", 1.0)
+            h = ps.find_one_float("height", 1.0)
+            phimax = np.radians(ps.find_one_float("phimax", 360.0))
+            record_or_add_quadric(ir.PRIM_CONE, (r, 0.0, h, phimax))
+        elif sname == "paraboloid":
+            r = ps.find_one_float("radius", 1.0)
+            z0 = ps.find_one_float("zmin", 0.0)
+            z1 = ps.find_one_float("zmax", 1.0)
+            phimax = np.radians(ps.find_one_float("phimax", 360.0))
+            record_or_add_quadric(ir.PRIM_PARABOLOID, (r, z0, z1, phimax))
+        elif sname == "hyperboloid":
+            log.warning("hyperboloid approximated as cylinder (v1)")
+            record_or_add_quadric(ir.PRIM_CYLINDER,
+                                  (1.0, -1.0, 1.0, 2 * np.pi))
+        elif sname == "loopsubdiv":
+            from pbrt_tpu.shapes.subdiv import loop_subdivide
+            verts = ps.find_points("P")
+            idx = ps.find_ints("indices").reshape(-1, 3)
+            levels = ps.find_one_int("levels",
+                                     ps.find_one_int("nlevels", 3))
+            verts, idx = loop_subdivide(verts, idx, levels)
+            record_or_add_mesh(verts, idx)
+        elif sname == "heightfield":
+            nu = ps.find_one_int("nu", 2)
+            nv = ps.find_one_int("nv", 2)
+            z = ps.find_floats("Pz").reshape(nv, nu)
+            xs, ys = np.meshgrid(np.linspace(0, 1, nu),
+                                 np.linspace(0, 1, nv))
+            verts = np.stack([xs, ys, z], -1).reshape(-1, 3)
+            idx = []
+            for j in range(nv - 1):
+                for i in range(nu - 1):
+                    a = j * nu + i
+                    idx += [[a, a + 1, a + nu + 1], [a, a + nu + 1, a + nu]]
+            record_or_add_mesh(verts, np.asarray(idx))
+        elif sname in ("curve", "nurbs"):
+            log.warning("shape %r unsupported in v1 — skipped", sname)
+        else:
+            log.warning("unknown shape %r — skipped", sname)
+        ps.report_unused(f"shape {sname}", log.warning)
+
+    # ------------------------------------------------------------ finish
+    def _d_WorldEnd(self, s):
+        self.in_world = False
+        fp = self.film_params
+        width = fp.find_one_int("xresolution", 1280)
+        height = fp.find_one_int("yresolution", 720)
+        crop = fp.find_floats("cropwindow")
+        crop = tuple(crop) if crop is not None else (0.0, 1.0, 0.0, 1.0)
+        filt_params = {}
+        for k in ("alpha", "B", "C", "tau"):
+            v = self.filter_params.find_one_float(k, None) \
+                if k in self.filter_params.items else None
+            if v is not None:
+                filt_params[k] = v
+        radius = None
+        xw = self.filter_params.find_one_float("xwidth", -1.0)
+        yw = self.filter_params.find_one_float("ywidth", -1.0)
+        if xw > 0 or yw > 0:
+            radius = (xw if xw > 0 else 2.0, yw if yw > 0 else 2.0)
+        if radius is not None:
+            filt_params["radius"] = radius
+
+        ip = self.integrator_params
+        integ_params = {
+            "maxdepth": ip.find_one_int("maxdepth", 5),
+            "rrthreshold": ip.find_one_float("rrthreshold", 1.0),
+            "lightsamplestrategy": ip.find_one_string(
+                "lightsamplestrategy", "spatial"),
+            "numCABands": ip.find_one_int("numCABands", 4),
+            "strategy": ip.find_one_string("strategy", "depth"),
+            "cossample": ip.find_one_bool("cossample", True),
+        }
+        cp = self.camera_params
+        cam_params = {
+            "fov": cp.find_one_float("fov", 90.0),
+            "lensradius": cp.find_one_float("lensradius", 0.0),
+            "focaldistance": cp.find_one_float("focaldistance", 1e6),
+            "shutteropen": cp.find_one_float("shutteropen", 0.0),
+            "shutterclose": cp.find_one_float("shutterclose", 1.0),
+            "screenwindow": cp.find_floats("screenwindow"),
+            "lensfile": cp.find_one_filename("lensfile", ""),
+            "aperturediameter": cp.find_one_float("aperturediameter", 1.0),
+            "filmdistance": cp.find_one_float("filmdistance", 70.0),
+            "filmdiag": cp.find_one_float("filmdiag", 35.0),
+        }
+        scene = self.builder.build()
+        return RenderJob(
+            scene=scene, builder=self.builder,
+            camera_kind=self.camera_kind, camera_params=cam_params,
+            cam_to_world=self.camera_to_world,
+            film_width=width, film_height=height,
+            film_filename=fp.find_one_string("filename", "pbrt.exr"),
+            film_diagonal=fp.find_one_float("diagonal", 35.0),
+            film_scale=fp.find_one_float("scale", 1.0),
+            spectral_flag=fp.find_one_bool("spectralFlag", True),
+            crop_window=crop,
+            filter_name=self.filter_name, filter_params=filt_params,
+            sampler_kind=_map_sampler(self.sampler_kind),
+            spp=self.sampler_params.find_one_int("pixelsamples", 16),
+            integrator_kind=self.integrator_kind,
+            integrator_params=integ_params,
+            instance_names=self.instance_names,
+            material_names=self.builder.material_names,
+            media=self.media)
+
+
+def _map_sampler(kind):
+    kind = {"random": "independent", "lowdiscrepancy": "zerotwosequence",
+            "02sequence": "zerotwosequence"}.get(kind, kind)
+    from pbrt_tpu.samplers.samplers import SAMPLER_TYPES
+    if kind not in SAMPLER_TYPES:
+        log.warning("unknown sampler %r; using halton", kind)
+        return "halton"
+    return kind
+
+
+def _load_env_map(path, scale):
+    """Load an env map image into [H,W,31] spectra."""
+    import jax.numpy as jnp
+    from PIL import Image
+    img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    img = img ** 2.2
+    s = np.asarray(spec.from_rgb(jnp.asarray(img), "illuminant"))
+    return s * scale[None, None, :]
+
+
+def parse_scene(path):
+    """Top-level: parse a .pbrt file -> RenderJob (reference:
+    pbrtParseFile, api.h:91)."""
+    api = PbrtAPI()
+    job = api.parse_file(path)
+    if job is None:
+        raise ValueError(f"{path}: no WorldEnd — nothing to render")
+    return job

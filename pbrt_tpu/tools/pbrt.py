@@ -1,0 +1,166 @@
+"""Renderer CLI (reference: src/main/pbrt.cpp).
+
+    python -m pbrt_tpu.tools.pbrt scene.pbrt [--outfile x.exr] [--quick]
+        [--spp N] [--quiet] [--cropwindow x0 x1 y0 y1] [--cpu] [--maxdepth N]
+
+Parses the scene with the pbrt grammar, compiles to device tensors, renders
+with the selected integrator, writes the RGB image and (when the fork's
+spectralFlag is on, its default) the ISET spectral `.dat`, plus the fork's
+metadata sidecars <out>_mesh.txt / <out>_materials.txt (api.cpp:1630-1689).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_camera(job, width, height):
+    from pbrt_tpu.cameras import projective
+    from pbrt_tpu.core import transform as tfm
+    cp = job.camera_params
+    sw = cp.get("screenwindow")
+    screen = tuple(sw) if sw is not None else None
+    kind = job.camera_kind
+    if kind in ("realistic", "omni", "realisticEye", "realisticeye", "humaneye"):
+        from pbrt_tpu.cameras import lens as lenscam
+        try:
+            return lenscam.make_lens_camera(job, width, height)
+        except Exception as e:
+            logging.getLogger("pbrt_tpu").warning(
+                "lens camera %r failed (%s); falling back to perspective",
+                kind, e)
+            kind = "perspective"
+    if kind == "orthographic":
+        return projective.make_orthographic(
+            job.cam_to_world, width, height,
+            lens_radius=cp["lensradius"], focal_distance=cp["focaldistance"],
+            screen=screen, shutter_open=cp["shutteropen"],
+            shutter_close=cp["shutterclose"])
+    if kind == "environment":
+        return projective.make_environment(job.cam_to_world, width, height)
+    return projective.make_perspective(
+        job.cam_to_world, cp["fov"], width, height,
+        lens_radius=cp["lensradius"], focal_distance=cp["focaldistance"],
+        screen=screen, shutter_open=cp["shutteropen"],
+        shutter_close=cp["shutterclose"])
+
+
+def run_job(job, spp=None, max_depth=None, quiet=False,
+            max_rays_per_pass=1 << 18, progress=True):
+    """Render a RenderJob -> (film, integrator_kind)."""
+    from pbrt_tpu.film import film as filmmod
+    from pbrt_tpu.integrators import path as pathint
+    from pbrt_tpu.integrators import dispatch
+    from pbrt_tpu.samplers.samplers import SamplerConfig
+
+    W, H = job.film_width, job.film_height
+    camera = build_camera(job, W, H)
+    fp = dict(job.filter_params)
+    radius = fp.pop("radius", None)
+    film = filmmod.make_film(W, H, job.filter_name, radius=radius, **fp)
+    spp = spp or job.spp
+    cfg = SamplerConfig(kind=job.sampler_kind, seed=0, spp=spp)
+    max_depth = max_depth or job.integrator_params["maxdepth"]
+
+    t0 = time.time()
+    last = [0.0]
+
+    def prog(done, total):
+        if quiet or not progress:
+            return
+        now = time.time()
+        if now - last[0] > 5.0 or done == total:
+            eta = (now - t0) / max(done, 1) * (total - done)
+            print(f"\r  [{done}/{total} passes, {now-t0:.0f}s, "
+                  f"eta {eta:.0f}s]", end="", flush=True)
+            last[0] = now
+
+    film = dispatch.render_with_integrator(
+        job, camera, film, cfg, spp, max_depth,
+        max_rays_per_pass=max_rays_per_pass, progress=prog)
+    if not quiet and progress:
+        print()
+    return film, camera
+
+
+def write_outputs(job, film, outfile=None, quiet=False):
+    from pbrt_tpu.film import film as filmmod
+    from pbrt_tpu.film import io as fio
+    out = outfile or job.film_filename
+    rgb = np.asarray(filmmod.develop_rgb(film)) * job.film_scale
+    rgb = np.maximum(rgb, 0.0)
+    written = []
+    try:
+        written.append(fio.write_image(out, rgb))
+    except ValueError:
+        written.append(fio.write_png(os.path.splitext(out)[0] + ".png", rgb))
+    if job.spectral_flag:
+        written.append(fio.write_dat(
+            out, np.asarray(film.raw), scale=job.film_scale))
+    # fork metadata sidecars (api.cpp:1630-1689)
+    base = os.path.splitext(out)[0]
+    with open(base + "_mesh.txt", "w") as f:
+        for iid, name in sorted(job.instance_names.items()):
+            f.write(f"{iid} {name}\n")
+    with open(base + "_materials.txt", "w") as f:
+        for mid, name in sorted(job.material_names.items()):
+            f.write(f"{mid} {name}\n")
+    written += [base + "_mesh.txt", base + "_materials.txt"]
+    if not quiet:
+        for w in written:
+            print(f"wrote {w}")
+    return written
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="pbrt_tpu",
+        description="TPU-native spectral path tracer (pbrt-compatible)")
+    ap.add_argument("scene", help=".pbrt scene file")
+    ap.add_argument("--outfile", "-o", default=None)
+    ap.add_argument("--quick", action="store_true",
+                    help="reduce spp to 1 and depth to 3 (reference --quick)")
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--spp", type=int, default=None)
+    ap.add_argument("--maxdepth", type=int, default=None)
+    ap.add_argument("--cropwindow", type=float, nargs=4, default=None)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--nthreads", type=int, default=0,
+                    help="accepted for reference CLI parity (ignored: "
+                         "parallelism is the device mesh)")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.WARNING if args.quiet
+                        else logging.INFO, format="%(message)s")
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from pbrt_tpu.parser.api import parse_scene
+    t0 = time.time()
+    job = parse_scene(args.scene)
+    if not args.quiet:
+        print(f"parsed + compiled scene in {time.time()-t0:.1f}s "
+              f"({job.scene.n_prims} prims, {job.scene.n_nodes} BVH nodes, "
+              f"{job.scene.n_lights} lights)")
+    spp = 1 if args.quick else args.spp
+    max_depth = 3 if args.quick else args.maxdepth
+    t0 = time.time()
+    film, camera = run_job(job, spp=spp, max_depth=max_depth,
+                           quiet=args.quiet)
+    dt = time.time() - t0
+    if not args.quiet:
+        n_rays = job.film_width * job.film_height * (spp or job.spp)
+        print(f"rendered in {dt:.1f}s ({n_rays/dt:,.0f} camera rays/s)")
+    write_outputs(job, film, args.outfile, args.quiet)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
