@@ -26,7 +26,7 @@ def main():
     from pbrt_tpu.cameras import projective
 
     W = H = 256
-    SPP = 64
+    SPP = 32
     MAX_DEPTH = 5
     scene, cam_ctor = flagship.cornell(tessellate=True)
     camera = cam_ctor(W, H)
@@ -53,10 +53,11 @@ def main():
         acc += float(one_pass(jnp.uint32(s)))
     dt = time.time() - t0
 
-    # ray accounting: depth loop traces (max_depth+1) closest-hit rays and
-    # max_depth shadow rays per camera sample (upper bound; RR-terminated
-    # lanes still occupy the lockstep batch, so this is the honest count of
-    # work the machine executed)
+    # ray accounting: the depth loop traces (max_depth+1) closest-hit rays
+    # and max_depth shadow rays per camera sample (RR-terminated lanes still
+    # occupy the lockstep batch, so this is the honest count of work the
+    # machine executed).  Inputs vary per pass — the axon tunnel caches
+    # identical executions, which would fake the timing otherwise.
     rays_per_sample = (MAX_DEPTH + 1) + MAX_DEPTH
     total_rays = B * SPP * rays_per_sample
     rays_per_s = total_rays / dt

@@ -132,10 +132,11 @@ def _quadric_ts(qtype, params, oo, od):
     return t0, t1, ok
 
 
-def ray_quadric(qtype, w2o, params, o, d, tmax):
+def ray_quadric(qtype, w2o, params, o, d, tmax, clip=True):
     """Quadric intersection: o,d [B,3]; w2o [B,K,4,4]; params [B,K,4].
 
-    Returns (t, u, v, hit) in world-space t units.
+    Returns (t, u, v, hit) in world-space t units.  `clip=False` skips the
+    z/phi extent tests (static specialization for full-sphere-only scenes).
     """
     oo = jnp.einsum('bkij,bj->bki', w2o[..., :3, :3], o) + w2o[..., :3, 3]
     od = jnp.einsum('bkij,bj->bki', w2o[..., :3, :3], d)
@@ -149,6 +150,8 @@ def ray_quadric(qtype, w2o, params, o, d, tmax):
 
     def clip_ok(t):
         ph = oo + t[..., None] * od
+        if not clip:
+            return jnp.ones(ph.shape[:-1], bool), ph, jnp.zeros(ph.shape[:-1])
         z_ok = (ph[..., 2] >= jnp.minimum(zmin, zmax) - 1e-5) & \
                (ph[..., 2] <= jnp.maximum(zmin, zmax) + 1e-5)
         # disks: radial clipping, zmax slot stores inner radius
@@ -164,15 +167,69 @@ def ray_quadric(qtype, w2o, params, o, d, tmax):
     use1 = ok & (t1 > 1e-5) & (t1 < tmax[:, None]) & ok1 & ~use0
     hit = use0 | use1
     t = jnp.where(use0, t0, t1)
-    ph = jnp.where(use0[..., None], p0, p1)
-    phi = jnp.where(use0, phi0, phi1)
-    # uv parameterization (sphere-style; adequate for all quadrics v1)
+    # uv is reconstructed once per final hit in make_hit (quadric_uv) —
+    # not per traversal step — to keep the hot loop transcendental-free
+    return t, hit & (jnp.abs(t) < F32_MAX)
+
+
+def quadric_uv(qtype, params, ph):
+    """Parameterization at object-space hit point ph (sphere.cpp:190 etc)."""
+    r = params[..., 0]
+    phimax = params[..., 3]
+    is_disk = qtype == PRIM_DISK
+    phi = jnp.arctan2(ph[..., 1], ph[..., 0])
+    phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
     u = phi / jnp.maximum(phimax, 1e-6)
     zc = jnp.clip(ph[..., 2] / jnp.maximum(r, 1e-6), -1.0, 1.0)
     v = jnp.where(is_disk,
-                  jnp.sqrt(ph[..., 0] ** 2 + ph[..., 1] ** 2) / jnp.maximum(r, 1e-6),
+                  jnp.sqrt(ph[..., 0] ** 2 + ph[..., 1] ** 2)
+                  / jnp.maximum(r, 1e-6),
                   (jnp.arccos(zc)) / jnp.pi)
-    return t, u, v, hit & (jnp.abs(t) < F32_MAX)
+    return u, v
+
+
+def all_quadrics_test(scene: SceneData, o, d, tmax):
+    """Test every quadric in the scene against every ray — done ONCE
+    outside the BVH loop (quadric counts are small; triangles dominate).
+
+    Returns (t [B], prim [B], hit [B]).
+    """
+    Q = scene.quad_params.shape[0]
+    w2o = scene.quad_w2o
+    oo = jnp.einsum('qij,bj->bqi', w2o[:, :3, :3], o) + w2o[None, :, :3, 3]
+    od = jnp.einsum('qij,bj->bqi', w2o[:, :3, :3], d)
+    qtype = scene.quad_type[None, :]
+    params = scene.quad_params[None, :, :]
+    t0, t1, ok = _quadric_ts(qtype, params, oo, od)
+
+    zmin = params[..., 1]
+    zmax = params[..., 2]
+    phimax = params[..., 3]
+    r = params[..., 0]
+    is_disk = qtype == PRIM_DISK
+
+    def clip_ok(t):
+        if not scene.clip_quadrics:
+            return jnp.ones(t.shape, bool)
+        ph = oo + t[..., None] * od
+        z_ok = (ph[..., 2] >= jnp.minimum(zmin, zmax) - 1e-5) & \
+               (ph[..., 2] <= jnp.maximum(zmin, zmax) + 1e-5)
+        rad2 = ph[..., 0] ** 2 + ph[..., 1] ** 2
+        z_ok = jnp.where(is_disk, rad2 <= r * r, z_ok)
+        phi = jnp.arctan2(ph[..., 1], ph[..., 0])
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+        return z_ok & (phi <= phimax + 1e-5)
+
+    use0 = ok & (t0 > 1e-5) & (t0 < tmax[:, None]) & clip_ok(t0)
+    use1 = ok & (t1 > 1e-5) & (t1 < tmax[:, None]) & clip_ok(t1) & ~use0
+    hit = use0 | use1
+    t = jnp.where(use0, t0, t1)
+    t_masked = jnp.where(hit, t, F32_MAX)
+    k = jnp.argmin(t_masked, axis=1)
+    t_best = jnp.take_along_axis(t_masked, k[:, None], 1)[:, 0]
+    hit_any = jnp.take_along_axis(hit, k[:, None], 1)[:, 0]
+    prim = scene.quad_prim[k]
+    return t_best, prim, hit_any
 
 
 def quadric_normal_obj(qtype, params, ph):
@@ -209,23 +266,17 @@ def _leaf_test(scene: SceneData, o, d, offs, count, t_best, leaf_mask):
     valid = leaf_mask[:, None] & (jnp.arange(K)[None, :] < count[:, None])
     pid_safe = jnp.clip(pid, 0, P - 1)
 
-    ptype = scene.prim_type[pid_safe]                        # [B,K]
-    # triangles
-    v0 = scene.tri_v0[pid_safe]
-    e1 = scene.tri_e1[pid_safe]
-    e2 = scene.tri_e2[pid_safe]
+    # triangles only: single packed gather [B,K,12].  Quadrics are tested
+    # OUTSIDE the traversal loop (all_quadrics_test) so the hot loop never
+    # gathers 4x4 matrices; tri_packed rows for quadric prims are zeroed
+    # degenerate triangles that can never hit.
+    tp = scene.tri_packed[pid_safe]
+    v0 = tp[..., 0:3]
+    e1 = tp[..., 3:6]
+    e2 = tp[..., 6:9]
     t_tri, b1, b2, hit_tri = ray_triangle(o, d, v0, e1, e2, t_best)
-    # quadrics
-    qi = jnp.clip(scene.quad_idx[pid_safe], 0, scene.quad_params.shape[0] - 1)
-    w2o = scene.quad_w2o[qi]
-    qpar = scene.quad_params[qi]
-    t_q, uq, vq, hit_q = ray_quadric(ptype, w2o, qpar, o, d, t_best)
-
-    is_tri = ptype == PRIM_TRIANGLE
-    t_cand = jnp.where(is_tri, t_tri, t_q)
-    hit = valid & jnp.where(is_tri, hit_tri, hit_q) & (t_cand > 1e-5)
-    u_cand = jnp.where(is_tri, b1, uq)
-    v_cand = jnp.where(is_tri, b2, vq)
+    t_cand, hit = t_tri, valid & hit_tri
+    u_cand, v_cand = b1, b2
 
     t_masked = jnp.where(hit, t_cand, F32_MAX)
     k_best = jnp.argmin(t_masked, axis=1)                    # [B]
@@ -239,15 +290,58 @@ def _leaf_test(scene: SceneData, o, d, offs, count, t_best, leaf_mask):
 
 
 def intersect(scene: SceneData, ray: geom.Ray, any_hit: bool = False):
-    """Closest-hit (or any-hit) traversal.
+    """Closest-hit (or any-hit) query.
 
-    Returns (t, prim, u, v, found) arrays [B]; use `make_hit` to build the
-    full surface-interaction record.
+    Dispatches to the dense MXU Pluecker kernel (ops/pallas_intersect.py)
+    when the scene is compiled for it, else to the octant-threaded BVH
+    `lax.while_loop`.  Returns (t, prim, u, v, found) arrays [B]; use
+    `make_hit` to build the full surface-interaction record.
     """
+    import jax as _jax
+    if scene.use_dense and _jax.default_backend() != "cpu":
+        return _intersect_dense(scene, ray)
+    return _intersect_bvh(scene, ray, any_hit)
+
+
+def _intersect_dense(scene: SceneData, ray: geom.Ray):
+    from pbrt_tpu.ops import pallas_intersect as pdense
+    o, d = ray.o, ray.d
+    t_init = ray.tmax.astype(jnp.float32)
+    prim_init = jnp.full_like(t_init, -1.0).astype(jnp.int32)
+    if scene.n_quadrics > 0:
+        tq, qprim, qhit = all_quadrics_test(scene, o, d, t_init)
+        t_init = jnp.where(qhit, tq, t_init)
+        prim_init = jnp.where(qhit, qprim, prim_init)
+    r16 = pdense.ray_vectors(o, d, scene.dense_center)
+    t, prim = pdense.dense_intersect(r16, t_init, scene.dense_w,
+                                     scene.dense_nv0, scene.dense_cb,
+                                     scene.dense_npad)
+    # kernel only reports triangle wins; keep the quadric prehit otherwise
+    prim = jnp.where(prim >= 0, prim, prim_init)
+    found = prim >= 0
+    # barycentrics for the winning triangle via one exact MT test
+    P = scene.prim_type.shape[0]
+    pid = jnp.clip(prim, 0, P - 1)
+    tp = scene.tri_packed[pid][:, None, :]
+    t_mt, b1, b2, _ = ray_triangle(o, d, tp[..., 0:3], tp[..., 3:6],
+                                   tp[..., 6:9], t_init * 1.001)
+    u = jnp.clip(b1[:, 0], 0.0, 1.0)
+    v = jnp.clip(b2[:, 0], 0.0, 1.0)
+    return t, prim, u, v, found
+
+
+def _intersect_bvh(scene: SceneData, ray: geom.Ray, any_hit: bool = False):
     o, d = ray.o, ray.d
     B = o.shape[0]
     N = scene.n_nodes
     inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, jnp.sign(d) * 1e20 + 1e20)
+    # direction-sign octant selects the near-to-far child ordering
+    octant = ((d[:, 0] < 0).astype(jnp.int32)
+              | ((d[:, 1] < 0).astype(jnp.int32) << 1)
+              | ((d[:, 2] < 0).astype(jnp.int32) << 2))
+    hit_links = scene.bvh_hit.reshape(-1)
+    miss_links = scene.bvh_miss.reshape(-1)
+    link_base = octant * N
 
     def cond(s):
         node = s[0]
@@ -257,12 +351,14 @@ def intersect(scene: SceneData, ray: geom.Ray, any_hit: bool = False):
         node, t_best, prim, u, v = s
         active = node < N
         nsafe = jnp.minimum(node, N - 1)
-        lo = scene.bvh_lo[nsafe]
-        hi = scene.bvh_hi[nsafe]
+        row = scene.bvh_packed[nsafe]                        # [B,8]
+        lo = row[:, 0:3]
+        hi = row[:, 3:6]
+        leaf_bits = _f32_bits_to_i32(row[:, 6])
         box_hit = active & geom.bounds_ray_intersect(lo, hi, o, inv_d, t_best)
-        offs = scene.bvh_prim_offset[nsafe]
-        cnt = scene.bvh_prim_count[nsafe]
-        is_leaf = offs >= 0
+        is_leaf = leaf_bits >= 0
+        offs = leaf_bits >> 5
+        cnt = leaf_bits & 31
         leaf_mask = box_hit & is_leaf
         hit_new, t_new, prim_new, u_new, v_new = _leaf_test(
             scene, o, d, jnp.maximum(offs, 0), cnt, t_best, leaf_mask)
@@ -270,7 +366,9 @@ def intersect(scene: SceneData, ray: geom.Ray, any_hit: bool = False):
         prim = jnp.where(hit_new, prim_new, prim)
         u = jnp.where(hit_new, u_new, u)
         v = jnp.where(hit_new, v_new, v)
-        nxt = jnp.where(box_hit & ~is_leaf, nsafe + 1, scene.bvh_skip[nsafe])
+        nxt = jnp.where(box_hit & ~is_leaf,
+                        hit_links[link_base + nsafe],
+                        miss_links[link_base + nsafe])
         if any_hit:
             nxt = jnp.where(prim >= 0, N, nxt)
         node = jnp.where(active, nxt, N)
@@ -280,10 +378,19 @@ def intersect(scene: SceneData, ray: geom.Ray, any_hit: bool = False):
     # matches under shard_map (replicated zeros would trip the vma check)
     zf = jnp.zeros_like(ray.tmax)
     node0 = zf.astype(jnp.int32)
-    state = (node0, ray.tmax.astype(jnp.float32),
-             node0 - 1, zf, zf)
+    t_init = ray.tmax.astype(jnp.float32)
+    prim_init = node0 - 1
+    if scene.n_quadrics > 0:
+        tq, qprim, qhit = all_quadrics_test(scene, o, d, t_init)
+        t_init = jnp.where(qhit, tq, t_init)
+        prim_init = jnp.where(qhit, qprim, prim_init)
+    state = (node0, t_init, prim_init, zf, zf)
     node, t, prim, u, v = jax.lax.while_loop(cond, body, state)
     return t, prim, u, v, prim >= 0
+
+
+def _f32_bits_to_i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
 def occluded(scene: SceneData, ray: geom.Ray):
@@ -328,10 +435,11 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
     ph = jnp.einsum('bij,bj->bi', w2o[:, :3, :3], p) + w2o[:, :3, 3]
     n_obj = quadric_normal_obj(ptype, scene.quad_params[qi], ph)
     ng_quad = geom.normalize(jnp.einsum('bji,bj->bi', w2o[:, :3, :3], n_obj))
+    uq, vq = quadric_uv(ptype, scene.quad_params[qi], ph)
 
     ng = jnp.where(is_tri[..., None], ng_tri, ng_quad)
     ns = jnp.where(is_tri[..., None], ns_tri, ng_quad)
-    uv = jnp.where(is_tri[..., None], uv_tri, jnp.stack([u, v], -1))
+    uv = jnp.where(is_tri[..., None], uv_tri, jnp.stack([uq, vq], -1))
 
     flip = scene.prim_flip_normal[pid]
     ng = jnp.where(flip[..., None], -ng, ng)

@@ -1,0 +1,211 @@
+"""MXU-native ray-triangle intersection (Pallas kernel).
+
+This is the TPU-first redesign of the reference's hot loop (BVH traversal +
+Moller-Trumbore, bvh.cpp:662 / triangle.cpp:188): instead of a divergent
+pointer chase, intersection is expressed as **dense matrix multiplies** using
+Pluecker coordinates, which the MXU executes directly:
+
+  per-ray 12-vector  r = [d, (o-c) x d, (o-c), pad]      (c = scene center)
+  per-tri constants  5 columns: 3 edge Pluecker forms (sign test), plane
+                     normal twice (n.o and n.d for the hit distance)
+  sides = r @ W      -> ray hits tri iff the 3 sides share a sign
+  t     = (n.v0 - n.o) / (n.d)
+
+Edge columns are max-normalized (sign-invariant) so bf16x3 ("HIGH") MXU
+passes keep the sign test fp32-exact in practice; shared-edge sign
+consistency also makes the test watertight where fp32 MT can leak.
+
+Hierarchy is recovered *without divergence* by chunking: triangles stay in
+BVH-leaf order, so each 512-triangle chunk is spatially tight; the kernel
+tests every chunk's AABB against the whole ray tile first and skips the
+matmuls for chunks no live ray can reach (`@pl.when`), with per-ray t_best
+pruning shrinking intervals as hits accumulate.  Camera tiles are coherent,
+so most chunks are skipped; the worst case degrades to dense brute force
+rather than to pointer chasing.
+
+The octant-threaded BVH loop (ops/intersect.py) remains the fallback for
+very large scenes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RAY_TILE = 512
+CHUNK = 512          # triangles per streamed chunk (4 x 128 lanes)
+F32_MAX = 3.4e38     # python float: jnp scalars would be captured kernel consts
+
+
+# ---------------------------------------------------------------------------
+# host precompute
+# ---------------------------------------------------------------------------
+
+def build_dense_tables(v0, e1, e2):
+    """Per-triangle Pluecker/plane tables + per-chunk AABBs.
+
+    v0,e1,e2: [P,3] float arrays (BVH-leaf order, so chunks are spatially
+    tight).  Returns dict with W [16, 5*Pp] f32 (chunk-interleaved
+    s0|s1|s2|no|nd), nv0 [1,Pp], chunk_bounds [C,8], center [3], n_pad.
+    """
+    v0 = np.asarray(v0, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    P = v0.shape[0]
+    Pp = max(((P + CHUNK - 1) // CHUNK) * CHUNK, CHUNK)
+    center = v0.mean(0) if P else np.zeros(3)
+
+    Wsep = np.zeros((5, 16, Pp), np.float32)
+    nv0 = np.zeros(Pp, np.float32)
+    if P:
+        a0, b0 = v0 - center, v0 + e1 - center
+        a1, b1 = b0, v0 + e2 - center
+        a2, b2 = b1, a0
+        n = np.cross(e1, e2)
+        nn = n / (np.abs(n).max(-1, keepdims=True) + 1e-30)
+        for s, (a, b) in enumerate([(a0, b0), (a1, b1), (a2, b2)]):
+            col = np.concatenate([np.cross(a, b), b - a], -1)  # [P,6]
+            col = col / (np.abs(col).max(-1, keepdims=True) + 1e-30)
+            Wsep[s, 0:3, :P] = col[:, :3].T
+            Wsep[s, 3:6, :P] = col[:, 3:].T
+        Wsep[3, 6:9, :P] = nn.T       # n.(o-c)
+        Wsep[4, 0:3, :P] = nn.T       # n.d
+        nv0[:P] = (nn * (v0 - center)).sum(-1)
+
+    # pack the 5 matrices chunk-interleaved so ONE dot per chunk suffices
+    C = Pp // CHUNK
+    W = np.zeros((16, 5 * Pp), np.float32)
+    for c in range(C):
+        for s in range(5):
+            W[:, (c * 5 + s) * CHUNK:(c * 5 + s + 1) * CHUNK] = \
+                Wsep[s, :, c * CHUNK:(c + 1) * CHUNK]
+
+    # chunk AABBs in centered coordinates (8-wide rows for clean VMEM tiles)
+    cb = np.zeros((C, 8), np.float32)
+    cb[:, 0:3] = 1e30
+    cb[:, 4:7] = -1e30
+    if P:
+        verts = np.stack([v0 - center, v0 + e1 - center,
+                          v0 + e2 - center], 1)
+        for c in range(C):
+            s0, s1 = c * CHUNK, min((c + 1) * CHUNK, P)
+            if s0 < P:
+                vv = verts[s0:s1].reshape(-1, 3)
+                cb[c, 0:3] = vv.min(0) - 1e-4
+                cb[c, 4:7] = vv.max(0) + 1e-4
+    return dict(W=W, nv0=nv0.reshape(1, Pp), chunk_bounds=cb,
+                center=center.astype(np.float32), n_pad=Pp)
+
+
+def ray_vectors(o, d, center):
+    """r16 rows for the dense kernel: [B,16] = [d, (o-c)xd, o-c, pad]."""
+    oc = o - center
+    m = jnp.cross(oc, d)
+    B = o.shape[0]
+    return jnp.concatenate([d, m, oc, jnp.zeros((B, 7), o.dtype)], -1)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _kernel(r16_ref, tmax_ref, w_ref, nv0_ref, cb_ref, t_ref, prim_ref):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        t_ref[:] = tmax_ref[:]
+        prim_ref[:] = jnp.full_like(prim_ref, -1)
+
+    r = r16_ref[0]                     # [T,16]
+    t_best = t_ref[0, 0]               # [T]
+
+    # ---- chunk AABB vs ray tile cull (VPU, cheap) ----
+    d = r[:, 0:3]
+    oc = r[:, 6:9]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+    lo = cb_ref[c, 0:3]
+    hi = cb_ref[c, 4:7]
+    t0 = (lo[None, :] - oc) * inv_d
+    t1 = (hi[None, :] - oc) * inv_d
+    tnear = jnp.max(jnp.minimum(t0, t1), axis=1)
+    tfar = jnp.min(jnp.maximum(t0, t1), axis=1)
+    box_hit = (tnear <= tfar * 1.0001 + 1e-5) & (tnear < t_best) & \
+              (tfar > 0) & (t_best > 0)
+
+    @pl.when(jnp.any(box_hit))
+    def _():
+        out = jax.lax.dot_general(
+            r, w_ref[:],
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)   # [T, 5*CHUNK]
+        s0 = out[:, 0 * CHUNK:1 * CHUNK]
+        s1 = out[:, 1 * CHUNK:2 * CHUNK]
+        s2 = out[:, 2 * CHUNK:3 * CHUNK]
+        no = out[:, 3 * CHUNK:4 * CHUNK]
+        nd = out[:, 4 * CHUNK:5 * CHUNK]
+        inside = ((s0 >= 0) & (s1 >= 0) & (s2 >= 0)) | \
+                 ((s0 <= 0) & (s1 <= 0) & (s2 <= 0))
+        nd_ok = jnp.abs(nd) > 1e-12
+        t = (nv0_ref[0][None, :] - no) / jnp.where(nd_ok, nd, 1.0)
+        hit = inside & nd_ok & (t > 1e-4) & (t < t_best[:, None]) \
+            & box_hit[:, None]
+        tm = jnp.where(hit, t, F32_MAX)
+        chunk_min = jnp.min(tm, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 1)
+        k = jnp.min(jnp.where(tm <= chunk_min[:, None], lane, CHUNK), axis=1)
+        upd = chunk_min < t_best
+        t_ref[0, 0, :] = jnp.where(upd, chunk_min, t_best)
+        prim_ref[0, 0, :] = jnp.where(upd, c * CHUNK + k,
+                                      prim_ref[0, 0, :])
+
+
+@partial(jax.jit, static_argnames=("n_pad",))
+def dense_intersect(r16, tmax, W, nv0, chunk_bounds, n_pad):
+    """r16 [B,16], tmax [B]; W [16,5*Pp], nv0 [1,Pp], chunk_bounds [C,8].
+
+    Returns (t [B], prim [B]) with prim=-1 for misses.
+    """
+    B = r16.shape[0]
+    Bp = ((B + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+    if Bp != B:
+        r16 = jnp.pad(r16, ((0, Bp - B), (0, 0)))
+        tmax = jnp.pad(tmax, (0, Bp - B), constant_values=-1.0)
+    n_tiles = Bp // RAY_TILE
+    n_chunks = n_pad // CHUNK
+    r16 = r16.reshape(n_tiles, RAY_TILE, 16)
+    tmax2 = tmax.reshape(n_tiles, 1, RAY_TILE)
+
+    grid = (n_tiles, n_chunks)
+    t_out, prim_out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, RAY_TILE, 16), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, RAY_TILE), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 5 * CHUNK), lambda i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK), lambda i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk_bounds, whole
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, RAY_TILE), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, RAY_TILE), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.int32),
+        ],
+    )(r16, tmax2, W, nv0, chunk_bounds)
+    return t_out.reshape(-1)[:B], prim_out.reshape(-1)[:B]

@@ -51,15 +51,14 @@ LIGHT_PROJECTION = 6
 @struct.dataclass
 class SceneData:
     """Device-side scene: the pytree passed into render kernels."""
-    # --- BVH (skip-link threaded layout; see accel/bvh.py) ---
-    bvh_lo: jnp.ndarray        # [N,3]
-    bvh_hi: jnp.ndarray        # [N,3]
-    bvh_skip: jnp.ndarray      # [N]
-    bvh_prim_offset: jnp.ndarray  # [N] (-1 interior)
-    bvh_prim_count: jnp.ndarray   # [N]
+    # --- BVH (octant-threaded layout; see accel/bvh.py) ---
+    bvh_packed: jnp.ndarray    # [N,8] lo,hi,bitcast(leaf_bits),axis
+    bvh_hit: jnp.ndarray       # [8,N] per-octant enter links
+    bvh_miss: jnp.ndarray      # [8,N] per-octant skip links
 
     # --- primitive SoA (BVH-leaf order) ---
     prim_type: jnp.ndarray     # [P]
+    tri_packed: jnp.ndarray    # [P,12] v0,e1,e2,pad — one-gather layout
     tri_v0: jnp.ndarray        # [P,3]
     tri_e1: jnp.ndarray        # [P,3]
     tri_e2: jnp.ndarray        # [P,3]
@@ -75,6 +74,8 @@ class SceneData:
     quad_o2w: jnp.ndarray      # [Q,4,4]
     quad_w2o: jnp.ndarray      # [Q,4,4]
     quad_params: jnp.ndarray   # [Q,4] (radius/zmin/zmax/phimax; type-specific)
+    quad_type: jnp.ndarray     # [Q] PRIM_* tag per quadric
+    quad_prim: jnp.ndarray     # [Q] prim index (BVH order) of each quadric
 
     # --- material table (tagged union of per-type params) ---
     mat_type: jnp.ndarray      # [M]
@@ -118,6 +119,12 @@ class SceneData:
     # --- image texture atlas (v1: none; placeholder 1x1) ---
     tex_atlas: jnp.ndarray       # [1,1,31]
 
+    # --- dense MXU intersector tables (ops/pallas_intersect.py) ---
+    dense_w: jnp.ndarray       # [16, 5*Pp]
+    dense_nv0: jnp.ndarray     # [1, Pp]
+    dense_cb: jnp.ndarray      # [C, 8] chunk AABBs (centered coords)
+    dense_center: jnp.ndarray  # [3]
+
     # scalars
     world_lo: jnp.ndarray      # [3]
     world_hi: jnp.ndarray      # [3]
@@ -127,6 +134,11 @@ class SceneData:
     n_nodes: int = struct.field(pytree_node=False, default=0)
     max_leaf: int = struct.field(pytree_node=False, default=4)
     has_infinite: bool = struct.field(pytree_node=False, default=False)
+    # static specialization flags (compile-time branch pruning)
+    n_quadrics: int = struct.field(pytree_node=False, default=0)
+    clip_quadrics: bool = struct.field(pytree_node=False, default=False)
+    use_dense: bool = struct.field(pytree_node=False, default=False)
+    dense_npad: int = struct.field(pytree_node=False, default=0)
 
 
 # material type tags (reference dispatch: api.cpp:552-625)
@@ -189,21 +201,35 @@ class SceneBuilder:
     """
 
     def __init__(self):
-        self.tri_v = []       # per-prim [3,3] vertices (world space)
-        self.tri_ns = []      # [3,3] shading normals or zeros
-        self.tri_uv = []      # [3,2]
-        self.prim_type = []
-        self.quad_refs = []   # per-prim quadric index (-1)
-        self.prim_material = []
-        self.prim_light = []
-        self.prim_instance = []
-        self.prim_flip = []
-        self.quads = []       # list of (o2w 4x4, w2o 4x4, params[4], type)
+        # chunked SoA storage: one entry per mesh/quadric call, concatenated
+        # at build() — keeps scene assembly vectorized for large meshes
+        self._chunks = []     # dicts of per-prim arrays
+        self._n_prims = 0
+        self.quads = []       # list of (o2w 4x4, w2o 4x4, params[4])
         self.materials: list[MaterialSpec] = []
         self.lights = []      # list of dicts
         self._mesh_light_tris = {}  # light idx -> list of prim indices
         self.instance_names = {}
         self.material_names = {}
+
+    @property
+    def n_prims(self):
+        return self._n_prims
+
+    def _add_chunk(self, F, tri_v, tri_ns, tri_uv, ptype, quad_ref,
+                   material_id, light_id, instance_id, flip):
+        self._chunks.append(dict(
+            tri_v=tri_v, tri_ns=tri_ns, tri_uv=tri_uv,
+            prim_type=np.full(F, ptype, np.int32)
+            if np.isscalar(ptype) else ptype,
+            quad_refs=np.full(F, quad_ref, np.int32),
+            prim_material=np.full(F, material_id, np.int32),
+            prim_light=np.full(F, light_id, np.int32),
+            prim_instance=np.full(F, instance_id, np.int32),
+            prim_flip=np.full(F, flip, bool)))
+        first = self._n_prims
+        self._n_prims += F
+        return first
 
     # -- materials ---------------------------------------------------------
     def add_material(self, mspec: MaterialSpec) -> int:
@@ -238,24 +264,21 @@ class SceneBuilder:
                        if normals is not None else None)
         uvs = (np.asarray(uvs, np.float64).reshape(-1, 2)
                if uvs is not None else None)
-        first = len(self.prim_type)
-        for f in indices:
-            v = w_verts[f]
-            self.tri_v.append(v)
-            self.tri_ns.append(w_norms[f] if w_norms is not None
-                               else np.zeros((3, 3)))
-            self.tri_uv.append(uvs[f] if uvs is not None
-                               else np.array([[0., 0.], [1., 0.], [1., 1.]]))
-            self.prim_type.append(PRIM_TRIANGLE)
-            self.quad_refs.append(-1)
-            self.prim_material.append(material_id)
-            self.prim_light.append(light_id)
-            self.prim_instance.append(instance_id)
-            self.prim_flip.append(flip_normal)
+        F = len(indices)
+        tri_v = w_verts[indices]                               # [F,3,3]
+        tri_ns = (w_norms[indices] if w_norms is not None
+                  else np.zeros((F, 3, 3)))
+        tri_uv = (uvs[indices] if uvs is not None
+                  else np.broadcast_to(
+                      np.array([[0., 0.], [1., 0.], [1., 1.]]),
+                      (F, 3, 2)).copy())
+        first = self._add_chunk(F, tri_v, tri_ns, tri_uv, PRIM_TRIANGLE,
+                                -1, material_id, light_id, instance_id,
+                                flip_normal)
         if light_id >= 0:
             self._mesh_light_tris.setdefault(light_id, []).extend(
-                range(first, len(self.prim_type)))
-        return first, len(indices)
+                range(first, first + F))
+        return first, F
 
     def add_quadric(self, qtype, object_to_world: Transform, params,
                     material_id, light_id=-1, instance_id=0,
@@ -266,17 +289,11 @@ class SceneBuilder:
         qi = len(self.quads)
         self.quads.append((object_to_world.m.astype(np.float32),
                            object_to_world.m_inv.astype(np.float32),
-                           np.asarray(params, np.float32)))
-        self.tri_v.append(np.zeros((3, 3)))
-        self.tri_ns.append(np.zeros((3, 3)))
-        self.tri_uv.append(np.zeros((3, 2)))
-        self.prim_type.append(qtype)
-        self.quad_refs.append(qi)
-        self.prim_material.append(material_id)
-        self.prim_light.append(light_id)
-        self.prim_instance.append(instance_id)
-        self.prim_flip.append(flip_normal)
-        return len(self.prim_type) - 1, qi
+                           np.asarray(params, np.float32), qtype))
+        first = self._add_chunk(1, np.zeros((1, 3, 3)), np.zeros((1, 3, 3)),
+                                np.zeros((1, 3, 2)), qtype, qi, material_id,
+                                light_id, instance_id, flip_normal)
+        return first, qi
 
     def add_sphere(self, object_to_world, radius, material_id, light_id=-1,
                    zmin=None, zmax=None, phimax=2 * np.pi, **kw):
@@ -328,61 +345,79 @@ class SceneBuilder:
                               params=np.array([cos_total, cos_falloff, 0, 0],
                                               np.float32))
 
-    # -- primitive bounds for BVH -----------------------------------------
-    def _prim_bounds(self):
-        P = len(self.prim_type)
-        lo = np.empty((P, 3))
-        hi = np.empty((P, 3))
-        for i in range(P):
-            if self.prim_type[i] == PRIM_TRIANGLE:
-                v = self.tri_v[i]
-                lo[i], hi[i] = v.min(0), v.max(0)
+    # -- compile -----------------------------------------------------------
+    def _concat(self):
+        """Concatenate chunks into per-prim SoA arrays (vectorized)."""
+        keys = ("tri_v", "tri_ns", "tri_uv", "prim_type", "quad_refs",
+                "prim_material", "prim_light", "prim_instance", "prim_flip")
+        if not self._chunks:
+            return {k: np.zeros((0, 3, 3) if k == "tri_v" or k == "tri_ns"
+                                else (0, 3, 2) if k == "tri_uv" else (0,),
+                                np.float64 if k.startswith("tri")
+                                else np.int32 if k != "prim_flip" else bool)
+                    for k in keys}
+        return {k: np.concatenate([c[k] for c in self._chunks], 0)
+                for k in keys}
+
+    def _prim_bounds(self, soa):
+        P = self._n_prims
+        lo = soa["tri_v"].min(1).astype(np.float64)
+        hi = soa["tri_v"].max(1).astype(np.float64)
+        # quadric bounds: per-quadric (few) transformed object boxes
+        is_quad = soa["prim_type"] != PRIM_TRIANGLE
+        for i in np.nonzero(is_quad)[0]:
+            o2w, _, params, _qt = self.quads[soa["quad_refs"][i]]
+            r = abs(float(params[0]))
+            zmin, zmax = float(params[1]), float(params[2])
+            if soa["prim_type"][i] == PRIM_DISK:
+                ob_lo = np.array([-r, -r, zmin - 1e-4])
+                ob_hi = np.array([r, r, zmin + 1e-4])
             else:
-                o2w, _, params = self.quads[self.quad_refs[i]]
-                r = abs(float(params[0]))
-                zmin, zmax = float(params[1]), float(params[2])
-                if self.prim_type[i] == PRIM_DISK:
-                    ob_lo = np.array([-r, -r, params[1] - 1e-4])
-                    ob_hi = np.array([r, r, params[1] + 1e-4])
-                else:
-                    ob_lo = np.array([-r, -r, zmin])
-                    ob_hi = np.array([r, r, zmax])
-                corners = np.array([[x, y, z]
-                                    for x in (ob_lo[0], ob_hi[0])
-                                    for y in (ob_lo[1], ob_hi[1])
-                                    for z in (ob_lo[2], ob_hi[2])])
-                t = Transform(o2w.astype(np.float64))
-                wc = t.apply_point(corners)
-                lo[i], hi[i] = wc.min(0), wc.max(0)
+                ob_lo = np.array([-r, -r, min(zmin, zmax)])
+                ob_hi = np.array([r, r, max(zmin, zmax)])
+            corners = np.array([[x, y, z]
+                                for x in (ob_lo[0], ob_hi[0])
+                                for y in (ob_lo[1], ob_hi[1])
+                                for z in (ob_lo[2], ob_hi[2])])
+            t = Transform(o2w.astype(np.float64))
+            wc = t.apply_point(corners)
+            lo[i], hi[i] = wc.min(0), wc.max(0)
         return lo, hi
 
-    # -- compile -----------------------------------------------------------
     def build(self, max_leaf_size=4, split_method="sah") -> SceneData:
-        P = len(self.prim_type)
-        lo, hi = (self._prim_bounds() if P else
+        P = self._n_prims
+        soa = self._concat()
+        lo, hi = (self._prim_bounds(soa) if P else
                   (np.zeros((0, 3)), np.zeros((0, 3))))
         bvh = build_bvh(lo, hi, max_leaf_size, split_method)
         order = bvh.prim_order if P else np.zeros(0, np.int32)
 
-        def reorder(lst, shape, dtype=np.float32):
+        def reorder(key, dtype=np.float32):
+            arr = soa[key]
             if P == 0:
+                shape = arr.shape[1:]
                 return np.zeros((1,) + shape, dtype)
-            arr = np.stack([np.asarray(lst[i], dtype) for i in order])
-            return arr
+            return arr[order].astype(dtype)
 
-        tri = reorder(self.tri_v, (3, 3))
+        tri = reorder("tri_v")
         tri_v0 = tri[:, 0]
         tri_e1 = tri[:, 1] - tri[:, 0]
         tri_e2 = tri[:, 2] - tri[:, 0]
-        prim_light_arr = reorder(self.prim_light, (), np.int32)
+        prim_light_arr = reorder("prim_light", np.int32)
 
         # quadrics
         Q = max(len(self.quads), 1)
         q_o2w = np.tile(np.eye(4, dtype=np.float32), (Q, 1, 1))
         q_w2o = np.tile(np.eye(4, dtype=np.float32), (Q, 1, 1))
         q_par = np.zeros((Q, 4), np.float32)
-        for i, (m, mi, par) in enumerate(self.quads):
-            q_o2w[i], q_w2o[i], q_par[i] = m, mi, par
+        q_type = np.zeros(Q, np.int32)
+        for i, (m, mi, par, qt) in enumerate(self.quads):
+            q_o2w[i], q_w2o[i], q_par[i], q_type[i] = m, mi, par, qt
+        # prim index (post-BVH order) of each quadric
+        q_prim = np.zeros(Q, np.int32)
+        qref_ordered = reorder("quad_refs", np.int32)
+        qmask = np.nonzero(qref_ordered >= 0)[0]
+        q_prim[qref_ordered[qmask]] = qmask
 
         # materials
         M = max(len(self.materials), 1)
@@ -415,13 +450,11 @@ class SceneBuilder:
                 continue
             tris = self._mesh_light_tris.get(li, [])
             if tris:
-                new_ids = inv_order[np.asarray(tris)]
-                areas = []
-                for t_old in tris:
-                    v = self.tri_v[t_old]
-                    areas.append(0.5 * np.linalg.norm(
-                        np.cross(v[1] - v[0], v[2] - v[0])))
-                areas = np.asarray(areas)
+                t_old = np.asarray(tris)
+                new_ids = inv_order[t_old]
+                v = soa["tri_v"][t_old]                        # [T,3,3]
+                areas = 0.5 * np.linalg.norm(
+                    np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1)
                 total = areas.sum()
                 lt_idx[li, :len(tris)] = new_ids
                 lt_cdf[li, 1:len(tris) + 1] = np.cumsum(areas) / max(total, 1e-20)
@@ -429,16 +462,15 @@ class SceneBuilder:
                 l_area[li] = total
             else:
                 # sphere (or other quadric) area light: find its prim
-                for pi_old in range(P):
-                    if self.prim_light[pi_old] == li and \
-                            self.prim_type[pi_old] == PRIM_SPHERE:
-                        qi = self.quad_refs[pi_old]
-                        l_quad[li] = qi
-                        r = float(self.quads[qi][2][0])
-                        # account for uniform scale in o2w
-                        s = np.linalg.norm(self.quads[qi][0][:3, 0])
-                        l_area[li] = 4 * np.pi * (r * s) ** 2
-                        break
+                cand = np.nonzero((soa["prim_light"] == li)
+                                  & (soa["prim_type"] == PRIM_SPHERE))[0]
+                if len(cand):
+                    qi = int(soa["quad_refs"][cand[0]])
+                    l_quad[li] = qi
+                    r = float(self.quads[qi][2][0])
+                    # account for uniform scale in o2w
+                    s = np.linalg.norm(self.quads[qi][0][:3, 0])
+                    l_area[li] = 4 * np.pi * (r * s) ** 2
 
         # infinite light env data (v1: constant -> 1x1 map)
         has_inf = any(l["type"] == LIGHT_INFINITE for l in lights)
@@ -469,23 +501,45 @@ class SceneBuilder:
         world_radius = 0.5 * float(np.linalg.norm(world_hi - world_lo)) + 1e-3
 
         f32 = jnp.float32
+        # one-gather triangle layout: v0,e1,e2 + padding to 12 floats
+        Pp = max(P, 1)
+        tri_packed = np.zeros((Pp, 12), np.float32)
+        tri_packed[:, 0:3] = tri_v0
+        tri_packed[:, 3:6] = tri_e1
+        tri_packed[:, 6:9] = tri_e2
+        n_quadrics = len(self.quads)
+        # only full spheres can skip the z/phi clip tests
+        def _needs_clip(entry):
+            p, t = entry[2], entry[3]
+            if t != PRIM_SPHERE:
+                return True
+            return (float(p[3]) < 2 * np.pi - 1e-5
+                    or float(p[1]) > -float(p[0]) + 1e-6
+                    or float(p[2]) < float(p[0]) - 1e-6)
+        clip_q = any(_needs_clip(q) for q in self.quads)
+        # dense MXU intersector tables (triangles only; zero rows for
+        # quadric placeholder prims never hit)
+        from pbrt_tpu.ops.pallas_intersect import build_dense_tables
+        use_dense = 0 < P <= 300_000
+        dtab = build_dense_tables(tri_v0[:Pp], tri_e1[:Pp], tri_e2[:Pp])
         return SceneData(
-            bvh_lo=jnp.asarray(bvh.lo), bvh_hi=jnp.asarray(bvh.hi),
-            bvh_skip=jnp.asarray(bvh.skip),
-            bvh_prim_offset=jnp.asarray(bvh.prim_offset),
-            bvh_prim_count=jnp.asarray(bvh.prim_count),
-            prim_type=jnp.asarray(reorder(self.prim_type, (), np.int32)),
+            bvh_packed=jnp.asarray(bvh.packed),
+            bvh_hit=jnp.asarray(bvh.hit_links),
+            bvh_miss=jnp.asarray(bvh.miss_links),
+            prim_type=jnp.asarray(reorder("prim_type", np.int32)),
+            tri_packed=jnp.asarray(tri_packed),
             tri_v0=jnp.asarray(tri_v0, f32), tri_e1=jnp.asarray(tri_e1, f32),
             tri_e2=jnp.asarray(tri_e2, f32),
-            tri_ns=jnp.asarray(reorder(self.tri_ns, (3, 3))),
-            tri_uv=jnp.asarray(reorder(self.tri_uv, (3, 2))),
-            quad_idx=jnp.asarray(reorder(self.quad_refs, (), np.int32)),
-            prim_material=jnp.asarray(reorder(self.prim_material, (), np.int32)),
+            tri_ns=jnp.asarray(reorder("tri_ns")),
+            tri_uv=jnp.asarray(reorder("tri_uv")),
+            quad_idx=jnp.asarray(reorder("quad_refs", np.int32)),
+            prim_material=jnp.asarray(reorder("prim_material", np.int32)),
             prim_light=jnp.asarray(prim_light_arr),
-            prim_instance=jnp.asarray(reorder(self.prim_instance, (), np.int32)),
-            prim_flip_normal=jnp.asarray(reorder(self.prim_flip, (), bool)),
+            prim_instance=jnp.asarray(reorder("prim_instance", np.int32)),
+            prim_flip_normal=jnp.asarray(reorder("prim_flip", bool)),
             quad_o2w=jnp.asarray(q_o2w), quad_w2o=jnp.asarray(q_w2o),
             quad_params=jnp.asarray(q_par),
+            quad_type=jnp.asarray(q_type), quad_prim=jnp.asarray(q_prim),
             mat_type=jnp.asarray([m.type for m in mats], jnp.int32),
             mat_kd=jnp.asarray(mcol("kd")), mat_ks=jnp.asarray(mcol("ks")),
             mat_kr=jnp.asarray(mcol("kr")), mat_kt=jnp.asarray(mcol("kt")),
@@ -517,11 +571,19 @@ class SceneBuilder:
             env_to_world=jnp.asarray(env_to_world),
             env_to_light=jnp.asarray(np.linalg.inv(env_to_world.astype(np.float64)).astype(np.float32)),
             tex_atlas=jnp.zeros((1, 1, spec.N_SPECTRAL_SAMPLES), f32),
+            dense_w=jnp.asarray(dtab["W"]),
+            dense_nv0=jnp.asarray(dtab["nv0"]),
+            dense_cb=jnp.asarray(dtab["chunk_bounds"]),
+            dense_center=jnp.asarray(dtab["center"]),
             world_lo=jnp.asarray(world_lo, f32),
             world_hi=jnp.asarray(world_hi, f32),
             world_radius=jnp.asarray(world_radius, f32),
             n_lights=len(self.lights),
-            n_prims=P, n_nodes=len(bvh.skip),
+            n_prims=P, n_nodes=bvh.n_nodes,
             max_leaf=max_leaf_size,
             has_infinite=has_inf,
+            n_quadrics=n_quadrics,
+            clip_quadrics=bool(clip_q),
+            use_dense=use_dense,
+            dense_npad=dtab["n_pad"],
         )

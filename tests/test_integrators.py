@@ -123,16 +123,21 @@ def test_sphere_area_light_vs_point_limit():
 
 
 def test_mesh_area_light():
-    # emissive quad directly viewed: L = Le
-    b = SceneBuilder()
-    black = b.add_material(MaterialSpec(type=MAT_MATTE))
-    li = b.add_area_light(np.full(31, 3.0, np.float32))
-    b.add_triangle_mesh([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]],
-                        [[0, 1, 2], [2, 3, 0]], black, light_id=li)
-    scene = b.build()
+    # emissive quad directly viewed from its FRONT side: L = Le;
+    # from the back side: 0 (reference: diffuse.h L(), one-sided default)
+    def build(winding):
+        b = SceneBuilder()
+        black = b.add_material(MaterialSpec(type=MAT_MATTE))
+        li = b.add_area_light(np.full(31, 3.0, np.float32))
+        b.add_triangle_mesh([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]],
+                            winding, black, light_id=li)
+        return b.build()
     cam = _cam(dist=2.0, fov=20.0)
-    img = _render(scene, cam, spp=4, max_depth=1)
-    assert abs(img[10:14, 10:14].mean() - 3.0) < 0.01
+    # camera at z=-2 looking +z: front side must have normal -z
+    front = _render(build([[0, 2, 1], [2, 0, 3]]), cam, spp=4, max_depth=1)
+    assert abs(front[10:14, 10:14].mean() - 3.0) < 0.01
+    back = _render(build([[0, 1, 2], [2, 3, 0]]), cam, spp=4, max_depth=1)
+    assert back.mean() < 1e-6
 
 
 def test_mesh_area_light_nee():

@@ -54,10 +54,25 @@ def test_bvh_structure():
     assert bvh.prim_order.shape == (64,)
     assert sorted(bvh.prim_order.tolist()) == list(range(64))
     # leaf prim counts cover all prims exactly once
-    total = bvh.prim_count.sum()
-    assert total == 64
-    # skip of root is n_nodes
-    assert bvh.skip[0] == len(bvh.skip)
+    assert bvh.prim_count.sum() == 64
+    N = bvh.n_nodes
+    # every octant's miss link of the root is the sentinel
+    assert (bvh.miss_links[:, 0] == N).all()
+    # links are in range and every leaf is reachable in every octant
+    assert bvh.hit_links.max() <= N and bvh.miss_links.max() <= N
+    for octant in range(8):
+        seen = set()
+        node = 0
+        steps = 0
+        while node < N and steps < 10 * N:
+            seen.add(node)
+            if bvh.prim_offset[node] >= 0:
+                node = bvh.miss_links[octant, node]
+            else:
+                node = bvh.hit_links[octant, node]
+            steps += 1
+        # full enter-everything walk must reach every node
+        assert len(seen) == N, (octant, len(seen), N)
 
 
 def test_bvh_vs_brute_force():
