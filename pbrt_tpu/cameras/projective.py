@@ -103,7 +103,7 @@ def make_environment(cam_to_world: tfm.Transform, width, height,
 
 
 def generate_rays(camera: ProjectiveCamera, pfilm, u_lens, u_time=None,
-                  width=None, height=None):
+                  width=None, height=None, wavelength=None):
     """pfilm [B,2] raster coords, u_lens [B,2] -> (Ray world, weight [B]).
 
     reference: PerspectiveCamera::GenerateRay (perspective.cpp:69).
@@ -145,4 +145,6 @@ def generate_rays(camera: ProjectiveCamera, pfilm, u_lens, u_time=None,
     else:
         time = camera.shutter_open + u_time * (camera.shutter_close
                                                - camera.shutter_open)
-    return geom.Ray.make(wo, wd, time=time), jnp.ones(B)
+    wl = None if wavelength is None else jnp.broadcast_to(
+        jnp.asarray(wavelength, jnp.float32), (B,))
+    return geom.Ray.make(wo, wd, wavelength=wl, time=time), jnp.ones(B)

@@ -29,8 +29,10 @@ def render_with_integrator(job, camera, film, cfg, spp, max_depth,
             trace_fn = whitted.make_trace_whitted()
     elif kind == "spectralpath":
         from pbrt_tpu.integrators import spectralpath
+        gen = _generate_fn(camera)
         trace_fn = spectralpath.make_trace_spectral(
-            num_ca_bands=ip.get("numCABands", 4))
+            num_ca_bands=ip.get("numCABands", 4), camera=camera,
+            generate_rays=gen, width=film.width, height=film.height)
     elif kind == "metadata":
         from pbrt_tpu.integrators import metadata
         trace_fn = metadata.make_trace_metadata(ip.get("strategy", "depth"))
@@ -41,6 +43,13 @@ def render_with_integrator(job, camera, film, cfg, spp, max_depth,
         log.warning("unknown integrator %r; using path", kind)
     return pathmod.render(job.scene, camera, film, cfg, spp,
                           max_depth=max_depth, trace_fn=trace_fn,
+                          generate_rays=_generate_fn(camera),
                           progress=progress,
                           max_rays_per_pass=max_rays_per_pass,
                           trace_kwargs=trace_kwargs)
+
+
+def _generate_fn(camera):
+    from pbrt_tpu.cameras.lens import LensCamera, generate_rays as lens_gen
+    from pbrt_tpu.cameras.projective import generate_rays as proj_gen
+    return lens_gen if isinstance(camera, LensCamera) else proj_gen

@@ -31,13 +31,15 @@ def band_slices(num_bands):
     return out
 
 
-def make_trace_spectral(num_ca_bands=4, generate_rays=None, camera=None,
+def make_trace_spectral(num_ca_bands=4, camera=None, generate_rays=None,
                         width=None, height=None):
     """Returns a trace_fn compatible with path.render.
 
     When the camera's ray generation is wavelength-dependent (lens
-    cameras), pass generate_rays/camera so each band regenerates its rays
-    at the band wavelength; projective cameras skip regeneration.
+    cameras with chromatic aberration / spectral IoR), pass camera +
+    generate_rays + film size: each band *regenerates* its camera rays at
+    the band-center wavelength (the reference's per-CA-band GenerateRay,
+    spectralpath.cpp:252-318).  Projective cameras reuse the given rays.
     """
     bands = band_slices(num_ca_bands)
 
@@ -47,7 +49,29 @@ def make_trace_spectral(num_ca_bands=4, generate_rays=None, camera=None,
         L = jnp.zeros((B, NS))
         for lo, hi, lam in bands:
             mask = jnp.zeros((NS,)).at[lo:hi].set(1.0)
-            band_ray = ray.replace(wavelength=jnp.full(B, lam))
+            if camera is not None and generate_rays is not None:
+                # rebuild this band's rays at its wavelength (dispersion):
+                # the counter-based sampler reproduces the pixel/lens dims
+                from pbrt_tpu.samplers.samplers import sample_dim
+                ix = (pixel_id % width).astype(jnp.float32)
+                iy = (pixel_id // width).astype(jnp.float32)
+                jx = sample_dim(cfg, pixel_id, sample_idx,
+                                pathmod.DIM_PIXEL_X)
+                jy = sample_dim(cfg, pixel_id, sample_idx,
+                                pathmod.DIM_PIXEL_Y)
+                pfilm = jnp.stack([ix + jx, iy + jy], -1)
+                ulens = jnp.stack(
+                    [sample_dim(cfg, pixel_id, sample_idx,
+                                pathmod.DIM_LENS_U),
+                     sample_dim(cfg, pixel_id, sample_idx,
+                                pathmod.DIM_LENS_V)], -1)
+                band_ray, w = generate_rays(
+                    camera, pfilm, ulens, width=width, height=height,
+                    wavelength=lam)
+                band_ray = band_ray.replace(
+                    tmax=jnp.where(ray.tmax > 0, band_ray.tmax, -1.0))
+            else:
+                band_ray = ray.replace(wavelength=jnp.full(B, lam))
             Lb = pathmod.trace_paths(
                 scene, band_ray, pixel_id, sample_idx, cfg,
                 max_depth=max_depth,
