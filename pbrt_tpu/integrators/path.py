@@ -93,7 +93,7 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
             if bounce == 0:
                 w_env = jnp.ones(B)
             else:
-                pdf_env = lights.pdf_li_infinite(scene) / n_lights
+                pdf_env = lights.pdf_li_infinite(scene, dnorm) / n_lights
                 w_env = jnp.where(specular, 1.0, sampling.power_heuristic(
                     1.0, prev_pdf, 1.0, pdf_env))
             L = L + jnp.where((alive & ~hit.valid)[:, None],
@@ -104,7 +104,7 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
             break
 
         # ---- shading frame ----------------------------------------------
-        mat = bsdf.gather_materials(scene, hit.material)
+        mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv, p=hit.p)
         ss, ts = geom.coordinate_system(hit.ns)
         wo_l = geom.world_to_frame(ss, ts, hit.ns, hit.wo)
 

@@ -74,7 +74,7 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
                 else:
                     w_env = jnp.where(specular, 1.0, sampling.power_heuristic(
                         1.0, prev_pdf, 1.0,
-                        lights.pdf_li_infinite(scene) / n_lights))
+                        lights.pdf_li_infinite(scene, dnorm) / n_lights))
                 L = L + jnp.where((alive & ~in_medium & ~hit.valid)[:, None],
                                   beta * env * w_env[:, None], 0.0)
 
@@ -86,7 +86,7 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
             p_vert = jnp.where(in_medium[:, None], p_med, hit.p)
 
             # ---- NEE from the vertex (phase fn or BSDF) ----
-            mat = bsdf.gather_materials(scene, hit.material)
+            mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv, p=hit.p)
             ss, ts = geom.coordinate_system(hit.ns)
             wo_l = geom.world_to_frame(ss, ts, hit.ns, hit.wo)
             if scene.n_lights > 0:

@@ -33,7 +33,7 @@ def make_trace_whitted():
             alive = alive & hit.valid
             if bounce == max_depth:
                 break
-            mat = bsdf.gather_materials(scene, hit.material)
+            mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv, p=hit.p)
             ss, ts = geom.coordinate_system(hit.ns)
             wo_l = geom.world_to_frame(ss, ts, hit.ns, hit.wo)
             if scene.n_lights > 0:

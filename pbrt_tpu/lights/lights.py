@@ -123,9 +123,13 @@ def sample_li(scene: ir.SceneData, l, p, n, u1, u2):
     li_area = jnp.where(is_mesh[..., None],
                         jnp.where(front_mesh[..., None], L, 0.0), L)
 
-    # --- infinite (lights/infinite.cpp); v1 constant env ---
-    wi_inf = sampling.uniform_sample_sphere(u1, u2)
-    pdf_inf = jnp.full_like(u1, sampling.INV_4PI)
+    # --- infinite (lights/infinite.cpp): env-map 2D-CDF importance
+    # sampling when a map is present, uniform sphere for constant env ---
+    if scene.env_map.shape[0] > 1 or scene.env_map.shape[1] > 1:
+        wi_inf, pdf_inf = sample_env_direction(scene, u1, u2)
+    else:
+        wi_inf = sampling.uniform_sample_sphere(u1, u2)
+        pdf_inf = jnp.full_like(u1, sampling.INV_4PI)
     li_inf = _env_radiance(scene, wi_inf) * jnp.ones_like(L)
 
     INFD = jnp.float32(1e30)
@@ -168,9 +172,65 @@ def pdf_li_area(scene: ir.SceneData, light_idx, prev_p, wi, hit_t, hit_ng):
     return jnp.where(is_mesh, pdf_mesh, pdf_sph)
 
 
-def pdf_li_infinite(scene: ir.SceneData):
-    """Solid-angle pdf of the (constant) infinite light sampler."""
-    return sampling.INV_4PI
+def sample_env_direction(scene: ir.SceneData, u1, u2):
+    """Importance-sample the env map via its 2D CDF tables
+    (InfiniteAreaLight::Sample_Li, infinite.cpp:109+)."""
+    He, We = scene.env_map.shape[:2]
+    # marginal over rows (theta)
+    iv = jnp.clip(jnp.searchsorted(scene.env_marg_cdf, u2, side="right") - 1,
+                  0, He - 1)
+    m0 = scene.env_marg_cdf[iv]
+    m1 = scene.env_marg_cdf[iv + 1]
+    dv = jnp.where(m1 > m0, (u2 - m0) / jnp.maximum(m1 - m0, 1e-12), 0.0)
+    v = (iv.astype(u2.dtype) + dv) / He
+    marg_int = jnp.maximum(jnp.mean(scene.env_cond_int), 1e-12)
+    pdf_v = scene.env_cond_int[iv] / marg_int
+    # conditional over columns (phi)
+    row_cdf = scene.env_cond_cdf[iv]                       # [B, We+1]
+    iu = jnp.clip(jnp.sum((row_cdf <= u1[:, None]).astype(jnp.int32), -1) - 1,
+                  0, We - 1)
+    c0 = jnp.take_along_axis(row_cdf, iu[:, None], 1)[:, 0]
+    c1 = jnp.take_along_axis(row_cdf, iu[:, None] + 1, 1)[:, 0]
+    du = jnp.where(c1 > c0, (u1 - c0) / jnp.maximum(c1 - c0, 1e-12), 0.0)
+    u = (iu.astype(u1.dtype) + du) / We
+    lum_row = scene.env_map[iv] @ jnp.asarray(spec.CIE_Y, jnp.float32)
+    theta_w = (iv.astype(u1.dtype) + 0.5) / He * jnp.pi
+    f_uv = jnp.take_along_axis(lum_row, iu[:, None], 1)[:, 0] * \
+        jnp.sin(theta_w) + 1e-12
+    pdf_u = f_uv / jnp.maximum(scene.env_cond_int[iv], 1e-12)
+    # map (u,v) -> direction (light space -> world)
+    phi = u * 2 * jnp.pi
+    theta = v * jnp.pi
+    sin_t = jnp.sin(theta)
+    dl = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi),
+                    jnp.cos(theta)], -1)
+    wi = dl @ scene.env_to_world[:3, :3].T
+    pdf = (pdf_u * pdf_v) / jnp.maximum(
+        2 * jnp.pi * jnp.pi * sin_t, 1e-9)
+    return geom.normalize(wi), jnp.where(sin_t > 1e-6, pdf, 0.0)
+
+
+def pdf_li_infinite(scene: ir.SceneData, wi=None):
+    """Solid-angle pdf of the infinite-light sampler for direction wi
+    (InfiniteAreaLight::Pdf_Li, infinite.cpp:136+)."""
+    if scene.env_map.shape[0] <= 1 and scene.env_map.shape[1] <= 1:
+        return sampling.INV_4PI
+    if wi is None:
+        return sampling.INV_4PI
+    He, We = scene.env_map.shape[:2]
+    dl = wi @ scene.env_to_light[:3, :3].T
+    theta = geom.spherical_theta(dl)
+    phi = geom.spherical_phi(dl)
+    iu = jnp.clip((phi * (0.5 / jnp.pi) * We).astype(jnp.int32), 0, We - 1)
+    iv = jnp.clip((theta / jnp.pi * He).astype(jnp.int32), 0, He - 1)
+    lum = scene.env_map[iv, iu] @ jnp.asarray(spec.CIE_Y, jnp.float32)
+    sin_t = jnp.sin(theta)
+    f_uv = lum * sin_t + 1e-12
+    marg_int = jnp.maximum(jnp.mean(scene.env_cond_int), 1e-12)
+    pdf_v = scene.env_cond_int[iv] / marg_int
+    pdf_u = f_uv / jnp.maximum(scene.env_cond_int[iv], 1e-12)
+    return jnp.where(sin_t > 1e-6,
+                     pdf_u * pdf_v / (2 * jnp.pi * jnp.pi * sin_t), 0.0)
 
 
 def area_le(scene: ir.SceneData, light_idx, ng, wo):

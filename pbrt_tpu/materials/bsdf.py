@@ -49,7 +49,10 @@ def roughness_to_alpha(rough):
             + 0.0171201 * x ** 3 + 0.000640711 * x ** 4)
 
 
-def gather_materials(scene: ir.SceneData, material_idx) -> MaterialParams:
+def gather_materials(scene: ir.SceneData, material_idx, uv=None,
+                     p=None) -> MaterialParams:
+    """Gather per-ray material params; evaluates texture-bound Kd/Ks at
+    the hit uv / world position when the scene has textures."""
     m = jnp.clip(material_idx, 0, scene.mat_type.shape[0] - 1)
     rough_u = scene.mat_rough_u[m]
     rough_v = scene.mat_rough_v[m]
@@ -59,9 +62,25 @@ def gather_materials(scene: ir.SceneData, material_idx) -> MaterialParams:
     # rough==0 stays 0 (perfect specular marker)
     au = jnp.where(rough_u > 0, jnp.maximum(au, 1e-3), 0.0)
     av = jnp.where(rough_v > 0, jnp.maximum(av, 1e-3), 0.0)
+    kd = scene.mat_kd[m]
+    ks = scene.mat_ks[m]
+    if uv is not None and scene.tex_type.shape[0] > 1:
+        from pbrt_tpu.textures.textures import eval_texture
+        from pbrt_tpu.core import spectrum as _spec
+        pw = p if p is not None else jnp.zeros(uv.shape[:-1] + (3,))
+        for tex_idx, slot in ((scene.mat_kd_tex[m], "kd"),
+                              (scene.mat_ks_tex[m], "ks")):
+            rgb = eval_texture(scene.tex_images, scene.tex_type,
+                               scene.tex_params, scene.tex_c1, scene.tex_c2,
+                               tex_idx, uv, pw)
+            s = _spec.from_rgb(rgb, "reflectance")
+            if slot == "kd":
+                kd = jnp.where((tex_idx >= 0)[:, None], s, kd)
+            else:
+                ks = jnp.where((tex_idx >= 0)[:, None], s, ks)
     return MaterialParams(
         type=jnp.where(material_idx >= 0, scene.mat_type[m], ir.MAT_NONE),
-        kd=scene.mat_kd[m], ks=scene.mat_ks[m], kr=scene.mat_kr[m],
+        kd=kd, ks=ks, kr=scene.mat_kr[m],
         kt=scene.mat_kt[m], rough_u=au, rough_v=av,
         eta=scene.mat_eta[m], eta_spec=scene.mat_eta_spec[m],
         k_spec=scene.mat_k_spec[m], sigma=scene.mat_sigma[m],

@@ -339,46 +339,88 @@ class PbrtAPI:
             self.graphics.spectrum_textures[name] = value
 
     def _make_texture(self, ttype, tclass, ps):
-        """v1 resolves textures to constants (full texture maps are a
-        later phase; reference: src/textures/*)."""
+        """Texture factory (reference: src/textures/* dispatch
+        api.cpp:627-697).  Returns ("const", value) or ("tex", id) where
+        id indexes the device texture table."""
+        from pbrt_tpu.textures import textures as texmod
         kind = "reflectance"
+        reg = self.builder.textures
+
+        def rgb_of(spectrum31):
+            import jax.numpy as jnp
+            return np.asarray(spec.to_rgb(jnp.asarray(
+                np.asarray(spectrum31, np.float32))))
+
+        uscale = ps.find_one_float("uscale", 1.0)
+        vscale = ps.find_one_float("vscale", 1.0)
+        udelta = ps.find_one_float("udelta", 0.0)
+        vdelta = ps.find_one_float("vdelta", 0.0)
+        wscale = ps.find_one_float("scale", 1.0)
         if tclass == "constant":
             if ttype == "float":
-                return ps.find_one_float("value", 1.0)
-            return ps.find_one_spectrum("value", 1.0, kind)
+                return ("const", ps.find_one_float("value", 1.0))
+            return ("const", ps.find_one_spectrum("value", 1.0, kind))
         if tclass == "scale":
-            t1 = self._tex_or_spectrum(ps, "tex1", 1.0, ttype)
-            t2 = self._tex_or_spectrum(ps, "tex2", 1.0, ttype)
-            return t1 * t2
+            t1 = self._resolve_tex_value(ps, "tex1", 1.0, ttype)
+            t2 = self._resolve_tex_value(ps, "tex2", 1.0, ttype)
+            return ("const", t1 * t2)
         if tclass == "mix":
-            t1 = self._tex_or_spectrum(ps, "tex1", 0.0, ttype)
-            t2 = self._tex_or_spectrum(ps, "tex2", 1.0, ttype)
+            t1 = self._resolve_tex_value(ps, "tex1", 0.0, ttype)
+            t2 = self._resolve_tex_value(ps, "tex2", 1.0, ttype)
             amt = ps.find_one_float("amount", 0.5)
-            return (1 - amt) * t1 + amt * t2
+            return ("const", (1 - amt) * t1 + amt * t2)
+        if tclass == "bilerp":
+            vals = [self._resolve_tex_value(ps, f"v{i:02d}", 0.0, ttype)
+                    for i in ("00", "01", "10", "11")]
+            return ("const", sum(vals) / 4)
         if tclass == "imagemap":
             fname = ps.find_one_filename("filename", "")
-            log.warning("imagemap texture %r resolved to mean color (v1)",
-                        fname)
             try:
-                from PIL import Image
-                img = np.asarray(Image.open(fname).convert("RGB"),
-                                 np.float32) / 255.0
-                mean_rgb = (img ** 2.2).mean((0, 1))
-                import jax.numpy as jnp
-                return np.asarray(spec.from_rgb(jnp.asarray(mean_rgb), kind))
+                tid = reg.add(texmod.TEX_IMAGE, image=fname, uscale=uscale,
+                              vscale=vscale, udelta=udelta, vdelta=vdelta)
+                return ("tex", tid)
             except Exception as e:
-                log.warning("imagemap load failed (%s); using 0.5", e)
-                return (0.5 if ttype == "float"
+                log.warning("imagemap %r load failed (%s); using 0.5",
+                            fname, e)
+                return ("const", 0.5 if ttype == "float"
                         else np.full(31, 0.5, np.float32))
+        if tclass == "checkerboard":
+            c1 = self._resolve_tex_value(ps, "tex1", 1.0, "color")
+            c2 = self._resolve_tex_value(ps, "tex2", 0.0, "color")
+            tid = reg.add(texmod.TEX_CHECKER, uscale=uscale, vscale=vscale,
+                          udelta=udelta, vdelta=vdelta,
+                          c1=rgb_of(c1), c2=rgb_of(c2))
+            return ("tex", tid)
+        if tclass == "uv":
+            return ("tex", reg.add(texmod.TEX_UV, uscale=uscale,
+                                   vscale=vscale))
+        if tclass == "dots":
+            c1 = self._resolve_tex_value(ps, "inside", 1.0, "color")
+            c2 = self._resolve_tex_value(ps, "outside", 0.0, "color")
+            return ("tex", reg.add(texmod.TEX_DOTS, uscale=uscale,
+                                   vscale=vscale, c1=rgb_of(c1),
+                                   c2=rgb_of(c2)))
+        if tclass in ("fbm", "wrinkled", "marble", "windy"):
+            tt = {"fbm": texmod.TEX_FBM, "wrinkled": texmod.TEX_WRINKLED,
+                  "marble": texmod.TEX_MARBLE,
+                  "windy": texmod.TEX_WINDY}[tclass]
+            return ("tex", reg.add(tt, wscale=wscale))
         log.warning("texture class %r unsupported; using 0.5", tclass)
-        return 0.5 if ttype == "float" else np.full(31, 0.5, np.float32)
+        return ("const", 0.5 if ttype == "float"
+                else np.full(31, 0.5, np.float32))
 
-    def _tex_or_spectrum(self, ps, name, default, ttype):
+    def _resolve_tex_value(self, ps, name, default, ttype):
+        """Constant value of a possibly-texture param (for folding)."""
         tex = ps.find_texture(name)
         if tex is not None:
             table = (self.graphics.float_textures if ttype == "float"
                      else self.graphics.spectrum_textures)
-            return table.get(tex, default)
+            entry = table.get(tex)
+            if entry is not None and entry[0] == "const":
+                return entry[1]
+            log.warning("texture %r folded to 0.5 inside %s", tex, name)
+            return (0.5 if ttype == "float"
+                    else np.full(31, 0.5, np.float32))
         if ttype == "float":
             return ps.find_one_float(name, default)
         return ps.find_one_spectrum(name, default)
@@ -407,24 +449,31 @@ class PbrtAPI:
         self.graphics.material_name = name
 
     def _spectrum_or_texture(self, ps, name, default, kind="reflectance"):
+        """Returns (spectrum [31], tex_id) — tex_id -1 for constants."""
         tex = ps.find_texture(name)
         if tex is not None:
-            v = self.graphics.spectrum_textures.get(tex)
-            if v is None:
-                fv = self.graphics.float_textures.get(tex)
-                if fv is not None:
-                    return np.full(31, float(fv), np.float32)
+            entry = self.graphics.spectrum_textures.get(tex)
+            if entry is None:
+                fentry = self.graphics.float_textures.get(tex)
+                if fentry is not None:
+                    if fentry[0] == "const":
+                        return (np.full(31, float(fentry[1]), np.float32),
+                                -1)
+                    return np.full(31, 0.5, np.float32), fentry[1]
                 log.warning("unknown texture %r", tex)
-                return np.full(31, default if np.isscalar(default) else 0.5,
-                               np.float32)
-            return np.asarray(v, np.float32)
-        return ps.find_one_spectrum(name, default, kind)
+                return np.full(31, 0.5, np.float32), -1
+            if entry[0] == "const":
+                return np.asarray(entry[1], np.float32), -1
+            return np.full(31, 0.5, np.float32), entry[1]
+        return ps.find_one_spectrum(name, default, kind), -1
 
     def _float_or_texture(self, ps, name, default):
         tex = ps.find_texture(name)
         if tex is not None:
-            v = self.graphics.float_textures.get(tex)
-            return float(v) if v is not None else default
+            entry = self.graphics.float_textures.get(tex)
+            if entry is not None and entry[0] == "const":
+                return float(entry[1])
+            return default
         return ps.find_one_float(name, default)
 
     def _make_material(self, mname, ps, name=""):
@@ -435,21 +484,21 @@ class PbrtAPI:
             m.type = ir.MAT_NONE
         elif mname == "matte":
             m.type = ir.MAT_MATTE
-            m.kd = self._spectrum_or_texture(ps, "Kd", 0.5)
+            m.kd, m.kd_tex = self._spectrum_or_texture(ps, "Kd", 0.5)
             m.sigma = self._float_or_texture(ps, "sigma", 0.0)
         elif mname == "plastic":
             m.type = ir.MAT_PLASTIC
-            m.kd = self._spectrum_or_texture(ps, "Kd", 0.25)
-            m.ks = self._spectrum_or_texture(ps, "Ks", 0.25)
+            m.kd, m.kd_tex = self._spectrum_or_texture(ps, "Kd", 0.25)
+            m.ks, m.ks_tex = self._spectrum_or_texture(ps, "Ks", 0.25)
             r = self._float_or_texture(ps, "roughness", 0.1)
             m.rough_u = m.rough_v = r
             m.remap_roughness = ps.find_one_bool("remaproughness", True)
         elif mname == "mirror":
             m.type = ir.MAT_MIRROR
-            m.kr = self._spectrum_or_texture(ps, "Kr", 0.9)
+            m.kr = self._spectrum_or_texture(ps, "Kr", 0.9)[0]
         elif mname == "glass":
-            m.kr = self._spectrum_or_texture(ps, "Kr", 1.0)
-            m.kt = self._spectrum_or_texture(ps, "Kt", 1.0)
+            m.kr = self._spectrum_or_texture(ps, "Kr", 1.0)[0]
+            m.kt = self._spectrum_or_texture(ps, "Kt", 1.0)[0]
             m.eta = self._float_or_texture(
                 ps, "eta", self._float_or_texture(ps, "index", 1.5))
             ur = self._float_or_texture(ps, "uroughness", 0.0)
@@ -469,10 +518,10 @@ class PbrtAPI:
             m.remap_roughness = ps.find_one_bool("remaproughness", True)
         elif mname == "uber":
             m.type = ir.MAT_UBER
-            m.kd = self._spectrum_or_texture(ps, "Kd", 0.25)
-            m.ks = self._spectrum_or_texture(ps, "Ks", 0.25)
-            m.kr = self._spectrum_or_texture(ps, "Kr", 0.0)
-            m.kt = self._spectrum_or_texture(ps, "Kt", 0.0)
+            m.kd, m.kd_tex = self._spectrum_or_texture(ps, "Kd", 0.25)
+            m.ks, m.ks_tex = self._spectrum_or_texture(ps, "Ks", 0.25)
+            m.kr = self._spectrum_or_texture(ps, "Kr", 0.0)[0]
+            m.kt = self._spectrum_or_texture(ps, "Kt", 0.0)[0]
             r = self._float_or_texture(ps, "roughness", 0.1)
             m.rough_u = self._float_or_texture(ps, "uroughness", r)
             m.rough_v = self._float_or_texture(ps, "vroughness", r)
@@ -481,29 +530,29 @@ class PbrtAPI:
             m.remap_roughness = ps.find_one_bool("remaproughness", True)
         elif mname == "substrate":
             m.type = ir.MAT_SUBSTRATE
-            m.kd = self._spectrum_or_texture(ps, "Kd", 0.5)
-            m.ks = self._spectrum_or_texture(ps, "Ks", 0.5)
+            m.kd, m.kd_tex = self._spectrum_or_texture(ps, "Kd", 0.5)
+            m.ks, m.ks_tex = self._spectrum_or_texture(ps, "Ks", 0.5)
             m.rough_u = self._float_or_texture(ps, "uroughness", 0.1)
             m.rough_v = self._float_or_texture(ps, "vroughness", 0.1)
             m.remap_roughness = ps.find_one_bool("remaproughness", True)
         elif mname == "translucent":
             m.type = ir.MAT_TRANSLUCENT
-            m.kd = self._spectrum_or_texture(ps, "Kd", 0.25)
-            m.ks = self._spectrum_or_texture(ps, "Ks", 0.25)
-            m.kr = self._spectrum_or_texture(ps, "reflect", 0.5)
-            m.kt = self._spectrum_or_texture(ps, "transmit", 0.5)
+            m.kd, m.kd_tex = self._spectrum_or_texture(ps, "Kd", 0.25)
+            m.ks, m.ks_tex = self._spectrum_or_texture(ps, "Ks", 0.25)
+            m.kr = self._spectrum_or_texture(ps, "reflect", 0.5)[0]
+            m.kt = self._spectrum_or_texture(ps, "transmit", 0.5)[0]
             m.rough_u = m.rough_v = self._float_or_texture(
                 ps, "roughness", 0.1)
         elif mname == "retroreflective":
             # fork material (materials/retroreflective.cpp)
             m.type = ir.MAT_RETRO
-            m.kd = self._spectrum_or_texture(ps, "Kd", 0.5)
-            m.ks = self._spectrum_or_texture(ps, "Ks", 0.5)
+            m.kd, m.kd_tex = self._spectrum_or_texture(ps, "Kd", 0.5)
+            m.ks, m.ks_tex = self._spectrum_or_texture(ps, "Ks", 0.5)
             m.rough_u = m.rough_v = self._float_or_texture(
                 ps, "roughness", 0.1)
         elif mname == "disney":
             m.type = ir.MAT_DISNEY
-            m.kd = self._spectrum_or_texture(ps, "color", 0.5)
+            m.kd = self._spectrum_or_texture(ps, "color", 0.5)[0]
             m.rough_u = m.rough_v = self._float_or_texture(
                 ps, "roughness", 0.5)
             m.eta = self._float_or_texture(ps, "eta", 1.5)
@@ -512,7 +561,7 @@ class PbrtAPI:
                        "kdsubsurface"):
             log.warning("material %r approximated as matte (v1)", mname)
             m.type = ir.MAT_MATTE
-            m.kd = self._spectrum_or_texture(ps, "Kd", 0.5)
+            m.kd = self._spectrum_or_texture(ps, "Kd", 0.5)[0][0]
         else:
             log.warning("unknown material %r -> matte", mname)
             m.type = ir.MAT_MATTE

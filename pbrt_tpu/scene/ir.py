@@ -116,8 +116,12 @@ class SceneData:
     env_to_world: jnp.ndarray    # [4,4]
     env_to_light: jnp.ndarray    # [4,4]
 
-    # --- image texture atlas (v1: none; placeholder 1x1) ---
-    tex_atlas: jnp.ndarray       # [1,1,31]
+    # --- texture table (textures/textures.py) ---
+    tex_images: jnp.ndarray      # [T,RES,RES,3]
+    tex_type: jnp.ndarray        # [T]
+    tex_params: jnp.ndarray      # [T,8]
+    tex_c1: jnp.ndarray          # [T,3]
+    tex_c2: jnp.ndarray          # [T,3]
 
     # --- dense MXU intersector tables (ops/pallas_intersect.py) ---
     dense_w: jnp.ndarray       # [16, 5*Pp]
@@ -177,6 +181,8 @@ class MaterialSpec:
     sigma: float = 0.0
     opacity: np.ndarray = None
     remap_roughness: bool = True
+    kd_tex: int = -1
+    ks_tex: int = -1
     name: str = ""
 
     def resolved(self):
@@ -211,6 +217,8 @@ class SceneBuilder:
         self._mesh_light_tris = {}  # light idx -> list of prim indices
         self.instance_names = {}
         self.material_names = {}
+        from pbrt_tpu.textures.textures import TextureTable
+        self.textures = TextureTable()
 
     @property
     def n_prims(self):
@@ -496,6 +504,7 @@ class SceneBuilder:
         marg = np.zeros(He + 1, np.float32)
         marg[1:] = np.cumsum(cond_int) / max(cond_int.sum(), 1e-20)
 
+        tex_imgs, tex_t, tex_p, tex_a, tex_b = self.textures.arrays()
         world_lo = lo.min(0) if P else np.zeros(3)
         world_hi = hi.max(0) if P else np.ones(3)
         world_radius = 0.5 * float(np.linalg.norm(world_hi - world_lo)) + 1e-3
@@ -551,8 +560,8 @@ class SceneBuilder:
             mat_sigma=jnp.asarray([m.sigma for m in mats], f32),
             mat_opacity=jnp.asarray(mcol("opacity")),
             mat_remap_rough=jnp.asarray([m.remap_roughness for m in mats], bool),
-            mat_kd_tex=jnp.full((M,), -1, jnp.int32),
-            mat_ks_tex=jnp.full((M,), -1, jnp.int32),
+            mat_kd_tex=jnp.asarray([m.kd_tex for m in mats], jnp.int32),
+            mat_ks_tex=jnp.asarray([m.ks_tex for m in mats], jnp.int32),
             mat_bump_tex=jnp.full((M,), -1, jnp.int32),
             light_type=jnp.asarray([l["type"] for l in lights], jnp.int32),
             light_L=jnp.asarray(np.stack([l["L"] for l in lights]), f32),
@@ -570,7 +579,9 @@ class SceneBuilder:
             env_cond_int=jnp.asarray(cond_int.astype(np.float32)),
             env_to_world=jnp.asarray(env_to_world),
             env_to_light=jnp.asarray(np.linalg.inv(env_to_world.astype(np.float64)).astype(np.float32)),
-            tex_atlas=jnp.zeros((1, 1, spec.N_SPECTRAL_SAMPLES), f32),
+            tex_images=jnp.asarray(tex_imgs), tex_type=jnp.asarray(tex_t),
+            tex_params=jnp.asarray(tex_p), tex_c1=jnp.asarray(tex_a),
+            tex_c2=jnp.asarray(tex_b),
             dense_w=jnp.asarray(dtab["W"]),
             dense_nv0=jnp.asarray(dtab["nv0"]),
             dense_cb=jnp.asarray(dtab["chunk_bounds"]),

@@ -1,0 +1,209 @@
+"""Texture evaluation (reference: src/core/texture.{h,cpp} +
+src/textures/*).
+
+Device representation: a stacked RGB texture array [T, RES, RES, 3]
+(images resampled at scene compile; RGB->spectrum promotion happens at
+shading with the Smits bases so storage stays 3-channel), plus a typed
+parameter table for procedural textures.  Evaluation is a masked switch —
+the wavefront analog of Texture<T>::Evaluate virtual dispatch.
+
+Types: image (bilinear; trilinear mip later), checkerboard (2D),
+uv, dots, fbm/wrinkled/marble/windy (Perlin family, core/texture.cpp),
+constant/scale/mix are folded at parse time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from pbrt_tpu.core import spectrum as spec
+
+TEX_IMAGE = 0
+TEX_CHECKER = 1
+TEX_UV = 2
+TEX_DOTS = 3
+TEX_FBM = 4
+TEX_MARBLE = 5
+TEX_WINDY = 6
+TEX_WRINKLED = 7
+
+RES = 256
+
+
+# ---------------------------------------------------------------------------
+# Perlin noise (reference: core/texture.cpp Noise/FBm/Turbulence)
+# ---------------------------------------------------------------------------
+
+def _perm():
+    rs = np.random.RandomState(1234)
+    p = rs.permutation(256)
+    return np.concatenate([p, p]).astype(np.int32)
+
+_PERM = _perm()
+
+
+def _grad(h, x, y, z):
+    h = h & 15
+    u = jnp.where(h < 8, x, y)
+    v = jnp.where(h < 4, y, jnp.where((h == 12) | (h == 14), x, z))
+    return jnp.where(h & 1 == 0, u, -u) + jnp.where(h & 2 == 0, v, -v)
+
+
+def perlin(p):
+    """Classic Perlin noise at [...,3] points; ~[-1,1]."""
+    perm = jnp.asarray(_PERM)
+    pi = jnp.floor(p).astype(jnp.int32) & 255
+    pf = p - jnp.floor(p)
+    w = pf * pf * pf * (pf * (pf * 6 - 15) + 10)
+
+    def hash3(dx, dy, dz):
+        return perm[perm[perm[pi[..., 0] + dx] + pi[..., 1] + dy]
+                    + pi[..., 2] + dz]
+
+    def g(dx, dy, dz):
+        return _grad(hash3(dx, dy, dz), pf[..., 0] - dx, pf[..., 1] - dy,
+                     pf[..., 2] - dz)
+
+    def lerp(t, a, b):
+        return a + t * (b - a)
+
+    x00 = lerp(w[..., 0], g(0, 0, 0), g(1, 0, 0))
+    x10 = lerp(w[..., 0], g(0, 1, 0), g(1, 1, 0))
+    x01 = lerp(w[..., 0], g(0, 0, 1), g(1, 0, 1))
+    x11 = lerp(w[..., 0], g(0, 1, 1), g(1, 1, 1))
+    y0 = lerp(w[..., 1], x00, x10)
+    y1 = lerp(w[..., 1], x01, x11)
+    return lerp(w[..., 2], y0, y1)
+
+
+def fbm(p, octaves=6, omega=0.5):
+    total = jnp.zeros(p.shape[:-1])
+    lam, o = 1.0, 1.0
+    for _ in range(octaves):
+        total = total + o * perlin(p * lam)
+        lam *= 1.99
+        o *= omega
+    return total
+
+
+def turbulence(p, octaves=6, omega=0.5):
+    total = jnp.zeros(p.shape[:-1])
+    lam, o = 1.0, 1.0
+    for _ in range(octaves):
+        total = total + o * jnp.abs(perlin(p * lam))
+        lam *= 1.99
+        o *= omega
+    return total
+
+
+# ---------------------------------------------------------------------------
+# device-side evaluation
+# ---------------------------------------------------------------------------
+
+def eval_texture(tex_images, tex_type, tex_params, tex_c1, tex_c2,
+                 tex_idx, uv, p_world):
+    """Evaluate texture `tex_idx` [B] at uv [B,2] / world point [B,3].
+
+    tex_images [T,RES,RES,3]; returns RGB [B,3] (promote to spectrum at
+    the call site).  tex_idx<0 lanes return 1 (caller keeps constants).
+    """
+    B = uv.shape[0]
+    ti = jnp.clip(tex_idx, 0, tex_type.shape[0] - 1)
+    tt = tex_type[ti]
+    pr = tex_params[ti]        # [B,8]: us, vs, du, dv, ...
+    us, vs = pr[:, 0], pr[:, 1]
+    u = uv[:, 0] * us + pr[:, 2]
+    v = uv[:, 1] * vs + pr[:, 3]
+
+    # image: bilinear, repeat wrap (imagemap.h wrap "repeat" default)
+    fu = (u % 1.0) * (RES - 1)
+    fv = (v % 1.0) * (RES - 1)
+    iu0 = fu.astype(jnp.int32)
+    iv0 = fv.astype(jnp.int32)
+    iu1 = jnp.minimum(iu0 + 1, RES - 1)
+    iv1 = jnp.minimum(iv0 + 1, RES - 1)
+    du = (fu - iu0)[:, None]
+    dv = (fv - iv0)[:, None]
+    # per-lane bilinear fetch: [B,3] gathers (no whole-image gather)
+    c_img = ((tex_images[ti, iv0, iu0] * (1 - du)
+              + tex_images[ti, iv0, iu1] * du) * (1 - dv)
+             + (tex_images[ti, iv1, iu0] * (1 - du)
+                + tex_images[ti, iv1, iu1] * du) * dv)
+
+    c1 = tex_c1[ti]            # [B,3]
+    c2 = tex_c2[ti]
+    # checkerboard (textures/checkerboard.cpp, AA-free closed form)
+    check = ((jnp.floor(u) + jnp.floor(v)).astype(jnp.int32) % 2) == 0
+    c_check = jnp.where(check[:, None], c1, c2)
+    # uv debug texture
+    c_uv = jnp.stack([u % 1.0, v % 1.0, jnp.zeros(B)], -1)
+    # polka dots (textures/dots.cpp): hash cell center, radius .35
+    cu, cv = jnp.floor(u + 0.5), jnp.floor(v + 0.5)
+    h = perlin(jnp.stack([cu + 0.5, cv + 0.5, jnp.zeros(B)], -1))
+    has_dot = h > 0
+    # pseudo-random center offset via noise
+    cx = cu + 0.35 * perlin(jnp.stack([cu, cv, jnp.full(B, 1.5)], -1))
+    cy = cv + 0.35 * perlin(jnp.stack([cu, cv, jnp.full(B, 4.5)], -1))
+    inside = ((u - cx) ** 2 + (v - cy) ** 2) < 0.35 ** 2
+    c_dots = jnp.where((has_dot & inside)[:, None], c1, c2)
+    # noise family over world position
+    pw = p_world * pr[:, 4:5] + pr[:, 5:6]
+    n_fbm = fbm(pw)[:, None]
+    c_fbm = jnp.clip(0.5 + 0.5 * n_fbm, 0.0, 1.0) * jnp.ones((B, 3))
+    n_wri = turbulence(pw)[:, None]
+    c_wri = jnp.clip(n_wri, 0.0, 1.0) * jnp.ones((B, 3))
+    # marble (texture.cpp MarbleTexture): sin over fbm-perturbed axis
+    marb = jnp.sin(pw[:, 1] * 4.0 + 10.0 * fbm(pw, 3))[:, None]
+    c_marble = (0.6 + 0.4 * marb) * jnp.asarray([[0.9, 0.85, 0.8]])
+    c_windy = (jnp.abs(fbm(pw * 0.1, 3)) * turbulence(pw, 6))[:, None] \
+        * jnp.ones((B, 3))
+
+    out = c_img
+    out = jnp.where((tt == TEX_CHECKER)[:, None], c_check, out)
+    out = jnp.where((tt == TEX_UV)[:, None], c_uv, out)
+    out = jnp.where((tt == TEX_DOTS)[:, None], c_dots, out)
+    out = jnp.where((tt == TEX_FBM)[:, None], c_fbm, out)
+    out = jnp.where((tt == TEX_MARBLE)[:, None], c_marble, out)
+    out = jnp.where((tt == TEX_WINDY)[:, None], c_windy, out)
+    out = jnp.where((tt == TEX_WRINKLED)[:, None], c_wri, out)
+    return jnp.where((tex_idx >= 0)[:, None], out, 1.0)
+
+
+class TextureTable:
+    """Host-side texture registry built during parsing."""
+
+    def __init__(self):
+        self.images = [np.ones((RES, RES, 3), np.float32)]
+        self.types = [TEX_IMAGE]
+        self.params = [np.zeros(8, np.float32)]
+        self.c1 = [np.ones(3, np.float32)]
+        self.c2 = [np.zeros(3, np.float32)]
+
+    def add(self, ttype, image=None, uscale=1.0, vscale=1.0, udelta=0.0,
+            vdelta=0.0, wscale=1.0, c1=(1, 1, 1), c2=(0, 0, 0)):
+        if image is not None:
+            from PIL import Image as PILImage
+            if isinstance(image, str):
+                img = np.asarray(PILImage.open(image).convert("RGB"),
+                                 np.float32) / 255.0
+                img = img ** 2.2
+            else:
+                img = np.asarray(image, np.float32)
+            pi = PILImage.fromarray(
+                (np.clip(img, 0, 1) * 255).astype(np.uint8)).resize(
+                (RES, RES))
+            img = (np.asarray(pi, np.float32) / 255.0) ** 1.0
+            self.images.append(img)
+        else:
+            self.images.append(np.ones((RES, RES, 3), np.float32))
+        self.types.append(ttype)
+        self.params.append(np.asarray(
+            [uscale, vscale, udelta, vdelta, wscale, 0, 0, 0], np.float32))
+        self.c1.append(np.asarray(c1, np.float32))
+        self.c2.append(np.asarray(c2, np.float32))
+        return len(self.types) - 1
+
+    def arrays(self):
+        return (np.stack(self.images), np.asarray(self.types, np.int32),
+                np.stack(self.params), np.stack(self.c1), np.stack(self.c2))

@@ -1,0 +1,83 @@
+"""Texture system tests (reference: src/textures/*)."""
+import numpy as np
+import jax.numpy as jnp
+
+from pbrt_tpu.parser.api import PbrtAPI
+from pbrt_tpu.textures import textures as tex
+
+
+def _render_scene(text, n=16, spp=8):
+    from pbrt_tpu.tools.pbrt import run_job
+    api = PbrtAPI()
+    job = api.parse_string(text)
+    from pbrt_tpu.film import film as filmmod
+    film, camera = run_job(job, spp=spp, progress=False, quiet=True)
+    return np.asarray(filmmod.develop_rgb(film)), job
+
+
+CHECKER_SCENE = """
+LookAt 0 0 -3  0 0 0  0 1 0
+Camera "perspective" "float fov" [40]
+Film "image" "integer xresolution" [32] "integer yresolution" [32]
+Sampler "sobol" "integer pixelsamples" [8]
+Integrator "path" "integer maxdepth" [1]
+WorldBegin
+LightSource "distant" "color L" [3 3 3] "point from" [0 0 -1] "point to" [0 0 0]
+Texture "checks" "color" "checkerboard" "float uscale" [4] "float vscale" [4]
+    "color tex1" [1 0 0] "color tex2" [0 0 1]
+Material "matte" "texture Kd" "checks"
+Shape "trianglemesh" "point P" [-2 -2 0 2 -2 0 2 2 0 -2 2 0]
+    "float uv" [0 0 1 0 1 1 0 1]
+    "integer indices" [0 2 1 2 0 3]
+WorldEnd
+"""
+
+
+def test_checkerboard_renders_two_colors():
+    img, job = _render_scene(CHECKER_SCENE)
+    assert job.scene.tex_type.shape[0] == 2  # default + checker
+    lit = img[img.sum(-1) > 0.05]
+    assert len(lit) > 100
+    red = lit[:, 0] > lit[:, 2]
+    # both colors present in roughly equal proportion
+    assert 0.25 < red.mean() < 0.75, red.mean()
+    # strongly saturated: red cells have low blue and vice versa
+    assert (lit[red][:, 0] / np.maximum(lit[red][:, 2], 1e-6)).mean() > 3
+
+
+def test_perlin_noise_range_and_smoothness():
+    rs = np.random.RandomState(0)
+    p = jnp.asarray(rs.rand(1000, 3).astype(np.float32) * 10)
+    n = np.asarray(tex.perlin(p))
+    assert np.abs(n).max() <= 1.5
+    assert n.std() > 0.05
+    # smoothness: tiny perturbation changes noise only slightly
+    n2 = np.asarray(tex.perlin(p + 1e-4))
+    assert np.abs(n2 - n).max() < 1e-2
+
+
+def test_image_texture_eval():
+    img = np.zeros((8, 8, 3), np.float32)
+    img[:, :4] = [1, 0, 0]
+    img[:, 4:] = [0, 1, 0]
+    tt = tex.TextureTable()
+    tid = tt.add(tex.TEX_IMAGE, image=img)
+    imgs, types, params, c1, c2 = tt.arrays()
+    uv = jnp.asarray([[0.2, 0.5], [0.8, 0.5]])
+    out = np.asarray(tex.eval_texture(
+        jnp.asarray(imgs), jnp.asarray(types), jnp.asarray(params),
+        jnp.asarray(c1), jnp.asarray(c2),
+        jnp.full(2, tid, jnp.int32), uv, jnp.zeros((2, 3))))
+    assert out[0, 0] > 0.8 and out[0, 1] < 0.2      # left = red
+    assert out[1, 1] > 0.8 and out[1, 0] < 0.2      # right = green
+
+
+def test_constant_material_unaffected():
+    # lanes with tex_idx=-1 return 1.0 (constants keep their value)
+    tt = tex.TextureTable()
+    imgs, types, params, c1, c2 = tt.arrays()
+    out = np.asarray(tex.eval_texture(
+        jnp.asarray(imgs), jnp.asarray(types), jnp.asarray(params),
+        jnp.asarray(c1), jnp.asarray(c2),
+        jnp.full(3, -1, jnp.int32), jnp.zeros((3, 2)), jnp.zeros((3, 3))))
+    assert np.allclose(out, 1.0)
