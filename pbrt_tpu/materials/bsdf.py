@@ -292,24 +292,69 @@ def fresnel_blend_f(rd, rs, wo, wi, ax, ay):
 
 def _masks(t):
     has_diff = ((t == ir.MAT_MATTE) | (t == ir.MAT_PLASTIC)
-                | (t == ir.MAT_UBER))
-    has_ggx_diel = (t == ir.MAT_PLASTIC) | (t == ir.MAT_UBER)
+                | (t == ir.MAT_UBER) | (t == ir.MAT_DISNEY)
+                | (t == ir.MAT_RETRO))
+    has_ggx_diel = ((t == ir.MAT_PLASTIC) | (t == ir.MAT_UBER)
+                    | (t == ir.MAT_DISNEY))
     is_metal = t == ir.MAT_METAL
     is_substrate = t == ir.MAT_SUBSTRATE
     is_mirror = t == ir.MAT_MIRROR
     is_glass = t == ir.MAT_GLASS
+    is_rough_glass = t == ir.MAT_ROUGHGLASS
+    is_translucent = t == ir.MAT_TRANSLUCENT
+    is_retro = t == ir.MAT_RETRO
     is_delta = is_mirror | is_glass
     n_lobes = (has_diff.astype(jnp.float32) + has_ggx_diel + is_metal
-               + is_substrate)
+               + is_substrate + 2 * is_rough_glass + 2 * is_translucent
+               + is_retro)
     return (has_diff, has_ggx_diel, is_metal, is_substrate, is_mirror,
-            is_glass, is_delta, jnp.maximum(n_lobes, 1.0))
+            is_glass, is_delta, jnp.maximum(n_lobes, 1.0),
+            is_rough_glass, is_translucent, is_retro)
+
+
+def _retro_d(cos_r, alpha):
+    """Retro lobe density over the hemisphere, peaked at wi == wo
+    (behavioral model of the fork's RetroReflection microfacet lobes,
+    materials/retroreflective.cpp:80-174): GGX-shaped in the angle to wo,
+    approximately normalized over the hemisphere."""
+    a2 = jnp.maximum(alpha * alpha, 1e-6)
+    c = jnp.clip(cos_r, -1.0, 1.0)
+    d = a2 / (jnp.pi * ((c * c) * (a2 - 1.0) + 1.0) ** 2)
+    return d
+
+
+def _rough_transmission(params, wo, wi):
+    """MicrofacetTransmission f and pdf (reflection.cpp:451, microfacet.h
+    Pdf with dwh/dwi change of variables).  Valid on opposite hemispheres."""
+    ax, ay = jnp.maximum(params.rough_u, 1e-4), jnp.maximum(params.rough_v, 1e-4)
+    co = cos_theta(wo)
+    ci = cos_theta(wi)
+    eta = jnp.where(co > 0, params.eta, 1.0 / params.eta)
+    wh = geom.normalize(wo + wi * eta[..., None])
+    wh = jnp.where(wh[..., 2:3] < 0, -wh, wh)
+    dwo = geom.dot(wo, wh)
+    dwi = geom.dot(wi, wh)
+    ok = (dwo * dwi < 0) & (jnp.abs(co) > 1e-6) & (jnp.abs(ci) > 1e-6)
+    F = fresnel_dielectric(dwo, 1.0, params.eta)
+    sqrt_denom = dwo + eta * dwi
+    d = ggx_d(wh, ax, ay)
+    g = ggx_g(wo, wi, ax, ay)
+    factor = 1.0 / eta      # radiance transport scaling
+    f_val = ((1.0 - F) * jnp.abs(
+        d * g * eta * eta * jnp.abs(dwi) * jnp.abs(dwo) * factor * factor
+        / jnp.maximum(jnp.abs(ci * co) * sqrt_denom * sqrt_denom, 1e-9)))
+    f = params.kt * jnp.where(ok, f_val, 0.0)[..., None]
+    dwh_dwi = jnp.abs(eta * eta * dwi) / jnp.maximum(
+        sqrt_denom * sqrt_denom, 1e-9)
+    pdf = jnp.where(ok, ggx_pdf_wh(wo, wh, ax, ay) * dwh_dwi, 0.0)
+    return f, pdf
 
 
 def eval_f(params: MaterialParams, wo, wi):
     """f(wo, wi) for non-delta lobes, local frame; [B,31]."""
     t = params.type
     (has_diff, has_ggx_diel, is_metal, is_substrate, _, _, is_delta,
-     _) = _masks(t)
+     _, is_rglass, is_transl, is_retro) = _masks(t)
     co = abs_cos_theta(wo)
     ci = abs_cos_theta(wi)
     valid = (co > 1e-6) & (ci > 1e-6) & ~is_delta & (t != ir.MAT_NONE)
@@ -327,10 +372,15 @@ def eval_f(params: MaterialParams, wo, wi):
     wh_ok = geom.length(wh_raw) > 1e-9
     wh = geom.normalize(jnp.where(wh_ok[..., None], wh_raw,
                                   jnp.asarray([0.0, 0.0, 1.0])))
-    # dielectric-coat microfacet (plastic/uber)
+    # dielectric-coat microfacet (plastic/uber/roughglass reflection)
     F_diel = fresnel_dielectric(geom.dot(wi, wh), 1.0, params.eta)[..., None]
     f_spec_d = microfacet_reflection_f(params.ks, wo, wi, ax, ay, F_diel)
     f = f + jnp.where((has_ggx_diel & (ax > 0))[..., None], f_spec_d, 0.0)
+    f_rg_refl = microfacet_reflection_f(params.kr, wo, wi, ax, ay, F_diel)
+    f = f + jnp.where((is_rglass & refl)[..., None], f_rg_refl, 0.0)
+    # rough-glass transmission
+    f_rg_t, _ = _rough_transmission(params, wo, wi)
+    f = f + jnp.where((is_rglass & ~refl)[..., None], f_rg_t, 0.0)
     # conductor microfacet (metal) — ks holds the scale (1 by default)
     F_cond = fresnel_conductor(geom.dot(wi, wh), params.eta_spec,
                                params.k_spec)
@@ -339,20 +389,39 @@ def eval_f(params: MaterialParams, wo, wi):
     # substrate
     f_sub = fresnel_blend_f(params.kd, params.ks, wo, wi, ax, ay)
     f = f + jnp.where(is_substrate[..., None], f_sub, 0.0)
+    # translucent: lambertian reflection + transmission scaled by kr/kt
+    # (materials/translucent.cpp)
+    f_tr_r = params.kr * params.kd * INV_PI
+    f_tr_t = params.kt * params.kd * INV_PI
+    f = f + jnp.where((is_transl & refl)[..., None], f_tr_r, 0.0)
+    f = f + jnp.where((is_transl & ~refl)[..., None], f_tr_t, 0.0)
+    # fork retroreflective lobe: peaked at wi == wo
+    cos_r = geom.dot(wi, wo)
+    f_ret = params.ks * _retro_d(cos_r, jnp.maximum(ax, 1e-3))[..., None]
+    f = f + jnp.where((is_retro & refl)[..., None], f_ret, 0.0)
     return jnp.where(valid[..., None], f, 0.0)
 
 
 def pdf_f(params: MaterialParams, wo, wi):
     t = params.type
     (has_diff, has_ggx_diel, is_metal, is_substrate, _, _, is_delta,
-     n_lobes) = _masks(t)
+     n_lobes, is_rglass, is_transl, is_retro) = _masks(t)
     refl = same_hemisphere(wo, wi)
     pdf_diff = jnp.where(refl, abs_cos_theta(wi) * INV_PI, 0.0)
     ax, ay = params.rough_u, params.rough_v
     pdf_ggx = microfacet_reflection_pdf(wo, wi, ax, ay)
+    _, pdf_rg_t = _rough_transmission(params, wo, wi)
+    pdf_transl = abs_cos_theta(wi) * INV_PI   # either hemisphere
+    cos_r = geom.dot(wi, wo)
+    pdf_retro = jnp.where(refl, _retro_d(cos_r, jnp.maximum(ax, 1e-3))
+                          * jnp.abs(cos_r), 0.0)
     pdf = (jnp.where(has_diff, pdf_diff, 0.0)
            + jnp.where((has_ggx_diel | is_metal) & (ax > 0), pdf_ggx, 0.0)
-           + jnp.where(is_substrate, 0.5 * (pdf_diff + pdf_ggx), 0.0))
+           + jnp.where(is_substrate, 0.5 * (pdf_diff + pdf_ggx), 0.0)
+           + jnp.where(is_rglass, jnp.where(refl, pdf_ggx, 0.0)
+                       + pdf_rg_t, 0.0)
+           + jnp.where(is_transl, 2.0 * 0.5 * pdf_transl, 0.0)
+           + jnp.where(is_retro, pdf_retro, 0.0))
     pdf = pdf / n_lobes
     return jnp.where(is_delta | (t == ir.MAT_NONE), 0.0, pdf)
 
@@ -365,7 +434,7 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2):
     """
     t = params.type
     (has_diff, has_ggx_diel, is_metal, is_substrate, is_mirror, is_glass,
-     is_delta, n_lobes) = _masks(t)
+     is_delta, n_lobes, is_rglass, is_transl, is_retro) = _masks(t)
     ax, ay = params.rough_u, params.rough_v
     sgn = jnp.sign(wo[..., 2:3])
 
@@ -374,11 +443,37 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2):
         [jnp.ones_like(sgn), jnp.ones_like(sgn), sgn], -1)
     wh = ggx_sample_wh(wo, u1, u2, jnp.maximum(ax, 1e-4), jnp.maximum(ay, 1e-4))
     wi_ggx = geom.reflect(wo, wh)
+    # rough-glass transmission: refract wo about sampled wh
+    eta_rg = jnp.where(cos_theta(wo) > 0, 1.0 / params.eta, params.eta)
+    can_rt, wi_rt = geom.refract(wo, jnp.where(
+        geom.dot(wo, wh)[..., None] >= 0, wh, -wh), eta_rg)
+    # retro lobe: GGX-shaped spread around +wo
+    a2 = jnp.maximum(ax, 1e-3) ** 2
+    cos_rr = jnp.sqrt(jnp.maximum(
+        (1.0 - u1) / jnp.maximum(u1 * (a2 - 1.0) + 1.0, 1e-9), 0.0))
+    sin_rr = jnp.sqrt(jnp.maximum(1.0 - cos_rr * cos_rr, 0.0))
+    phi_r = 2 * PI * u2
+    b1v, b2v = geom.coordinate_system(wo)
+    wi_retro = geom.normalize(
+        (sin_rr * jnp.cos(phi_r))[..., None] * b1v
+        + (sin_rr * jnp.sin(phi_r))[..., None] * b2v
+        + cos_rr[..., None] * wo)
 
     # choose among lobes: uniform over present lobes (pbrt BSDF::Sample_f)
     two_lobe = has_ggx_diel | is_substrate
     pick_spec = (two_lobe & (u_lobe >= 0.5)) | is_metal
     wi = jnp.where(pick_spec[..., None], wi_ggx, wi_diff)
+    # rough glass: reflect/transmit half-half
+    wi_rg = jnp.where((u_lobe < 0.5)[..., None], wi_ggx,
+                      jnp.where(can_rt[..., None], wi_rt, wi_ggx))
+    wi = jnp.where(is_rglass[..., None], wi_rg, wi)
+    # translucent: flip hemisphere for the transmission half
+    wi_tr = jnp.where((u_lobe < 0.5)[..., None], wi_diff,
+                      wi_diff * jnp.asarray([1.0, 1.0, -1.0]))
+    wi = jnp.where(is_transl[..., None], wi_tr, wi)
+    # retro: diffuse half / retro half
+    wi_re = jnp.where((u_lobe < 0.5)[..., None], wi_diff, wi_retro)
+    wi = jnp.where(is_retro[..., None], wi_re, wi)
 
     # delta lobes
     wi_mirror = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
@@ -411,9 +506,9 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2):
     f = jnp.where(is_glass[..., None], f_glass, f)
     pdf = jnp.where(is_glass, pdf_glass, pdf)
 
-    transmitted = is_glass & ~do_reflect
+    transmitted = (is_glass & ~do_reflect) |         (is_rglass & ~same_hemisphere(wo, wi)) |         (is_transl & ~same_hemisphere(wo, wi))
     # etaScale update: eta^2 entering, 1/eta^2 exiting (path.cpp:150-156)
-    eta_fac = jnp.where(transmitted,
+    eta_fac = jnp.where(transmitted & (is_glass | is_rglass),
                         jnp.where(entering, params.eta ** 2,
                                   1.0 / params.eta ** 2), 1.0)
     return wi, f, pdf, is_delta, transmitted, eta_fac
