@@ -66,10 +66,30 @@ class _Node:
 
 
 def build_bvh(prim_lo, prim_hi, max_leaf_size=4, split_method="sah"):
-    """Build a BVH over primitive AABBs.  prim_lo/hi: [P,3]."""
+    """Build a BVH over primitive AABBs.  prim_lo/hi: [P,3].
+
+    Uses the native C++ builder (native/bvh_builder.cc) when available and
+    the scene is non-trivial; the numpy path below is the drop-in fallback
+    and the reference implementation for tests.
+    """
     prim_lo = np.asarray(prim_lo, dtype=np.float64)
     prim_hi = np.asarray(prim_hi, dtype=np.float64)
     n = prim_lo.shape[0]
+    if split_method == "sah" and n >= 512:
+        from pbrt_tpu.native.build import build_bvh_native
+        res = build_bvh_native(prim_lo, prim_hi, max_leaf_size)
+        if res is not None:
+            packed, hit, miss, order = res
+            N = packed.shape[0]
+            leaf_bits = packed[:, 6].view(np.int32)
+            return FlatBVH(
+                packed=packed, hit_links=hit, miss_links=miss,
+                prim_order=order, n_nodes=N, max_leaf_size=max_leaf_size,
+                lo=packed[:, :3], hi=packed[:, 3:6],
+                prim_offset=np.where(leaf_bits >= 0, leaf_bits >> 5, -1)
+                .astype(np.int32),
+                prim_count=np.where(leaf_bits >= 0, leaf_bits & 31, 0)
+                .astype(np.int32))
     if n == 0:
         packed = np.zeros((1, 8), np.float32)
         packed[0, :3] = 0
