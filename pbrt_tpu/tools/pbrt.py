@@ -143,22 +143,32 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     from pbrt_tpu.parser.api import parse_scene
-    t0 = time.time()
-    job = parse_scene(args.scene)
+    from pbrt_tpu.utils.stats import Stats, count_render_work
+    stats = Stats()
+    with stats.phase("Parsing + scene compile"):
+        job = parse_scene(args.scene)
     if not args.quiet:
-        print(f"parsed + compiled scene in {time.time()-t0:.1f}s "
+        print(f"parsed + compiled scene in "
+              f"{stats.times['Parsing + scene compile']:.1f}s "
               f"({job.scene.n_prims} prims, {job.scene.n_nodes} BVH nodes, "
               f"{job.scene.n_lights} lights)")
     spp = 1 if args.quick else args.spp
     max_depth = 3 if args.quick else args.maxdepth
-    t0 = time.time()
-    film, camera = run_job(job, spp=spp, max_depth=max_depth,
-                           quiet=args.quiet)
-    dt = time.time() - t0
+    with stats.phase("Rendering"):
+        film, camera = run_job(job, spp=spp, max_depth=max_depth,
+                               quiet=args.quiet)
+    dt = stats.times["Rendering"]
+    eff_spp = spp or job.spp
+    eff_depth = max_depth or job.integrator_params["maxdepth"]
+    count_render_work(stats, job.film_width, job.film_height, eff_spp,
+                      eff_depth, job.scene.n_prims, job.scene.n_lights)
     if not args.quiet:
-        n_rays = job.film_width * job.film_height * (spp or job.spp)
+        n_rays = job.film_width * job.film_height * eff_spp
         print(f"rendered in {dt:.1f}s ({n_rays/dt:,.0f} camera rays/s)")
-    write_outputs(job, film, args.outfile, args.quiet)
+    with stats.phase("Film output"):
+        write_outputs(job, film, args.outfile, args.quiet)
+    if not args.quiet:
+        stats.report()
     return 0
 
 

@@ -1,0 +1,82 @@
+"""Render statistics + profiling phases (reference: src/core/stats.{h,cpp}).
+
+The reference registers per-thread STAT_* counters merged at exit plus a
+100 Hz SIGPROF sampling profiler over 45 phases.  The TPU-native
+equivalents:
+
+* counters: accumulated host-side per pass (ray/path counts are products
+  of static batch shapes — the wavefront design makes most of the
+  reference's atomic counters compile-time arithmetic);
+* phases: wall-clock context timers, and `jax.profiler` trace annotations
+  (`phase(...)` doubles as a TraceAnnotation) so xprof/tensorboard shows
+  the same phase breakdown the reference's hierarchical report prints.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+
+
+class Stats:
+    """Category/name counters + phase timers (PrintStats, api.cpp:1726)."""
+
+    def __init__(self):
+        self.counters = defaultdict(int)
+        self.times = defaultdict(float)
+        self._active = {}
+
+    def add(self, name, value=1):
+        self.counters[name] += int(value)
+
+    @contextmanager
+    def phase(self, name):
+        """Timer + jax profiler annotation (ProfilePhase, stats.h:141)."""
+        t0 = time.time()
+        try:
+            import jax.profiler
+            ann = jax.profiler.TraceAnnotation(name)
+            ann.__enter__()
+        except Exception:
+            ann = None
+        try:
+            yield
+        finally:
+            if ann is not None:
+                ann.__exit__(None, None, None)
+            self.times[name] += time.time() - t0
+
+    def report(self, out=print):
+        out("Statistics:")
+        cats = defaultdict(list)
+        for name, v in sorted(self.counters.items()):
+            cat, _, item = name.partition("/")
+            cats[cat].append((item or cat, v))
+        for cat in sorted(cats):
+            out(f"  {cat}")
+            for item, v in cats[cat]:
+                out(f"    {item:<42}{v:>16,d}")
+        if self.times:
+            total = sum(self.times.values())
+            out("  Profile (wall clock)")
+            for name, t in sorted(self.times.items(), key=lambda kv: -kv[1]):
+                pct = 100.0 * t / max(total, 1e-9)
+                out(f"    {name:<42}{t:>10.2f}s ({pct:4.1f}%)")
+
+
+#: process-wide collector (the reference's static registry)
+GLOBAL = Stats()
+
+
+def count_render_work(stats, width, height, spp, max_depth, n_prims,
+                      n_lights):
+    """Record the deterministic wavefront work counters (the reference's
+    'Integrator/Camera rays traced' family, spectralpath.cpp:47-50)."""
+    cam_rays = width * height * spp
+    stats.add("Integrator/Camera rays traced", cam_rays)
+    stats.add("Integrator/Closest-hit rays", cam_rays * (max_depth + 1))
+    stats.add("Integrator/Shadow rays", cam_rays * max_depth *
+              (1 if n_lights else 0))
+    stats.add("Scene/Primitives", n_prims)
+    stats.add("Scene/Lights", n_lights)

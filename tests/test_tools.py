@@ -1,0 +1,91 @@
+"""Tool-suite tests (reference: src/tools/*)."""
+import struct
+import numpy as np
+
+from pbrt_tpu.film import io as fio
+
+
+def test_imgtool_convert_and_diff(tmp_path, capsys):
+    from pbrt_tpu.tools import imgtool
+    img = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32) * 2
+    a = str(tmp_path / "a.exr")
+    fio.write_exr(a, img)
+    out = str(tmp_path / "a.png")
+    assert imgtool.main(["convert", a, out, "--tonemap"]) == 0
+    # identical diff passes, perturbed fails tolerance 0
+    assert imgtool.main(["diff", a, a]) == 0
+    b = str(tmp_path / "b.exr")
+    fio.write_exr(b, img * 1.2)
+    assert imgtool.main(["diff", a, b]) == 1
+    assert imgtool.main(["diff", a, b, "--difftol", "50"]) == 0
+    assert imgtool.main(["info", a]) == 0
+
+
+def test_imgtool_makesky(tmp_path):
+    from pbrt_tpu.tools import imgtool
+    out = str(tmp_path / "sky.pfm")
+    assert imgtool.main(["makesky", out, "--resolution", "32",
+                         "--elevation", "40"]) == 0
+    sky = fio.read_pfm(out)
+    assert sky.shape == (32, 64, 3)
+    # upper hemisphere brighter than below-horizon fill
+    assert sky[:16].mean() > sky[20:].mean()
+    # sky is blue-ish away from the sun
+    patch = sky[4, 40:55]
+    assert patch[:, 2].mean() > patch[:, 0].mean()
+
+
+def test_obj2pbrt_roundtrip(tmp_path):
+    from pbrt_tpu.tools import obj2pbrt
+    obj = tmp_path / "tri.obj"
+    obj.write_text("""mtllib none.mtl
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 1 1 0
+vn 0 0 1
+f 1//1 2//1 3//1
+f 2//1 4//1 3//1
+""")
+    out = tmp_path / "tri.pbrt"
+    assert obj2pbrt.convert(str(obj), str(out)) == 0
+    # parse the emitted scene
+    from pbrt_tpu.parser.api import PbrtAPI
+    text = ('Film "image" "integer xresolution" [8] '
+            '"integer yresolution" [8]\nWorldBegin\n'
+            + out.read_text() + "\nWorldEnd\n")
+    job = PbrtAPI().parse_string(text, scene_dir=str(tmp_path))
+    assert job.scene.n_prims == 2
+
+
+def test_cyhair2pbrt(tmp_path):
+    from pbrt_tpu.tools import cyhair2pbrt
+    # minimal .hair: 2 strands, 4 points each, default thickness
+    n_strands, n_points = 2, 8
+    hdr = b"HAIR" + struct.pack("<III", n_strands, n_points, 2)
+    hdr += struct.pack("<If", 3, 0.1) + struct.pack("<f", 0.0)
+    hdr += struct.pack("<fff", 0.8, 0.7, 0.6) + b"\x00" * 88
+    pts = np.arange(n_points * 3, dtype="<f4") * 0.1
+    p = tmp_path / "test.hair"
+    p.write_bytes(hdr + pts.tobytes())
+    out = tmp_path / "hair.pbrt"
+    assert cyhair2pbrt.convert(str(p), str(out)) == 0
+    assert 'Shape "curve"' in out.read_text()
+
+
+def test_bsdftest_harness():
+    from pbrt_tpu.tools import bsdftest
+    assert bsdftest.main(["--material", "matte", "--samples", "20000",
+                          "--cpu"]) == 0
+
+
+def test_stats_report(capsys):
+    from pbrt_tpu.utils.stats import Stats, count_render_work
+    s = Stats()
+    count_render_work(s, 64, 64, 8, 5, 100, 2)
+    with s.phase("Rendering"):
+        pass
+    s.report()
+    out = capsys.readouterr().out
+    assert "Camera rays traced" in out and "32,768" in out
+    assert "Rendering" in out
