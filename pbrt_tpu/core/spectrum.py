@@ -265,6 +265,36 @@ def from_rgb(rgb, kind="reflectance"):
 # AverageSpectrumSamples; fork's ResampleLinearSpectrum spectrum.cpp:1259)
 # ---------------------------------------------------------------------------
 
+def from_rgb_np(rgb, kind="reflectance"):
+    """Host-side numpy version of from_rgb — used at scene-compile time so
+    parsing never round-trips through the (possibly remote) accelerator."""
+    rgb = np.asarray(rgb, np.float64)
+    if kind == "display":
+        return np.maximum(rgb @ _DISPLAY_PRIM, 0.0).astype(np.float32)
+    bases = _REFL_BASES if kind == "reflectance" else _ILLUM_BASES
+    B = bases
+    r, g, b = rgb[..., 0:1], rgb[..., 1:2], rgb[..., 2:3]
+    s_r_gb = np.where(g <= b,
+                      r * B["white"] + (g - r) * B["cyan"] + (b - g) * B["blue"],
+                      r * B["white"] + (b - r) * B["cyan"] + (g - b) * B["green"])
+    s_g_rb = np.where(r <= b,
+                      g * B["white"] + (r - g) * B["magenta"] + (b - r) * B["blue"],
+                      g * B["white"] + (b - g) * B["magenta"] + (r - b) * B["red"])
+    s_b_rg = np.where(r <= g,
+                      b * B["white"] + (r - b) * B["yellow"] + (g - r) * B["green"],
+                      b * B["white"] + (g - b) * B["yellow"] + (r - g) * B["red"])
+    s = np.where((r <= g) & (r <= b), s_r_gb,
+                 np.where((g <= r) & (g <= b), s_g_rb, s_b_rg))
+    return np.maximum(s, 0.0).astype(np.float32)
+
+
+def to_rgb_np(s):
+    """Host-side numpy spectrum->RGB."""
+    w = np.stack([CIE_X, CIE_Y, CIE_Z], -1)
+    xyz = np.asarray(s, np.float64) @ w * (BIN_WIDTH / CIE_Y_INTEGRAL)
+    return (xyz @ XYZ_TO_RGB.T).astype(np.float32)
+
+
 def from_sampled(lambdas, values, n_sub=8):
     """Piecewise-linear SPD (lambdas must be sorted) -> binned [31] spectrum.
 

@@ -124,7 +124,7 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
             # shadow ray; dead lanes get tmax<=0 so traversal skips them
             sray = isect.spawn_ray(hit.p, hit.ng, wi, ray.wavelength,
                                    tmax=jnp.where(cand, dist * 0.999, -1.0))
-            occ = isect.occluded(scene, sray)
+            occ = isect.occluded(scene, sray, ignore_light=l)
             pdf_b = bsdf.pdf_f(mat, wo_l, wi_l)
             w_l = jnp.where(delta_l, 1.0,
                             sampling.power_heuristic(1.0, pdf_l, 1.0, pdf_b))

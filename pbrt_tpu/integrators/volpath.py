@@ -116,7 +116,7 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
                 sray = isect.spawn_ray(sp_org, sp_n, wi, ray.wavelength,
                                        tmax=jnp.where(cand, dist * 0.999,
                                                       -1.0))
-                occ = isect.occluded(scene, sray)
+                occ = isect.occluded(scene, sray, ignore_light=l)
                 # transmittance along the unoccluded shadow path
                 tr = med_mod.transmittance(
                     medium, sp_org, wi,

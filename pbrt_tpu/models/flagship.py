@@ -25,7 +25,7 @@ KILLEROO_SCENE = "/root/reference/scenes/killeroo-simple.pbrt"
 
 
 def _rgb(r, g, b, kind="reflectance"):
-    return np.asarray(spec.from_rgb(jnp.asarray([r, g, b]), kind), np.float32)
+    return spec.from_rgb_np(np.asarray([r, g, b], np.float64), kind)
 
 
 def _uv_sphere(n_theta=24, n_phi=48):
@@ -77,8 +77,7 @@ def cornell(tessellate=True):
     quad([[5, 0, 0], [5, 0, 5], [5, 5, 5], [5, 5, 0]], green)
     quad([[0, 5, 0], [5, 5, 0], [5, 5, 5], [0, 5, 5]], white)
     li = b.add_area_light(
-        np.asarray(spec.from_rgb(jnp.asarray([1.0, 0.85, 0.6]),
-                                 "illuminant"), np.float32) * 15.0)
+        spec.from_rgb_np(np.asarray([1.0, 0.85, 0.6]), "illuminant") * 15.0)
     quad([[1.8, 1.8, 4.99], [1.8, 3.2, 4.99], [3.2, 3.2, 4.99],
           [3.2, 1.8, 4.99]], blackm, light=li)
 

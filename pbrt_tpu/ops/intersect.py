@@ -393,9 +393,22 @@ def _f32_bits_to_i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-def occluded(scene: SceneData, ray: geom.Ray):
-    """Shadow-ray IntersectP (reference scene.h:59)."""
-    _, _, _, _, found = intersect(scene, ray, any_hit=True)
+def occluded(scene: SceneData, ray: geom.Ray, ignore_light=None):
+    """Shadow-ray IntersectP (reference scene.h:59).
+
+    ignore_light: optional [B] light index whose own geometry does not
+    occlude (the reference reaches the same effect by spawning the shadow
+    ray to just under the sampled light surface with error-bound offsets,
+    interaction.h SpawnRayTo; with fp32 cone-sampled sphere distances that
+    epsilon dance causes banding, so we exclude the light explicitly)."""
+    # closest-hit semantics are required when ignoring a light: any real
+    # blocker along the segment is closer than the light surface itself
+    _, prim, _, _, found = intersect(scene, ray,
+                                     any_hit=ignore_light is None)
+    if ignore_light is not None:
+        P = scene.prim_type.shape[0]
+        hit_light = scene.prim_light[jnp.clip(prim, 0, P - 1)]
+        found = found & ~((ignore_light >= 0) & (hit_light == ignore_light))
     return found
 
 

@@ -347,9 +347,7 @@ class PbrtAPI:
         reg = self.builder.textures
 
         def rgb_of(spectrum31):
-            import jax.numpy as jnp
-            return np.asarray(spec.to_rgb(jnp.asarray(
-                np.asarray(spectrum31, np.float32))))
+            return spec.to_rgb_np(np.asarray(spectrum31, np.float32))
 
         uscale = ps.find_one_float("uscale", 1.0)
         vscale = ps.find_one_float("vscale", 1.0)
@@ -811,11 +809,10 @@ def _map_sampler(kind):
 
 def _load_env_map(path, scale):
     """Load an env map image into [H,W,31] spectra."""
-    import jax.numpy as jnp
     from PIL import Image
     img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
     img = img ** 2.2
-    s = np.asarray(spec.from_rgb(jnp.asarray(img), "illuminant"))
+    s = spec.from_rgb_np(img, "illuminant")
     return s * scale[None, None, :]
 
 

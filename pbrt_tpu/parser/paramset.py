@@ -108,14 +108,10 @@ class ParamSet:
             return np.asarray(default, np.float32)
         ptype, vals = it
         if ptype in ("rgb", "color"):
-            import jax.numpy as jnp
-            return np.asarray(spec.from_rgb(
-                jnp.asarray(np.asarray(vals[:3], np.float64)), kind),
-                np.float32)
+            return spec.from_rgb_np(np.asarray(vals[:3], np.float64), kind)
         if ptype == "xyz":
-            import jax.numpy as jnp
             rgb = np.asarray(vals[:3], np.float64) @ spec.XYZ_TO_RGB.T
-            return np.asarray(spec.from_rgb(jnp.asarray(rgb), kind), np.float32)
+            return spec.from_rgb_np(rgb, kind)
         if ptype == "blackbody":
             out = np.zeros(spec.N_SPECTRAL_SAMPLES)
             for i in range(0, len(vals), 2):
