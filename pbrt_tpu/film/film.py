@@ -19,6 +19,7 @@ from flax import struct
 from pbrt_tpu.core import spectrum as spec
 
 FILTER_TABLE_WIDTH = 16
+INF_LUMINANCE = 1e30
 
 
 # ---------------------------------------------------------------------------

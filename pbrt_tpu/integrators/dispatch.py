@@ -41,12 +41,18 @@ def render_with_integrator(job, camera, film, cfg, spp, max_depth,
         trace_fn = ao.make_trace_ao(cos_sample=ip.get("cossample", True))
     else:
         log.warning("unknown integrator %r; using path", kind)
+    from pbrt_tpu.film.film import INF_LUMINANCE
+    msl = getattr(job, "max_sample_luminance", None)
     return pathmod.render(job.scene, camera, film, cfg, spp,
                           max_depth=max_depth, trace_fn=trace_fn,
                           generate_rays=_generate_fn(camera),
                           progress=progress,
                           max_rays_per_pass=max_rays_per_pass,
-                          trace_kwargs=trace_kwargs)
+                          trace_kwargs=trace_kwargs,
+                          crop_window=job.crop_window,
+                          max_sample_luminance=(
+                              None if msl is None or msl >= INF_LUMINANCE
+                              else msl))
 
 
 def _generate_fn(camera):

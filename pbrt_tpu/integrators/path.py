@@ -203,7 +203,8 @@ def camera_rays_for_pixels(camera, W, H, cfg, pixel_id, sample_idx,
 
 def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
            generate_rays=None, trace_fn=None, progress=None,
-           max_rays_per_pass=1 << 18, trace_kwargs=None):
+           max_rays_per_pass=1 << 18, trace_kwargs=None,
+           crop_window=None, max_sample_luminance=None):
     """Full render: loops over (sample, pixel-tile) passes, jitting one
     fixed-shape pass (the analog of the reference's 16x16-tile ParallelFor2D,
     integrator.cpp:235-241 — tiles here are flat pixel-id chunks).
@@ -218,7 +219,17 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
     trace_kwargs = trace_kwargs or {}
 
     H, W = film.height, film.width
-    n_pix = H * W
+    if crop_window is not None and tuple(crop_window) != (0.0, 1.0, 0.0, 1.0):
+        # render only pixels inside the crop (reference croppedPixelBounds,
+        # film.cpp:58-66); the film keeps full resolution
+        x0, x1, y0, y1 = crop_window
+        xs = np.arange(int(np.ceil(x0 * W)), int(np.ceil(x1 * W)))
+        ys = np.arange(int(np.ceil(y0 * H)), int(np.ceil(y1 * H)))
+        gx, gy = np.meshgrid(xs, ys)
+        pix_list = (gy * W + gx).reshape(-1).astype(np.uint32)
+    else:
+        pix_list = np.arange(H * W, dtype=np.uint32)
+    n_pix = len(pix_list)
     chunk = min(n_pix, max_rays_per_pass)
     n_chunks = (n_pix + chunk - 1) // chunk
 
@@ -228,9 +239,19 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
             camera, W, H, cfg, pixel_ids, sample_idx, generate_rays)
         L = trace_fn(scene, ray, pid, sidx, cfg, max_depth=max_depth,
                      **trace_kwargs)
+        if max_sample_luminance is not None:
+            # clamp overly bright samples (reference maxSampleLuminance,
+            # film.h:123-163) — scales the spectrum to the luminance cap
+            from pbrt_tpu.core import spectrum as _spec
+            y = _spec.luminance(L)
+            scale = jnp.where(y > max_sample_luminance,
+                              max_sample_luminance / jnp.maximum(y, 1e-9),
+                              1.0)
+            L = L * scale[:, None]
         return filmmod.add_samples(film, pfilm, L, weight)
 
-    all_ids = np.arange(n_chunks * chunk, dtype=np.uint32)
+    all_ids = np.empty(n_chunks * chunk, dtype=np.uint32)
+    all_ids[:n_pix] = pix_list
     all_ids[n_pix:] = 0xFFFFFFFF
     id_chunks = [jnp.asarray(all_ids[i * chunk:(i + 1) * chunk])
                  for i in range(n_chunks)]

@@ -77,6 +77,7 @@ class RenderJob:
     instance_names: dict
     material_names: dict
     media: dict
+    max_sample_luminance: float = 1e30
 
 
 class PbrtAPI:
@@ -786,6 +787,8 @@ class PbrtAPI:
             film_diagonal=fp.find_one_float("diagonal", 35.0),
             film_scale=fp.find_one_float("scale", 1.0),
             spectral_flag=fp.find_one_bool("spectralFlag", True),
+            max_sample_luminance=fp.find_one_float("maxsampleluminance",
+                                                   1e30),
             crop_window=crop,
             filter_name=self.filter_name, filter_params=filt_params,
             sampler_kind=_map_sampler(self.sampler_kind),
