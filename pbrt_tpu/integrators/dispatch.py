@@ -15,6 +15,12 @@ def render_with_integrator(job, camera, film, cfg, spp, max_depth,
     ip = job.integrator_params
     trace_fn = None
     trace_kwargs = {}
+    if kind == "lighttracer":
+        from pbrt_tpu.integrators import lighttracer
+        film, scale = lighttracer.render_lighttracer(
+            job.scene, camera, film, cfg, spp, max_depth=max_depth,
+            progress=progress)
+        return film
     if kind in ("path", "volpath", "bdpt", "mlt", "sppm", "whitted",
                 "directlighting"):
         if kind == "volpath" and job.media:
