@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-INF = jnp.float32(jnp.inf)
+INF = float("inf")  # python float: module import must not touch a device
 #: machine-epsilon/2 for fp32, used for conservative error bounds
 MACHINE_EPS = 5.960464477539063e-08
 

@@ -20,7 +20,9 @@ def render_with_integrator(job, camera, film, cfg, spp, max_depth,
         film, scale = lighttracer.render_lighttracer(
             job.scene, camera, film, cfg, spp, max_depth=max_depth,
             progress=progress)
-        return film
+        # fold the photon-count normalization into the splat buffer so
+        # downstream develop() needs no separate splat scale
+        return film.replace(splat=film.splat * scale)
     if kind in ("path", "volpath", "bdpt", "mlt", "sppm", "whitted",
                 "directlighting"):
         if kind == "volpath" and job.media:

@@ -128,7 +128,6 @@ def cmd_assemble(args):
 def cmd_makesky(args):
     """Spectral sky dome (reference: Hosek-Wilkie via ArHosekSkyModel;
     here an analytic clear-sky substitute: Rayleigh-ish gradient + sun)."""
-    import jax.numpy as jnp
     from pbrt_tpu.core import spectrum as spec
     res = args.resolution
     H, W = res, 2 * res
@@ -155,7 +154,7 @@ def cmd_makesky(args):
     s = (sky_lum[..., None] *
          (w_sun[..., None] * sunish[None, None]
           + (1 - w_sun[..., None]) * rayleigh[None, None])) * args.scale
-    rgb = np.asarray(spec.to_rgb(jnp.asarray(s.astype(np.float32))))
+    rgb = spec.to_rgb_np(s.astype(np.float32))
     fio.write_image(args.output, np.maximum(rgb, 0))
     print(f"wrote {args.output} ({W}x{H})")
     return 0
