@@ -726,7 +726,21 @@ class PbrtAPI:
                     a = j * nu + i
                     idx += [[a, a + 1, a + nu + 1], [a, a + nu + 1, a + nu]]
             record_or_add_mesh(verts, np.asarray(idx))
-        elif sname in ("curve", "nurbs"):
+        elif sname == "curve":
+            from pbrt_tpu.shapes.curve import curve_from_params
+            P_cp = ps.find_points("P")
+            w = ps.find_one_float("width", 1.0)
+            n0 = ps.find_points("N")
+            verts, idx = curve_from_params(
+                P_cp,
+                degree=ps.find_one_int("degree", 3),
+                basis=ps.find_one_string("basis", "bezier"),
+                width0=ps.find_one_float("width0", w),
+                width1=ps.find_one_float("width1", w),
+                curve_type=ps.find_one_string("type", "flat"),
+                normal0=n0[0] if n0 is not None else None)
+            record_or_add_mesh(verts, idx)
+        elif sname == "nurbs":
             log.warning("shape %r unsupported in v1 — skipped", sname)
         else:
             log.warning("unknown shape %r — skipped", sname)
