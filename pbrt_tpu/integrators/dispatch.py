@@ -23,12 +23,25 @@ def render_with_integrator(job, camera, film, cfg, spp, max_depth,
         # fold the photon-count normalization into the splat buffer so
         # downstream develop() needs no separate splat scale
         return film.replace(splat=film.splat * scale)
-    if kind in ("path", "volpath", "bdpt", "mlt", "sppm", "whitted",
+    if kind == "sppm":
+        from pbrt_tpu.integrators import sppm as sppm_mod
+        import jax.numpy as jnp
+        ip2 = job.integrator_params
+        L = sppm_mod.render_sppm(
+            job.scene, camera, film.width, film.height, cfg,
+            n_iterations=max(spp, 4),
+            initial_radius=ip2.get("radius", None),
+            max_depth=max_depth, generate_rays=_generate_fn(camera),
+            progress=progress)
+        # present as a resolved film (weight 1, raw = L for .dat parity)
+        return film.replace(weighted=L, raw=L,
+                            weight=jnp.ones_like(film.weight))
+    if kind in ("path", "volpath", "bdpt", "mlt", "whitted",
                 "directlighting"):
         if kind == "volpath" and job.media:
             from pbrt_tpu.integrators import volpath
             trace_fn = volpath.make_trace_volpath(job)
-        elif kind in ("bdpt", "mlt", "sppm"):
+        elif kind in ("bdpt", "mlt"):
             log.warning("integrator %r not yet implemented; using path", kind)
         if kind == "directlighting":
             max_depth = min(max_depth, 1)

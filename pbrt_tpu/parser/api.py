@@ -777,6 +777,9 @@ class PbrtAPI:
             "numCABands": ip.find_one_int("numCABands", 4),
             "strategy": ip.find_one_string("strategy", "depth"),
             "cossample": ip.find_one_bool("cossample", True),
+            "radius": (ip.find_one_float("radius", 0.0) or None),
+            "iterations": ip.find_one_int(
+                "iterations", ip.find_one_int("numiterations", 64)),
         }
         cp = self.camera_params
         cam_params = {
