@@ -15,6 +15,9 @@ def render_with_integrator(job, camera, film, cfg, spp, max_depth,
     ip = job.integrator_params
     trace_fn = None
     trace_kwargs = {}
+    strat = {"uniform": "uniform", "power": "power",
+             "spatial": "spatial"}.get(
+        ip.get("lightsamplestrategy", "spatial"), "spatial")
     if kind == "lighttracer":
         from pbrt_tpu.integrators import lighttracer
         film, scale = lighttracer.render_lighttracer(
@@ -43,6 +46,8 @@ def render_with_integrator(job, camera, film, cfg, spp, max_depth,
             trace_fn = volpath.make_trace_volpath(job)
         elif kind in ("bdpt", "mlt"):
             log.warning("integrator %r not yet implemented; using path", kind)
+        if trace_fn is None and kind not in ("volpath",):
+            trace_kwargs["light_strategy"] = strat
         if kind == "directlighting":
             max_depth = min(max_depth, 1)
         if kind == "whitted":

@@ -51,7 +51,7 @@ def _bdim(bounce, k):
 
 def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
                 cfg: SamplerConfig, max_depth=5, rr_threshold=1.0,
-                wavelength_mask=None):
+                wavelength_mask=None, light_strategy="uniform"):
     """Estimate radiance for a batch of camera rays; returns L [B,31].
 
     wavelength_mask: optional [B,31] 0/1 mask restricting transport to a
@@ -69,7 +69,7 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
     prev_p = ray.o
     eta_scale = jnp.ones(B)
     n_lights = max(scene.n_lights, 1)
-    inv_sel_pdf = jnp.float32(n_lights)
+    from pbrt_tpu.lights import distrib
 
     for bounce in range(max_depth + 1):
         hit = isect.intersect_full(scene, ray)
@@ -80,8 +80,10 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
         if bounce == 0:
             w_hit = jnp.ones(B)
         else:
+            sel_pdf_hit = distrib.selection_pdf(scene, light_strategy,
+                                                prev_p, hit.light)
             pdf_light = lights.pdf_li_area(
-                scene, hit.light, prev_p, dnorm, hit.t, hit.ng) / n_lights
+                scene, hit.light, prev_p, dnorm, hit.t, hit.ng) * sel_pdf_hit
             w_hit = jnp.where(specular, 1.0, sampling.power_heuristic(
                 1.0, prev_pdf, 1.0, pdf_light))
         L = L + jnp.where((alive & hit.valid)[:, None],
@@ -93,7 +95,10 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
             if bounce == 0:
                 w_env = jnp.ones(B)
             else:
-                pdf_env = lights.pdf_li_infinite(scene, dnorm) / n_lights
+                sel_env = distrib.selection_pdf(
+                    scene, light_strategy, prev_p,
+                    jnp.full_like(hit.light, scene.inf_light_idx))
+                pdf_env = lights.pdf_li_infinite(scene, dnorm) * sel_env
                 w_env = jnp.where(specular, 1.0, sampling.power_heuristic(
                     1.0, prev_pdf, 1.0, pdf_env))
             L = L + jnp.where((alive & ~hit.valid)[:, None],
@@ -113,7 +118,8 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
             u_sel = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 0))
             u1 = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 1))
             u2 = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 2))
-            l = jnp.minimum((u_sel * n_lights).astype(jnp.int32), n_lights - 1)
+            l, sel_pdf = distrib.select_light(scene, light_strategy,
+                                              hit.p, u_sel)
             wi, li, pdf_l, dist, delta_l = lights.sample_li(
                 scene, l, hit.p, hit.ns, u1, u2)
             wi_l = geom.world_to_frame(ss, ts, hit.ns, wi)
@@ -128,8 +134,8 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
             pdf_b = bsdf.pdf_f(mat, wo_l, wi_l)
             w_l = jnp.where(delta_l, 1.0,
                             sampling.power_heuristic(1.0, pdf_l, 1.0, pdf_b))
-            contrib = beta * f * li * (w_l / jnp.maximum(pdf_l, 1e-12)
-                                       * inv_sel_pdf)[:, None]
+            contrib = beta * f * li * (
+                w_l / jnp.maximum(pdf_l * sel_pdf, 1e-12))[:, None]
             L = L + jnp.where((cand & ~occ)[:, None], contrib, 0.0)
 
         # ---- BSDF sampling (path.cpp:141-148) ----------------------------

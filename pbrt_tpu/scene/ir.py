@@ -108,6 +108,11 @@ class SceneData:
     light_tri_idx: jnp.ndarray   # [L,T] prim indices (post-BVH order), -1 pad
     light_tri_cdf: jnp.ndarray   # [L,T+1] area cdf
     light_area: jnp.ndarray      # [L] total area (or sphere area)
+    # light-selection distributions (lights/distrib.py)
+    light_power_cdf: jnp.ndarray   # [L+1]
+    light_power_pmf: jnp.ndarray   # [L]
+    light_spatial_cdf: jnp.ndarray  # [G^3, L+1]
+    light_spatial_pmf: jnp.ndarray  # [G^3, L]
     # infinite light env map (equal-area lat-long) — [He,We,31]; 1x1 black if none
     env_map: jnp.ndarray
     env_cond_cdf: jnp.ndarray    # [He, We+1]
@@ -138,6 +143,7 @@ class SceneData:
     n_nodes: int = struct.field(pytree_node=False, default=0)
     max_leaf: int = struct.field(pytree_node=False, default=4)
     has_infinite: bool = struct.field(pytree_node=False, default=False)
+    inf_light_idx: int = struct.field(pytree_node=False, default=0)
     # static specialization flags (compile-time branch pruning)
     n_quadrics: int = struct.field(pytree_node=False, default=0)
     clip_quadrics: bool = struct.field(pytree_node=False, default=False)
@@ -508,6 +514,9 @@ class SceneBuilder:
         world_lo = lo.min(0) if P else np.zeros(3)
         world_hi = hi.max(0) if P else np.ones(3)
         world_radius = 0.5 * float(np.linalg.norm(world_hi - world_lo)) + 1e-3
+        from pbrt_tpu.lights.distrib import build_distributions
+        pw_cdf, pw_pmf, sp_cdf, sp_pmf = build_distributions(
+            self, world_lo, world_hi, l_area, world_radius)
 
         f32 = jnp.float32
         # one-gather triangle layout: v0,e1,e2 + padding to 12 floats
@@ -573,6 +582,10 @@ class SceneBuilder:
             light_tri_idx=jnp.asarray(lt_idx),
             light_tri_cdf=jnp.asarray(lt_cdf),
             light_area=jnp.asarray(l_area),
+            light_power_cdf=jnp.asarray(pw_cdf),
+            light_power_pmf=jnp.asarray(pw_pmf),
+            light_spatial_cdf=jnp.asarray(sp_cdf),
+            light_spatial_pmf=jnp.asarray(sp_pmf),
             env_map=jnp.asarray(env),
             env_cond_cdf=jnp.asarray(cond_cdf),
             env_marg_cdf=jnp.asarray(marg),
@@ -593,6 +606,9 @@ class SceneBuilder:
             n_prims=P, n_nodes=bvh.n_nodes,
             max_leaf=max_leaf_size,
             has_infinite=has_inf,
+            inf_light_idx=next(
+                (i for i, l in enumerate(lights)
+                 if l["type"] == LIGHT_INFINITE), 0),
             n_quadrics=n_quadrics,
             clip_quadrics=bool(clip_q),
             use_dense=use_dense,
