@@ -56,6 +56,11 @@ class LensCamera:
     eta_idx: jnp.ndarray           # [S] index into ior_spectra (-1 = const)
     asph: jnp.ndarray              # [S,4] aspheric coefficients (r^4..r^10)
     ior_spectra: jnp.ndarray       # [MAX_IOR_SPECTRA, 31]
+    # exit pupil (reference: ComputeExitPupilBounds, realistic.cpp:787+):
+    # per-radial-zone bounds [NZ,4] = (x0,y0,x1,y1) on the rear plane for
+    # a film point on the +x axis; rotated per sample at ray gen
+    pupil_bounds: jnp.ndarray      # [NZ,4]
+    pupil_valid: jnp.ndarray       # [NZ] bool
     # film / retina geometry
     film_distance: jnp.ndarray     # [] rear-vertex to film distance
     film_diag: jnp.ndarray         # []
@@ -235,6 +240,7 @@ def build_lens_camera(kind, cam_to_world: tfm.Transform, surfs,
         if "medium_index" in s and s["medium_index"] > 0:
             eta_idx[i] = s["medium_index"] - 1
 
+    N_PUPIL_ZONES = 32
     ap = np.array([s["semi_aperture"] for s in rear_first], np.float32)
     if pupil_diameter is not None:
         # the stop surface (radius 0) takes the pupil diameter (eye model)
@@ -243,6 +249,8 @@ def build_lens_camera(kind, cam_to_world: tfm.Transform, surfs,
                 ap[i] = pupil_diameter / 2
     rear_ap = ap[0]
     cam = LensCamera(
+        pupil_bounds=jnp.zeros((N_PUPIL_ZONES, 4), jnp.float32),
+        pupil_valid=jnp.zeros(N_PUPIL_ZONES, bool),
         cam_to_world=jnp.asarray(cam_to_world.m, jnp.float32),
         # sign flip: lens files measure radii along the light direction
         # (scene->film); our camera frame traces film->scene (+z), so a
@@ -271,7 +279,55 @@ def build_lens_camera(kind, cam_to_world: tfm.Transform, surfs,
         n_surfaces=S, surface_kinds=surface_kinds, ca_enabled=ca_enabled,
         simple_weighting=simple_weighting, diffraction=diffraction,
         kind=kind)
-    return cam
+    return compute_exit_pupil(cam)
+
+
+def compute_exit_pupil(cam: LensCamera, n_zones=32, samples=2048):
+    """Per-radial-zone exit-pupil bounds on the rear plane (replacing the
+    reference's per-zone projection sampling, realistic.cpp:787+):
+    shoot rays from zone film points at rear-disk samples, bound the
+    survivors, pad by one sample spacing."""
+    import numpy as _np
+    rs = _np.random.RandomState(42)
+    r_max = 0.5 * float(cam.film_diag)
+    rear_r = float(cam.aperture[0])
+    rear_z = float(cam.z_pos[0])
+    bounds = _np.zeros((n_zones, 4), _np.float32)
+    valid = _np.zeros(n_zones, bool)
+    pad = 2.0 * rear_r / _np.sqrt(samples)
+    for z in range(n_zones):
+        rf = (z + 0.5) / n_zones * r_max
+        if cam.kind in ("realisticEye", "humaneye"):
+            rr = float(cam.retina_radius)
+            zs = rr - _np.sqrt(max(rr * rr - min(rf * rf, rr * rr * .99),
+                                   1e-12))
+            o_np = _np.array([rf, 0.0, zs])
+        else:
+            o_np = _np.array([rf, 0.0, 0.0])
+        px = (rs.rand(samples) * 2 - 1) * rear_r
+        py = (rs.rand(samples) * 2 - 1) * rear_r
+        o = jnp.broadcast_to(jnp.asarray(o_np, jnp.float32), (samples, 3))
+        rear = jnp.stack([jnp.asarray(px, jnp.float32),
+                          jnp.asarray(py, jnp.float32),
+                          jnp.full(samples, rear_z, jnp.float32)], -1)
+        d = rear - o
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        _, _, ok = trace_lenses_from_film(cam, o, d,
+                                          jnp.full(samples, 550.0))
+        ok = _np.asarray(ok)
+        if ok.any():
+            bounds[z] = [px[ok].min() - pad, py[ok].min() - pad,
+                         px[ok].max() + pad, py[ok].max() + pad]
+            valid[z] = True
+    # zones with no survivors inherit a neighbor (vignetted edge zones)
+    for z in range(n_zones):
+        if not valid[z]:
+            for w in list(range(z - 1, -1, -1)) + list(range(z + 1, n_zones)):
+                if valid[w]:
+                    bounds[z] = bounds[w]
+                    break
+    return cam.replace(pupil_bounds=jnp.asarray(bounds),
+                       pupil_valid=jnp.asarray(valid))
 
 
 # ---------------------------------------------------------------------------
@@ -463,10 +519,20 @@ def generate_rays(cam: LensCamera, pfilm, u_lens, u_time=None,
         o = jnp.stack([x, y, zs], -1)
     else:
         o = jnp.stack([sx, sy, jnp.zeros(B)], -1)
-    # sample a point on the rear element disk
-    disk = sampling.concentric_sample_disk(u_lens[:, 0], u_lens[:, 1])
-    rear_r = cam.aperture[0]
-    p_rear = jnp.stack([disk[:, 0] * rear_r, disk[:, 1] * rear_r,
+    # sample the precomputed exit pupil for this film radius (reference
+    # SampleExitPupil, realistic.cpp:855+), rotated to the film azimuth
+    nz = cam.pupil_bounds.shape[0]
+    r_film = jnp.sqrt(o[:, 0] ** 2 + o[:, 1] ** 2)
+    r_max = 0.5 * cam.film_diag
+    zone = jnp.clip((r_film / jnp.maximum(r_max, 1e-9) * nz).astype(
+        jnp.int32), 0, nz - 1)
+    pb = cam.pupil_bounds[zone]                      # [B,4]
+    px = pb[:, 0] + u_lens[:, 0] * (pb[:, 2] - pb[:, 0])
+    py = pb[:, 1] + u_lens[:, 1] * (pb[:, 3] - pb[:, 1])
+    safe_r = jnp.maximum(r_film, 1e-12)
+    cphi = jnp.where(r_film > 1e-9, o[:, 0] / safe_r, 1.0)
+    sphi = jnp.where(r_film > 1e-9, o[:, 1] / safe_r, 0.0)
+    p_rear = jnp.stack([cphi * px - sphi * py, sphi * px + cphi * py,
                         jnp.full(B, 0.0) + cam.z_pos[0]], -1)
     d = geom.normalize(p_rear - o)
     if wavelength is None:
