@@ -26,6 +26,19 @@ def render_with_integrator(job, camera, film, cfg, spp, max_depth,
         # fold the photon-count normalization into the splat buffer so
         # downstream develop() needs no separate splat scale
         return film.replace(splat=film.splat * scale)
+    if kind == "mlt":
+        from pbrt_tpu.integrators import mlt as mlt_mod
+        import jax.numpy as jnp
+        img, b = mlt_mod.render_mlt(
+            job.scene, camera, film.width, film.height,
+            n_chains=ip.get("chains", 4096) or 4096,
+            mutations_per_chain=max(spp, 8) * 8,
+            n_bootstrap=ip.get("bootstrapsamples", 65536) or 65536,
+            sigma=ip.get("sigma", 0.01), max_depth=max_depth,
+            large_step_prob=ip.get("largestepprobability", 0.3),
+            generate_rays=_generate_fn(camera), progress=progress)
+        return film.replace(weighted=img, raw=img,
+                            weight=jnp.ones_like(film.weight))
     if kind == "sppm":
         from pbrt_tpu.integrators import sppm as sppm_mod
         import jax.numpy as jnp
@@ -39,13 +52,14 @@ def render_with_integrator(job, camera, film, cfg, spp, max_depth,
         # present as a resolved film (weight 1, raw = L for .dat parity)
         return film.replace(weighted=L, raw=L,
                             weight=jnp.ones_like(film.weight))
-    if kind in ("path", "volpath", "bdpt", "mlt", "whitted",
+    if kind in ("path", "volpath", "bdpt", "whitted",
                 "directlighting"):
         if kind == "volpath" and job.media:
             from pbrt_tpu.integrators import volpath
             trace_fn = volpath.make_trace_volpath(job)
-        elif kind in ("bdpt", "mlt"):
-            log.warning("integrator %r not yet implemented; using path", kind)
+        elif kind == "bdpt":
+            log.warning("bdpt (s,t)-MIS not yet implemented; using path "
+                        "(light-transport family: see lighttracer/mlt/sppm)")
         if trace_fn is None and kind not in ("volpath",):
             trace_kwargs["light_strategy"] = strat
         if kind == "directlighting":

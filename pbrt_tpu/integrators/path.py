@@ -51,12 +51,21 @@ def _bdim(bounce, k):
 
 def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
                 cfg: SamplerConfig, max_depth=5, rr_threshold=1.0,
-                wavelength_mask=None, light_strategy="uniform"):
+                wavelength_mask=None, light_strategy="uniform",
+                uniforms=None):
     """Estimate radiance for a batch of camera rays; returns L [B,31].
 
     wavelength_mask: optional [B,31] 0/1 mask restricting transport to a
     band subset (used by the spectralpath CA integrator).
+    uniforms: optional [B,D] explicit random vector — dims are read from
+    it instead of the counter-based sampler (the primary-sample-space
+    hook used by MLT, reference mlt.h MLTSampler:53-105).
     """
+    if uniforms is not None:
+        def sdim(cfg_, pid_, sidx_, dim):
+            return uniforms[:, dim % uniforms.shape[1]]
+    else:
+        sdim = sample_dim
     B = ray.o.shape[0]
     NS = spec.N_SPECTRAL_SAMPLES
     L = jnp.zeros((B, NS))
@@ -115,9 +124,9 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
 
         # ---- NEE: one light, MIS power heuristic (integrator.cpp:85-216) -
         if scene.n_lights > 0:
-            u_sel = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 0))
-            u1 = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 1))
-            u2 = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 2))
+            u_sel = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 0))
+            u1 = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 1))
+            u2 = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 2))
             l, sel_pdf = distrib.select_light(scene, light_strategy,
                                               hit.p, u_sel)
             wi, li, pdf_l, dist, delta_l = lights.sample_li(
@@ -139,9 +148,9 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
             L = L + jnp.where((cand & ~occ)[:, None], contrib, 0.0)
 
         # ---- BSDF sampling (path.cpp:141-148) ----------------------------
-        u_lobe = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 3))
-        ub1 = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 4))
-        ub2 = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 5))
+        u_lobe = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 3))
+        ub1 = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 4))
+        ub2 = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 5))
         wi_l, f, pdf, is_spec, transmitted, eta_fac = bsdf.sample_f(
             mat, wo_l, u_lobe, ub1, ub2)
         wi_w = geom.frame_to_world(ss, ts, hit.ns, wi_l)
@@ -162,7 +171,7 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
         # ---- Russian roulette (path.cpp:185-191) -------------------------
         if bounce > 3:
             rr_max = jnp.max(beta, -1) * eta_scale
-            u_rr = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 6))
+            u_rr = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 6))
             # q clamped to <=0.99 and used for BOTH the kill test and the
             # reweight (consistent => unbiased); the clamp keeps 1/(1-q)
             # finite so reverse-mode grads don't hit the 0*inf where-trap

@@ -66,3 +66,22 @@ def test_sample_le_flux():
     # all photons start on the light quad at z=3 heading downward
     assert np.allclose(np.asarray(o)[:, 2], 3.0, atol=1e-3)
     assert (np.asarray(d)[:, 2] < 0).all()
+
+
+def test_mlt_matches_forward():
+    """PSSMLT must converge to the forward path-traced image."""
+    from pbrt_tpu.integrators import mlt
+    scene = _scene()
+    W = H = 24
+    cam = projective.make_perspective(
+        tfm.look_at([0, -6, 2.5], [0, 0, 1], [0, 0, 1]), 40.0, W, H)
+    fwd = pathint.render(scene, cam, filmmod.make_film(W, H),
+                         SamplerConfig("independent", 0, 32),
+                         spp=32, max_depth=3)
+    img_f = np.asarray(filmmod.develop_spectral(fwd))
+    img_m, b = mlt.render_mlt(scene, cam, W, H, n_chains=4096,
+                              mutations_per_chain=48, n_bootstrap=16384,
+                              max_depth=3)
+    assert b > 0
+    m, f = np.asarray(img_m)[14:23, 4:20].mean(), img_f[14:23, 4:20].mean()
+    assert abs(m / f - 1) < 0.1, (m, f)
