@@ -253,8 +253,12 @@ class PbrtAPI:
         self.integrator_params = self._params(s)
 
     def _d_Accelerator(self, s):
+        # reference dispatch api.cpp:788-801 (bvh | kdtree).  The kd-tree
+        # here maps to spatial-median splits in the same octant-threaded
+        # flattened layout (a kd-style BVH: no primitive duplication)
         self.accel_kind = unquote(s.next())
-        self._params(s)
+        ps = self._params(s)
+        ps.report_unused("accelerator", log.warning)
 
     def _d_Include(self, s):
         name = unquote(s.next())
@@ -800,7 +804,12 @@ class PbrtAPI:
             "filmdistance": cp.find_one_float("filmdistance", 70.0),
             "filmdiag": cp.find_one_float("filmdiag", 35.0),
         }
-        scene = self.builder.build()
+        split = {"bvh": "sah", "kdtree": "middle"}.get(
+            self.accel_kind, "sah")
+        if self.accel_kind == "kdtree":
+            log.info("kdtree accelerator -> spatial-median kd-style splits "
+                     "in the flattened BVH layout")
+        scene = self.builder.build(split_method=split)
         return RenderJob(
             scene=scene, builder=self.builder,
             camera_kind=self.camera_kind, camera_params=cam_params,
