@@ -303,7 +303,7 @@ def _masks(t):
     is_rough_glass = t == ir.MAT_ROUGHGLASS
     is_translucent = t == ir.MAT_TRANSLUCENT
     is_retro = t == ir.MAT_RETRO
-    is_delta = is_mirror | is_glass
+    is_delta = is_mirror | is_glass | (t == ir.MAT_NONE)
     n_lobes = (has_diff.astype(jnp.float32) + has_ggx_diel + is_metal
                + is_substrate + 2 * is_rough_glass + 2 * is_translucent
                + is_retro)
@@ -476,6 +476,7 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2):
     wi = jnp.where(is_retro[..., None], wi_re, wi)
 
     # delta lobes
+    is_none = t == ir.MAT_NONE
     wi_mirror = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
     # smooth glass: Fresnel-weighted reflect/transmit
     F = fresnel_dielectric(cos_theta(wo), 1.0, params.eta)
@@ -487,6 +488,9 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2):
     wi_glass = jnp.where(do_reflect[..., None], wi_mirror, wi_t)
     wi = jnp.where(is_mirror[..., None], wi_mirror, wi)
     wi = jnp.where(is_glass[..., None], wi_glass, wi)
+    # null "interface" material: pass straight through unchanged
+    # (reference: nullptr material boundary skip, path.cpp:115-120)
+    wi = jnp.where(is_none[..., None], -wo, wi)
     wi = geom.normalize(wi)
 
     # pdf+f for non-delta
@@ -505,6 +509,8 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2):
     pdf_glass = jnp.where(do_reflect, jnp.where(can_refract, F, 1.0), 1.0 - F)
     f = jnp.where(is_glass[..., None], f_glass, f)
     pdf = jnp.where(is_glass, pdf_glass, pdf)
+    f = jnp.where(is_none[..., None], 1.0 / abs_ci[..., None], f)
+    pdf = jnp.where(is_none, 1.0, pdf)
 
     transmitted = (is_glass & ~do_reflect) |         (is_rglass & ~same_hemisphere(wo, wi)) |         (is_transl & ~same_hemisphere(wo, wi))
     # etaScale update: eta^2 entering, 1/eta^2 exiting (path.cpp:150-156)

@@ -183,3 +183,33 @@ Shape "trianglemesh" "point P" [0 0 0 1 0 0 0 1 0] "integer indices" [0 1 2]
 WorldEnd
 """)
     assert bool(np.asarray(job.scene.prim_flip_normal)[0])
+
+
+def test_null_material_passthrough():
+    """Material "" surfaces are invisible boundaries (reference:
+    path.cpp:115-120 null-bsdf skip)."""
+    base = """
+LookAt 0 0 -4  0 0 0  0 1 0
+Camera "perspective" "float fov" [30]
+Film "image" "integer xresolution" [12] "integer yresolution" [12]
+Sampler "sobol" "integer pixelsamples" [4]
+Integrator "path" "integer maxdepth" [3]
+WorldBegin
+AttributeBegin
+AreaLightSource "area" "color L" [5 5 5]
+Shape "trianglemesh" "point P" [-3 -3 2  3 3 2  3 -3 2  -3 3 2] "integer indices" [0 1 2 0 3 1]
+AttributeEnd
+%s
+WorldEnd
+"""
+    nullq = ('Material ""\nShape "trianglemesh" "point P" '
+             '[-3 -3 0  3 -3 0  3 3 0  -3 3 0] '
+             '"integer indices" [0 1 2 2 3 0]')
+    from pbrt_tpu.tools.pbrt import run_job
+    from pbrt_tpu.film import film as filmmod
+    out = {}
+    for name, extra in [("bare", ""), ("nullq", nullq)]:
+        job = PbrtAPI().parse_string(base % extra)
+        film, _ = run_job(job, quiet=True, progress=False)
+        out[name] = np.asarray(filmmod.develop_spectral(film))
+    assert np.allclose(out["bare"], out["nullq"], rtol=1e-5)
