@@ -117,8 +117,10 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
         if bounce == max_depth:
             break
 
-        # ---- shading frame ----------------------------------------------
+        # ---- shading frame (with bump perturbation when bound) -----------
         mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv, p=hit.p)
+        hit = hit.replace(ns=bsdf.bump_shading_normal(scene, hit.material,
+                                                      hit))
         ss, ts = geom.coordinate_system(hit.ns)
         wo_l = geom.world_to_frame(ss, ts, hit.ns, hit.wo)
 

@@ -62,6 +62,39 @@ def sample_li(scene: ir.SceneData, l, p, n, u1, u2):
                         jnp.where(cos_t > cos_fall, 1.0, delta ** 4))
     li_spot = li_point * falloff[..., None]
 
+    # --- goniometric / projection (lights/goniometric.cpp,
+    # lights/projection.cpp): point emission modulated by a map ---
+    tex_id = scene.light_params[l][..., 2].astype(jnp.int32)
+    w_l = -wi_point              # emission direction in world
+    # light frame: z along light_dir
+    lz = ldir
+    lx, ly = geom.coordinate_system(lz)
+    d_loc = jnp.stack([geom.dot(w_l, lx), geom.dot(w_l, ly),
+                       geom.dot(w_l, lz)], -1)
+    # goniometric: equirect lookup of the emission direction
+    u_g = geom.spherical_phi(d_loc) * (0.5 / jnp.pi)
+    v_g = geom.spherical_theta(d_loc) / jnp.pi
+    # projection: perspective mapping within the cone (params[3]=cos fov)
+    cos_fov = scene.light_params[l][..., 3]
+    inside_p = d_loc[..., 2] > jnp.maximum(cos_fov, 1e-6)
+    tan_half = jnp.sqrt(jnp.maximum(1.0 - cos_fov * cos_fov, 1e-9)) / \
+        jnp.maximum(cos_fov, 1e-6)
+    zsafe = jnp.maximum(d_loc[..., 2], 1e-6)
+    u_p = 0.5 + 0.5 * (d_loc[..., 0] / zsafe) / jnp.maximum(tan_half, 1e-9)
+    v_p = 0.5 + 0.5 * (d_loc[..., 1] / zsafe) / jnp.maximum(tan_half, 1e-9)
+    is_gonio = lt == ir.LIGHT_GONIO
+    uv_tex = jnp.where(is_gonio[..., None],
+                       jnp.stack([u_g, v_g], -1),
+                       jnp.stack([u_p, v_p], -1))
+    from pbrt_tpu.textures.textures import eval_texture
+    map_rgb = eval_texture(scene.tex_images, scene.tex_type,
+                           scene.tex_params, scene.tex_c1, scene.tex_c2,
+                           tex_id, uv_tex, p)
+    map_scale = map_rgb.mean(-1)
+    map_scale = jnp.where((lt == ir.LIGHT_PROJECTION) & ~inside_p,
+                          0.0, map_scale)
+    li_mapped = li_point * map_scale[..., None]
+
     # --- distant (lights/distant.cpp) ---
     wi_dist = -ldir
     li_dist = L
@@ -145,11 +178,16 @@ def sample_li(scene: ir.SceneData, l, p, n, u1, u2):
 
     wi = sel(wi_point, wi_point, wi_dist, wi_area, wi_inf, True)
     li = sel(li_point, li_spot, li_dist, li_area, li_inf, True)
+    is_mapped = (lt == ir.LIGHT_GONIO) | (lt == ir.LIGHT_PROJECTION)
+    wi = jnp.where(is_mapped[..., None], wi_point, wi)
+    li = jnp.where(is_mapped[..., None], li_mapped, li)
     pdf = sel(jnp.ones_like(u1), jnp.ones_like(u1), jnp.ones_like(u1),
               pdf_area, pdf_inf)
+    pdf = jnp.where(is_mapped, 1.0, pdf)
     dist = sel(dist_point, dist_point, INFD, dist_area, INFD)
+    dist = jnp.where(is_mapped, dist_point, dist)
     is_delta = (lt == ir.LIGHT_POINT) | (lt == ir.LIGHT_SPOT) | \
-        (lt == ir.LIGHT_DISTANT)
+        (lt == ir.LIGHT_DISTANT) | is_mapped
     return wi, li, pdf, dist, is_delta
 
 

@@ -42,6 +42,40 @@ class MaterialParams:
     opacity: jnp.ndarray     # [B,31]
 
 
+def bump_shading_normal(scene: ir.SceneData, material_idx, hit):
+    """Perturb the shading normal by the bump-map height gradient
+    (reference: Material::Bump, material.cpp:50+).  Finite differences of
+    the bound float texture in uv; tangents from the shading frame."""
+    m = jnp.clip(material_idx, 0, scene.mat_type.shape[0] - 1)
+    btex = scene.mat_bump_tex[m]
+    if scene.tex_type.shape[0] <= 1:
+        return hit.ns
+    from pbrt_tpu.textures.textures import eval_texture
+    eps = 2e-3
+    ss, ts = geom.coordinate_system(hit.ns)
+    # world-space step matched to the scene scale so noise-family
+    # (world-position) textures see a gradient too
+    eps_w = 1e-3 * scene.world_radius
+
+    def h(uv, p):
+        rgb = eval_texture(scene.tex_images, scene.tex_type,
+                           scene.tex_params, scene.tex_c1, scene.tex_c2,
+                           btex, uv, p)
+        return rgb.mean(-1)
+
+    h0 = h(hit.uv, hit.p)
+    du = (h(hit.uv + jnp.asarray([eps, 0.0]), hit.p + eps_w * ss)
+          - h0) / eps
+    dv = (h(hit.uv + jnp.asarray([0.0, eps]), hit.p + eps_w * ts)
+          - h0) / eps
+    scale = 0.02  # displacement scale in shading units
+    ns2 = geom.normalize(hit.ns - scale * (du[:, None] * ss
+                                           + dv[:, None] * ts))
+    has = btex >= 0
+    ns2 = jnp.where(geom.dot(ns2, hit.ng)[:, None] < 0, -ns2, ns2)
+    return jnp.where(has[:, None], ns2, hit.ns)
+
+
 def roughness_to_alpha(rough):
     """pbrt's RoughnessToAlpha (microfacet.h:83)."""
     x = jnp.log(jnp.maximum(rough, 1e-3))

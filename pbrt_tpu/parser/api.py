@@ -568,6 +568,12 @@ class PbrtAPI:
         else:
             log.warning("unknown material %r -> matte", mname)
             m.type = ir.MAT_MATTE
+        # bump map binding (any material; reference material.h Bump)
+        btex = ps.find_texture("bumpmap")
+        if btex is not None:
+            entry = self.graphics.float_textures.get(btex)
+            if entry is not None and entry[0] == "tex":
+                m.bump_tex = entry[1]
         ps.report_unused(f"material {mname}", log.warning)
         return self.builder.add_material(m)
 
@@ -604,10 +610,27 @@ class PbrtAPI:
                 env = _load_env_map(mapname, L)
             self.builder.add_infinite_light(L, env_map=env, light_to_world=xf)
         elif lname in ("goniometric", "projection"):
-            log.warning("light %r approximated as point (v1)", lname)
+            from pbrt_tpu.textures import textures as texmod
             I = ps.find_one_spectrum("I", 1.0, "illuminant") * sc
             p = xf.apply_point(np.zeros(3))
-            self.builder.add_point_light(p, I)
+            d = xf.apply_normal(np.asarray([0.0, 0.0, 1.0]))
+            d = d / max(np.linalg.norm(d), 1e-12)
+            mapname = ps.find_one_filename("mapname", "")
+            tex_id = 0
+            if mapname:
+                try:
+                    tex_id = self.builder.textures.add(texmod.TEX_IMAGE,
+                                                       image=mapname)
+                except Exception as e:
+                    log.warning("light map %r failed (%s)", mapname, e)
+            fov = ps.find_one_float("fov", 45.0)
+            ltype = (ir.LIGHT_GONIO if lname == "goniometric"
+                     else ir.LIGHT_PROJECTION)
+            self.builder.add_light(
+                type=ltype, pos=np.asarray(p, np.float32),
+                dir=d.astype(np.float32), L=np.asarray(I, np.float32),
+                params=np.array([0, 0, tex_id,
+                                 np.cos(np.radians(fov) / 2)], np.float32))
         else:
             log.warning("unknown light %r — skipped", lname)
         ps.report_unused(f"light {lname}", log.warning)

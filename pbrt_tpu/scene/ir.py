@@ -189,6 +189,7 @@ class MaterialSpec:
     remap_roughness: bool = True
     kd_tex: int = -1
     ks_tex: int = -1
+    bump_tex: int = -1
     name: str = ""
 
     def resolved(self):
@@ -571,7 +572,8 @@ class SceneBuilder:
             mat_remap_rough=jnp.asarray([m.remap_roughness for m in mats], bool),
             mat_kd_tex=jnp.asarray([m.kd_tex for m in mats], jnp.int32),
             mat_ks_tex=jnp.asarray([m.ks_tex for m in mats], jnp.int32),
-            mat_bump_tex=jnp.full((M,), -1, jnp.int32),
+            mat_bump_tex=jnp.asarray([m.bump_tex for m in mats],
+                                     jnp.int32),
             light_type=jnp.asarray([l["type"] for l in lights], jnp.int32),
             light_L=jnp.asarray(np.stack([l["L"] for l in lights]), f32),
             light_pos=jnp.asarray(np.stack([l["pos"] for l in lights]), f32),

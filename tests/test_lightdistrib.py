@@ -70,3 +70,56 @@ def test_strategies_unbiased():
     ref = means["uniform"]
     for strat, m in means.items():
         assert abs(m / ref - 1) < 0.05, means
+
+
+def test_bump_mapping_varies_shading():
+    """A bump-mapped flat plane under angled light shows shading variation
+    (reference: Material::Bump, material.cpp:50+)."""
+    from pbrt_tpu.parser.api import PbrtAPI
+    from pbrt_tpu.tools.pbrt import run_job
+    from pbrt_tpu.film import film as filmmod
+    job = PbrtAPI().parse_string("""
+LookAt 0 0 -3  0 0 0  0 1 0
+Camera "perspective" "float fov" [40]
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+Sampler "sobol" "integer pixelsamples" [4]
+Integrator "path" "integer maxdepth" [1]
+WorldBegin
+LightSource "distant" "color L" [3 3 3] "point from" [-1 1 -1] "point to" [0 0 0]
+Texture "bumps" "float" "fbm" "float scale" [8]
+Material "matte" "color Kd" [.6 .6 .6] "texture bumpmap" "bumps"
+Shape "trianglemesh" "point P" [-2 -2 0 2 -2 0 2 2 0 -2 2 0]
+  "float uv" [0 0 1 0 1 1 0 1] "integer indices" [0 2 1 2 0 3]
+WorldEnd""")
+    film, _ = run_job(job, quiet=True, progress=False)
+    img = np.asarray(filmmod.develop_spectral(film))[:, :, 0]
+    rel = img[4:20, 4:20].std() / max(img[4:20, 4:20].mean(), 1e-9)
+    assert rel > 0.02, rel
+
+
+def test_projection_light_mask():
+    """Projection light illuminates only within its cone, modulated by the
+    projected image (reference: lights/projection.cpp)."""
+    from pbrt_tpu.scene import ir
+    from pbrt_tpu.lights import lights as lmod
+    from pbrt_tpu.textures import textures as texmod
+    import jax.numpy as jnp
+    b = SceneBuilder()
+    b.add_material(MaterialSpec())
+    img = np.zeros((8, 8, 3), np.float32)
+    img[:, :4] = 1.0
+    tid = b.textures.add(texmod.TEX_IMAGE, image=img)
+    b.add_light(type=ir.LIGHT_PROJECTION, pos=np.zeros(3, np.float32),
+                dir=np.asarray([0, 0, 1], np.float32),
+                L=np.full(31, 10.0, np.float32),
+                params=np.asarray([0, 0, tid,
+                                   np.cos(np.radians(30))], np.float32))
+    scene = b.build()
+    p = jnp.asarray([[-0.2, 0.0, 2.0], [0.2, 0.0, 2.0], [3.0, 0.0, 1.0]])
+    wi, li, pdf, dist, delta = lmod.sample_li(
+        scene, jnp.zeros(3, jnp.int32), p, jnp.zeros((3, 3)),
+        jnp.zeros(3), jnp.zeros(3))
+    assert float(li[0, 0]) > 0.5       # bright half of the slide
+    assert float(li[1, 0]) < 1e-6      # dark half
+    assert float(li[2, 0]) < 1e-6      # outside the cone
+    assert bool(delta.all())
