@@ -867,9 +867,8 @@ def _map_sampler(kind):
 
 def _load_env_map(path, scale):
     """Load an env map image into [H,W,31] spectra."""
-    from PIL import Image
-    img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
-    img = img ** 2.2
+    from pbrt_tpu.film.io import read_image
+    img = read_image(path)
     s = spec.from_rgb_np(img, "illuminant")
     return s * scale[None, None, :]
 

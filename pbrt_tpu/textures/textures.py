@@ -170,6 +170,27 @@ def eval_texture(tex_images, tex_type, tex_params, tex_c1, tex_c2,
     return jnp.where((tex_idx >= 0)[:, None], out, 1.0)
 
 
+def _resize_bilinear(img, h, w):
+    """HDR-preserving float bilinear resample (the uint8 round-trip PIL
+    route clips light maps; reference: mipmap.cpp resampled weights)."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    ih, iw = img.shape[:2]
+    if (ih, iw) == (h, w):
+        return img
+    ys = (np.arange(h, dtype=np.float32) + 0.5) * ih / h - 0.5
+    xs = (np.arange(w, dtype=np.float32) + 0.5) * iw / w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int32), 0, ih - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int32), 0, iw - 1)
+    y1, x1 = np.minimum(y0 + 1, ih - 1), np.minimum(x0 + 1, iw - 1)
+    fy = np.clip(ys - y0, 0, 1)[:, None, None]
+    fx = np.clip(xs - x0, 0, 1)[None, :, None]
+    top = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+    bot = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
 class TextureTable:
     """Host-side texture registry built during parsing."""
 
@@ -183,18 +204,12 @@ class TextureTable:
     def add(self, ttype, image=None, uscale=1.0, vscale=1.0, udelta=0.0,
             vdelta=0.0, wscale=1.0, c1=(1, 1, 1), c2=(0, 0, 0)):
         if image is not None:
-            from PIL import Image as PILImage
             if isinstance(image, str):
-                img = np.asarray(PILImage.open(image).convert("RGB"),
-                                 np.float32) / 255.0
-                img = img ** 2.2
+                from pbrt_tpu.film.io import read_image
+                img = read_image(image)          # EXR/PFM linear, LDR->2.2
             else:
                 img = np.asarray(image, np.float32)
-            pi = PILImage.fromarray(
-                (np.clip(img, 0, 1) * 255).astype(np.uint8)).resize(
-                (RES, RES))
-            img = (np.asarray(pi, np.float32) / 255.0) ** 1.0
-            self.images.append(img)
+            self.images.append(_resize_bilinear(img, RES, RES))
         else:
             self.images.append(np.ones((RES, RES, 3), np.float32))
         self.types.append(ttype)
