@@ -112,10 +112,13 @@ def gather_materials(scene: ir.SceneData, material_idx, uv=None,
                 kd = jnp.where((tex_idx >= 0)[:, None], s, kd)
             else:
                 ks = jnp.where((tex_idx >= 0)[:, None], s, ks)
+    # uber opacity scales every surface lobe (uber.cpp:40-58); opacity
+    # defaults to 1 for all other materials so the multiply is a no-op
+    op = scene.mat_opacity[m]
     return MaterialParams(
         type=jnp.where(material_idx >= 0, scene.mat_type[m], ir.MAT_NONE),
-        kd=kd, ks=ks, kr=scene.mat_kr[m],
-        kt=scene.mat_kt[m], rough_u=au, rough_v=av,
+        kd=kd * op, ks=ks * op, kr=scene.mat_kr[m] * op,
+        kt=scene.mat_kt[m] * op, rough_u=au, rough_v=av,
         eta=scene.mat_eta[m], eta_spec=scene.mat_eta_spec[m],
         k_spec=scene.mat_k_spec[m], sigma=scene.mat_sigma[m],
         opacity=scene.mat_opacity[m])
@@ -457,6 +460,9 @@ def pdf_f(params: MaterialParams, wo, wi):
            + jnp.where(is_transl, 2.0 * 0.5 * pdf_transl, 0.0)
            + jnp.where(is_retro, pdf_retro, 0.0))
     pdf = pdf / n_lobes
+    # uber opacity: the surface lobes are only picked with prob 1-p_tr
+    transp = jnp.clip(1.0 - params.opacity, 0.0, 1.0).mean(-1)
+    pdf = jnp.where(t == ir.MAT_UBER, pdf * (1.0 - transp), pdf)
     return jnp.where(is_delta | (t == ir.MAT_NONE), 0.0, pdf)
 
 
@@ -471,6 +477,18 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2):
      is_delta, n_lobes, is_rglass, is_transl, is_retro) = _masks(t)
     ax, ay = params.rough_u, params.rough_v
     sgn = jnp.sign(wo[..., 2:3])
+
+    # uber opacity: a specular eta=1 transmission lobe with T = 1-opacity
+    # (uber.cpp:40-58), sampled stochastically so transparent uber surfaces
+    # pass shadow-free rays straight through
+    transp = jnp.clip(1.0 - params.opacity, 0.0, 1.0)
+    p_tr = jnp.where(t == ir.MAT_UBER, transp.mean(-1), 0.0)
+    pick_pass = u_lobe < p_tr
+    u_lobe = jnp.where(
+        p_tr > 0,
+        jnp.clip((u_lobe - p_tr) / jnp.maximum(1.0 - p_tr, 1e-6),
+                 0.0, 1.0 - 1e-7),
+        u_lobe)
 
     # lobe candidates
     wi_diff = sampling.cosine_sample_hemisphere(u1, u2) * jnp.concatenate(
@@ -546,9 +564,18 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2):
     f = jnp.where(is_none[..., None], 1.0 / abs_ci[..., None], f)
     pdf = jnp.where(is_none, 1.0, pdf)
 
-    transmitted = (is_glass & ~do_reflect) |         (is_rglass & ~same_hemisphere(wo, wi)) |         (is_transl & ~same_hemisphere(wo, wi))
+    # uber passthrough override (after every other lobe); the (1-p_tr)
+    # lobe-selection factor for the surface lobes lives in pdf_f
+    wi = jnp.where(pick_pass[..., None], geom.normalize(-wo), wi)
+    abs_ci = jnp.maximum(abs_cos_theta(wi), 1e-9)
+    f = jnp.where(pick_pass[..., None],
+                  transp / (abs_ci[..., None]
+                            * jnp.maximum(p_tr, 1e-6)[..., None]), f)
+    pdf = jnp.where(pick_pass, 1.0, pdf)
+
+    transmitted = (is_glass & ~do_reflect) |         (is_rglass & ~same_hemisphere(wo, wi)) |         (is_transl & ~same_hemisphere(wo, wi)) | pick_pass
     # etaScale update: eta^2 entering, 1/eta^2 exiting (path.cpp:150-156)
     eta_fac = jnp.where(transmitted & (is_glass | is_rglass),
                         jnp.where(entering, params.eta ** 2,
                                   1.0 / params.eta ** 2), 1.0)
-    return wi, f, pdf, is_delta, transmitted, eta_fac
+    return wi, f, pdf, is_delta | pick_pass, transmitted, eta_fac
