@@ -52,14 +52,16 @@ def render_with_integrator(job, camera, film, cfg, spp, max_depth,
         # present as a resolved film (weight 1, raw = L for .dat parity)
         return film.replace(weighted=L, raw=L,
                             weight=jnp.ones_like(film.weight))
-    if kind in ("path", "volpath", "bdpt", "whitted",
-                "directlighting"):
+    if kind == "bdpt":
+        from pbrt_tpu.integrators import bdpt as bdpt_mod
+        film, scale = bdpt_mod.render_bdpt(
+            job.scene, camera, film, cfg, spp, max_depth=max_depth,
+            generate_rays=_generate_fn(camera), progress=progress)
+        return film.replace(splat=film.splat * scale)
+    if kind in ("path", "volpath", "whitted", "directlighting"):
         if kind == "volpath" and job.media:
             from pbrt_tpu.integrators import volpath
             trace_fn = volpath.make_trace_volpath(job)
-        elif kind == "bdpt":
-            log.warning("bdpt (s,t)-MIS not yet implemented; using path "
-                        "(light-transport family: see lighttracer/mlt/sppm)")
         if trace_fn is None and kind not in ("volpath",):
             trace_kwargs["light_strategy"] = strat
         if kind == "directlighting":

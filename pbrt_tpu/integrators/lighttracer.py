@@ -8,9 +8,8 @@ every vertex connect to the camera: importance We * throughput splatted to
 the image (PerspectiveCamera::We/Sample_Wi, perspective.cpp:180+).
 
 As a standalone integrator this renders caustics-like transport that
-forward path tracing finds slowly; combined 50/50 with `path` it is the
-`bdpt`-lite used when the full (s,t) MIS family is requested (round-2
-completes the weighting).
+forward path tracing finds slowly; integrators/bdpt.py builds the full
+(s,t)-MIS family on top of the same sample_le/camera_we_splat machinery.
 """
 
 from __future__ import annotations
@@ -84,6 +83,9 @@ def sample_le(scene: ir.SceneData, l, u1, u2, u3, u4):
     d = jnp.where(is_area[:, None], d_area, d_pt)
     pdf = jnp.where(is_area, pdf_area, pdf_pt)
     n_l = jnp.where(is_area[:, None], n_area, d)
+    # spot cone falloff / gonio-projection map factors fold into Le so
+    # uniform-sphere sampling of delta emitters stays unbiased
+    L = L * lmod.delta_emit_scale(scene, l, d)[:, None]
     return o, d, L, pdf, n_l
 
 

@@ -281,6 +281,50 @@ def area_le(scene: ir.SceneData, light_idx, ng, wo):
     return jnp.where((has & facing)[..., None], L, 0.0)
 
 
+def delta_emit_scale(scene: ir.SceneData, l, w):
+    """Direction-dependent emission scale for delta emitters: spot cone
+    falloff (spot.cpp:60-76) and goniometric/projection map modulation;
+    1 for point/area lights.  `w` is the world emission direction."""
+    lt = scene.light_type[l]
+    ldir = scene.light_dir[l]
+    cos_total = scene.light_params[l][..., 0]
+    cos_fall = scene.light_params[l][..., 1]
+    cos_t = geom.dot(w, ldir)
+    d = jnp.clip((cos_t - cos_total) /
+                 jnp.maximum(cos_fall - cos_total, 1e-6), 0.0, 1.0)
+    falloff = jnp.where(cos_t < cos_total, 0.0,
+                        jnp.where(cos_t > cos_fall, 1.0, d ** 4))
+    # map factor for goniometric / projection lights
+    tex_id = scene.light_params[l][..., 2].astype(jnp.int32)
+    lx, ly = geom.coordinate_system(ldir)
+    d_loc = jnp.stack([geom.dot(w, lx), geom.dot(w, ly),
+                       geom.dot(w, ldir)], -1)
+    u_g = geom.spherical_phi(d_loc) * (0.5 / jnp.pi)
+    v_g = geom.spherical_theta(d_loc) / jnp.pi
+    cos_fov = scene.light_params[l][..., 3]
+    inside_p = d_loc[..., 2] > jnp.maximum(cos_fov, 1e-6)
+    tan_half = jnp.sqrt(jnp.maximum(1.0 - cos_fov * cos_fov, 1e-9)) / \
+        jnp.maximum(cos_fov, 1e-6)
+    zsafe = jnp.maximum(d_loc[..., 2], 1e-6)
+    u_p = 0.5 + 0.5 * (d_loc[..., 0] / zsafe) / jnp.maximum(tan_half, 1e-9)
+    v_p = 0.5 + 0.5 * (d_loc[..., 1] / zsafe) / jnp.maximum(tan_half, 1e-9)
+    is_gonio = lt == ir.LIGHT_GONIO
+    uv_tex = jnp.where(is_gonio[..., None], jnp.stack([u_g, v_g], -1),
+                       jnp.stack([u_p, v_p], -1))
+    from pbrt_tpu.textures.textures import eval_texture
+    map_rgb = eval_texture(scene.tex_images, scene.tex_type,
+                           scene.tex_params, scene.tex_c1, scene.tex_c2,
+                           tex_id, uv_tex, w)
+    map_scale = map_rgb.mean(-1)
+    map_scale = jnp.where((lt == ir.LIGHT_PROJECTION) & ~inside_p,
+                          0.0, map_scale)
+    scale = jnp.ones_like(cos_t)
+    scale = jnp.where(lt == ir.LIGHT_SPOT, falloff, scale)
+    scale = jnp.where((lt == ir.LIGHT_GONIO) | (lt == ir.LIGHT_PROJECTION),
+                      map_scale, scale)
+    return scale
+
+
 def _env_radiance(scene: ir.SceneData, d):
     """Env-map lookup in light space (equirect); works for 1x1 constant."""
     dl = d @ scene.env_to_light[:3, :3].T
