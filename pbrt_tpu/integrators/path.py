@@ -41,7 +41,7 @@ DIM_PIXEL_Y = 1
 DIM_LENS_U = 2
 DIM_LENS_V = 3
 DIM_TIME = 4
-DIMS_PER_BOUNCE = 7
+DIMS_PER_BOUNCE = 8
 DIM_BOUNCE_BASE = 5
 
 
@@ -118,7 +118,9 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
             break
 
         # ---- shading frame (with bump perturbation when bound) -----------
-        mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv, p=hit.p)
+        u_mix = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 7))
+        mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv, p=hit.p,
+                                    u_mix=u_mix)
         hit = hit.replace(ns=bsdf.bump_shading_normal(scene, hit.material,
                                                       hit))
         ss, ts = geom.coordinate_system(hit.ns)

@@ -83,10 +83,32 @@ def roughness_to_alpha(rough):
             + 0.0171201 * x ** 3 + 0.000640711 * x ** 4)
 
 
+def resolve_mix(scene: ir.SceneData, material_idx, u_mix=None, p=None):
+    """Resolve MAT_MIX to one of its two named materials by stochastic
+    selection with P(a) = amount (materials/mixmat.cpp blends lobe sets;
+    one-sample selection is the unbiased wavefront analog).  Without a
+    supplied uniform, a position-hash dither is used (spatially correct
+    average; integrators on the hot path thread a real sampler dim)."""
+    m = jnp.clip(material_idx, 0, scene.mat_type.shape[0] - 1)
+    is_mix = (scene.mat_type[m] == ir.MAT_MIX) & (material_idx >= 0)
+    if u_mix is None:
+        if p is None:
+            u_mix = jnp.full(m.shape, 0.5)
+        else:
+            from pbrt_tpu.core import rng as _rng
+            bits = jnp.abs(p * 8192.0).astype(jnp.uint32)
+            u_mix = _rng.uniform_float(_rng.hash_combine(
+                bits[..., 0], bits[..., 1], bits[..., 2]))
+    pick_a = u_mix < scene.mat_mix_amt[m]
+    resolved = jnp.where(pick_a, scene.mat_mix_a[m], scene.mat_mix_b[m])
+    return jnp.where(is_mix, resolved, material_idx)
+
+
 def gather_materials(scene: ir.SceneData, material_idx, uv=None,
-                     p=None) -> MaterialParams:
+                     p=None, u_mix=None) -> MaterialParams:
     """Gather per-ray material params; evaluates texture-bound Kd/Ks at
     the hit uv / world position when the scene has textures."""
+    material_idx = resolve_mix(scene, material_idx, u_mix, p)
     m = jnp.clip(material_idx, 0, scene.mat_type.shape[0] - 1)
     rough_u = scene.mat_rough_u[m]
     rough_v = scene.mat_rough_v[m]

@@ -560,8 +560,22 @@ class PbrtAPI:
                 ps, "roughness", 0.5)
             m.eta = self._float_or_texture(ps, "eta", 1.5)
             m.sigma = self._float_or_texture(ps, "metallic", 0.0)
-        elif mname in ("mix", "fourier", "hair", "subsurface",
-                       "kdsubsurface"):
+        elif mname == "mix":
+            # materials/mixmat.cpp: blend two named materials by `amount`;
+            # realized as stochastic per-ray selection (unbiased)
+            m.type = ir.MAT_MIX
+            n1 = ps.find_one_string("namedmaterial1", "").strip('"')
+            n2 = ps.find_one_string("namedmaterial2", "").strip('"')
+            m.mix_a = self.graphics.named_materials.get(n1, -1)
+            m.mix_b = self.graphics.named_materials.get(n2, -1)
+            amt = ps.find_one_spectrum("amount", 0.5)
+            m.mix_amt = float(np.asarray(amt).mean())
+            if m.mix_a < 0 or m.mix_b < 0:
+                log.warning("mix references unknown materials %r/%r -> "
+                            "matte", n1, n2)
+                m.type = ir.MAT_MATTE
+                m.kd = np.full(31, 0.5, np.float32)
+        elif mname in ("fourier", "hair", "subsurface", "kdsubsurface"):
             log.warning("material %r approximated as matte (v1)", mname)
             m.type = ir.MAT_MATTE
             m.kd = self._spectrum_or_texture(ps, "Kd", 0.5)[0][0]

@@ -95,6 +95,10 @@ class SceneData:
     mat_kd_tex: jnp.ndarray    # [M]
     mat_ks_tex: jnp.ndarray    # [M]
     mat_bump_tex: jnp.ndarray  # [M]
+    # mix material (materials/mixmat.cpp): stochastic select a vs b
+    mat_mix_a: jnp.ndarray     # [M] material id of namedmaterial1
+    mat_mix_b: jnp.ndarray     # [M] material id of namedmaterial2
+    mat_mix_amt: jnp.ndarray   # [M] P(select a)
 
     # --- light table ---
     light_type: jnp.ndarray    # [L]
@@ -190,6 +194,9 @@ class MaterialSpec:
     kd_tex: int = -1
     ks_tex: int = -1
     bump_tex: int = -1
+    mix_a: int = -1
+    mix_b: int = -1
+    mix_amt: float = 0.5
     name: str = ""
 
     def resolved(self):
@@ -574,6 +581,9 @@ class SceneBuilder:
             mat_ks_tex=jnp.asarray([m.ks_tex for m in mats], jnp.int32),
             mat_bump_tex=jnp.asarray([m.bump_tex for m in mats],
                                      jnp.int32),
+            mat_mix_a=jnp.asarray([m.mix_a for m in mats], jnp.int32),
+            mat_mix_b=jnp.asarray([m.mix_b for m in mats], jnp.int32),
+            mat_mix_amt=jnp.asarray([m.mix_amt for m in mats], f32),
             light_type=jnp.asarray([l["type"] for l in lights], jnp.int32),
             light_L=jnp.asarray(np.stack([l["L"] for l in lights]), f32),
             light_pos=jnp.asarray(np.stack([l["pos"] for l in lights]), f32),

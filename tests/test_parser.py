@@ -213,3 +213,48 @@ WorldEnd
         film, _ = run_job(job, quiet=True, progress=False)
         out[name] = np.asarray(filmmod.develop_spectral(film))
     assert np.allclose(out["bare"], out["nullq"], rtol=1e-5)
+
+
+def test_mix_material_resolves_stochastically():
+    # materials/mixmat.cpp: "mix" blends namedmaterial1/2 by `amount`.
+    # Wavefront analog: per-ray stochastic selection with P(a)=amount.
+    job = _parse("""
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+WorldBegin
+MakeNamedMaterial "red" "string type" "matte" "color Kd" [.9 .1 .1]
+MakeNamedMaterial "blue" "string type" "matte" "color Kd" [.1 .1 .9]
+Material "mix" "string namedmaterial1" "red" "string namedmaterial2" "blue"
+    "float amount" [0.75]
+Shape "sphere" "float radius" [1]
+WorldEnd
+""")
+    s = job.scene
+    import jax.numpy as jnp
+    from pbrt_tpu.materials import bsdf
+    mid = int(np.asarray(s.prim_material)[0])
+    assert int(np.asarray(s.mat_type)[mid]) == ir.MAT_MIX
+    a = int(np.asarray(s.mat_mix_a)[mid])
+    b = int(np.asarray(s.mat_mix_b)[mid])
+    assert a >= 0 and b >= 0 and a != b
+    assert abs(float(np.asarray(s.mat_mix_amt)[mid]) - 0.75) < 1e-6
+    # resolve with explicit uniforms: u<amount -> material a
+    idx = jnp.full((4,), mid, jnp.int32)
+    u = jnp.asarray([0.1, 0.5, 0.74, 0.9])
+    got = np.asarray(bsdf.resolve_mix(s, idx, u_mix=u))
+    assert got.tolist() == [a, a, a, b]
+    # expectation over many uniforms matches `amount`
+    n = 4096
+    u = (jnp.arange(n) + 0.5) / n
+    got = np.asarray(bsdf.resolve_mix(s, jnp.full((n,), mid, jnp.int32),
+                                      u_mix=u))
+    assert abs((got == a).mean() - 0.75) < 0.01
+    # unknown names degrade to matte, not a crash
+    job2 = _parse("""
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+WorldBegin
+Material "mix" "string namedmaterial1" "nope" "string namedmaterial2" "nah"
+Shape "sphere" "float radius" [1]
+WorldEnd
+""")
+    mid2 = int(np.asarray(job2.scene.prim_material)[0])
+    assert int(np.asarray(job2.scene.mat_type)[mid2]) == ir.MAT_MATTE
