@@ -743,9 +743,17 @@ class PbrtAPI:
             phimax = np.radians(ps.find_one_float("phimax", 360.0))
             record_or_add_quadric(ir.PRIM_PARABOLOID, (r, z0, z1, phimax))
         elif sname == "hyperboloid":
-            log.warning("hyperboloid approximated as cylinder (v1)")
-            record_or_add_quadric(ir.PRIM_CYLINDER,
-                                  (1.0, -1.0, 1.0, 2 * np.pi))
+            # shapes/hyperboloid.cpp: surface swept by segment p1->p2
+            # rotated phimax about z; tessellated at compile (the
+            # accelerator then sees only triangles, like curve/nurbs)
+            from pbrt_tpu.shapes.nurbs import tessellate_hyperboloid
+            p1 = ps.find_points("p1")
+            p2 = ps.find_points("p2")
+            p1 = p1[0] if p1 is not None else np.array([0.0, 0.0, 0.0])
+            p2 = p2[0] if p2 is not None else np.array([1.0, 1.0, 1.0])
+            phimax = np.radians(ps.find_one_float("phimax", 360.0))
+            verts, idx = tessellate_hyperboloid(p1, p2, phimax)
+            record_or_add_mesh(verts, idx)
         elif sname == "loopsubdiv":
             from pbrt_tpu.shapes.subdiv import loop_subdivide
             verts = ps.find_points("P")
@@ -782,7 +790,29 @@ class PbrtAPI:
                 normal0=n0[0] if n0 is not None else None)
             record_or_add_mesh(verts, idx)
         elif sname == "nurbs":
-            log.warning("shape %r unsupported in v1 — skipped", sname)
+            # shapes/nurbs.cpp tessellates to a triangle mesh at
+            # creation; same here (Cox-de Boor eval in shapes/nurbs.py)
+            from pbrt_tpu.shapes.nurbs import tessellate_nurbs
+            nu_ = ps.find_one_int("nu", 0)
+            nv_ = ps.find_one_int("nv", 0)
+            uk = ps.find_floats("uknots")
+            vk = ps.find_floats("vknots")
+            Pw = ps.find_floats("Pw")
+            P = ps.find_points("P")
+            if nu_ <= 0 or nv_ <= 0 or uk is None or vk is None or \
+                    (P is None and Pw is None):
+                log.warning("nurbs missing required params — skipped")
+            else:
+                uo = ps.find_one_int("uorder", 3)
+                vo = ps.find_one_int("vorder", 3)
+                verts, idx, uvs = tessellate_nurbs(
+                    nu_, nv_, uo, vo, uk, vk,
+                    ps.find_one_float("u0", float(uk[uo - 1])),
+                    ps.find_one_float("u1", float(uk[nu_])),
+                    ps.find_one_float("v0", float(vk[vo - 1])),
+                    ps.find_one_float("v1", float(vk[nv_])),
+                    P=P, Pw=Pw)
+                record_or_add_mesh(verts, idx, None, uvs)
         else:
             log.warning("unknown shape %r — skipped", sname)
         ps.report_unused(f"shape {sname}", log.warning)
