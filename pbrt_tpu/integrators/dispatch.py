@@ -10,7 +10,8 @@ log = logging.getLogger("pbrt_tpu")
 
 
 def render_with_integrator(job, camera, film, cfg, spp, max_depth,
-                           max_rays_per_pass=1 << 18, progress=None):
+                           max_rays_per_pass=1 << 18, progress=None,
+                           checkpoint_path=None, checkpoint_every=60.0):
     kind = job.integrator_kind
     ip = job.integrator_params
     trace_fn = None
@@ -94,7 +95,9 @@ def render_with_integrator(job, camera, film, cfg, spp, max_depth,
                           crop_window=job.crop_window,
                           max_sample_luminance=(
                               None if msl is None or msl >= INF_LUMINANCE
-                              else msl))
+                              else msl),
+                          checkpoint_path=checkpoint_path,
+                          checkpoint_every=checkpoint_every)
 
 
 def _generate_fn(camera):

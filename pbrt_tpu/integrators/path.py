@@ -223,7 +223,8 @@ def camera_rays_for_pixels(camera, W, H, cfg, pixel_id, sample_idx,
 def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
            generate_rays=None, trace_fn=None, progress=None,
            max_rays_per_pass=1 << 18, trace_kwargs=None,
-           crop_window=None, max_sample_luminance=None):
+           crop_window=None, max_sample_luminance=None,
+           checkpoint_path=None, checkpoint_every=60.0):
     """Full render: loops over (sample, pixel-tile) passes, jitting one
     fixed-shape pass (the analog of the reference's 16x16-tile ParallelFor2D,
     integrator.cpp:235-241 — tiles here are flat pixel-id chunks).
@@ -274,12 +275,29 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
     all_ids[n_pix:] = 0xFFFFFFFF
     id_chunks = [jnp.asarray(all_ids[i * chunk:(i + 1) * chunk])
                  for i in range(n_chunks)]
-    done = 0
+    start_spp = 0
+    if checkpoint_path is not None:
+        # resume is bit-identical to an uninterrupted render: samplers
+        # are pure fns of (pixel, sample, dim), so replaying from
+        # sample `start_spp` continues exactly the same stream
+        from pbrt_tpu.film import checkpoint as ckpt
+        import time as _time
+        fp = ckpt.render_fingerprint(scene, cfg, spp, max_depth, W, H)
+        film, start_spp = ckpt.load(checkpoint_path, film, fp)
+        start_spp = min(start_spp, spp)
+        last_save = _time.monotonic()
+    done = start_spp * n_chunks
     total = spp * n_chunks
-    for s in range(spp):
+    for s in range(start_spp, spp):
         for ids in id_chunks:
             film = one_pass(film, ids, jnp.uint32(s))
             done += 1
             if progress is not None:
                 progress(done, total)
+        if checkpoint_path is not None:
+            now = _time.monotonic()
+            if now - last_save >= checkpoint_every or s == spp - 1:
+                jax.block_until_ready(film.weighted)
+                ckpt.save(checkpoint_path, film, s + 1, fp)
+                last_save = now
     return film

@@ -52,7 +52,8 @@ def build_camera(job, width, height):
 
 
 def run_job(job, spp=None, max_depth=None, quiet=False,
-            max_rays_per_pass=1 << 18, progress=True):
+            max_rays_per_pass=1 << 18, progress=True,
+            checkpoint_path=None, checkpoint_every=60.0):
     """Render a RenderJob -> (film, integrator_kind)."""
     from pbrt_tpu.film import film as filmmod
     from pbrt_tpu.integrators import path as pathint
@@ -83,7 +84,8 @@ def run_job(job, spp=None, max_depth=None, quiet=False,
 
     film = dispatch.render_with_integrator(
         job, camera, film, cfg, spp, max_depth,
-        max_rays_per_pass=max_rays_per_pass, progress=prog)
+        max_rays_per_pass=max_rays_per_pass, progress=prog,
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every)
     if not quiet and progress:
         print()
     return film, camera
@@ -134,6 +136,12 @@ def main(argv=None):
     ap.add_argument("--nthreads", type=int, default=0,
                     help="accepted for reference CLI parity (ignored: "
                          "parallelism is the device mesh)")
+    ap.add_argument("--checkpoint", default=None, metavar="FILE",
+                    help="periodically save film state to FILE and "
+                         "auto-resume from it (new capability: the "
+                         "reference writes film only at render end)")
+    ap.add_argument("--checkpoint-interval", type=float, default=60.0,
+                    metavar="SEC", help="seconds between checkpoints")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.WARNING if args.quiet
@@ -156,7 +164,9 @@ def main(argv=None):
     max_depth = 3 if args.quick else args.maxdepth
     with stats.phase("Rendering"):
         film, camera = run_job(job, spp=spp, max_depth=max_depth,
-                               quiet=args.quiet)
+                               quiet=args.quiet,
+                               checkpoint_path=args.checkpoint,
+                               checkpoint_every=args.checkpoint_interval)
     dt = stats.times["Rendering"]
     eff_spp = spp or job.spp
     eff_depth = max_depth or job.integrator_params["maxdepth"]
