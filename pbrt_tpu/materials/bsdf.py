@@ -40,6 +40,9 @@ class MaterialParams:
     k_spec: jnp.ndarray      # [B,31]
     sigma: jnp.ndarray       # [B]
     opacity: jnp.ndarray     # [B,31]
+    # disney lobe weights [B,8]: metallic, specTint, sheen, sheenTint,
+    # clearcoat, ccGloss, specTrans, anisotropic (None => all zero)
+    disney: jnp.ndarray = None
 
 
 def bump_shading_normal(scene: ir.SceneData, material_idx, hit):
@@ -143,7 +146,7 @@ def gather_materials(scene: ir.SceneData, material_idx, uv=None,
         kt=scene.mat_kt[m] * op, rough_u=au, rough_v=av,
         eta=scene.mat_eta[m], eta_spec=scene.mat_eta_spec[m],
         k_spec=scene.mat_k_spec[m], sigma=scene.mat_sigma[m],
-        opacity=scene.mat_opacity[m])
+        opacity=scene.mat_opacity[m], disney=scene.mat_disney[m])
 
 
 # ---------------------------------------------------------------------------
@@ -346,15 +349,137 @@ def fresnel_blend_f(rd, rs, wo, wi, ax, ay):
 
 
 # ---------------------------------------------------------------------------
+# Disney principled BSDF (materials/disney.cpp: DisneyDiffuse/Retro/Sheen,
+# anisotropic GGX specular with DisneyFresnel, GTR1 clearcoat,
+# MicrofacetTransmission for specTrans)
+# ---------------------------------------------------------------------------
+
+def _pow5(x):
+    return x * x * x * x * x
+
+
+def _disney_unpack(params):
+    dz = params.disney
+    if dz is None:
+        dz = jnp.zeros(params.type.shape + (8,), params.kd.dtype)
+    return (dz[..., 0], dz[..., 1], dz[..., 2], dz[..., 3], dz[..., 4],
+            dz[..., 5], dz[..., 6])
+
+
+def _gtr1_d(cos_h, alpha):
+    """GTR1 NDF (disney.cpp GTR1): heavier tails than GGX; used by the
+    clearcoat lobe only."""
+    a2 = jnp.clip(alpha * alpha, 1e-6, 1.0 - 1e-4)
+    c2 = cos_h * cos_h
+    return (a2 - 1.0) / (PI * jnp.log(a2) * (1.0 + (a2 - 1.0) * c2))
+
+
+def _smith_ggx_sep(cos_t, alpha):
+    """Separable smithG_GGX as used by disney.cpp's clearcoat (absorbs
+    the 1/cos of the microfacet denominator)."""
+    a2 = alpha * alpha
+    c2 = cos_t * cos_t
+    return 1.0 / (jnp.abs(cos_t) + jnp.sqrt(jnp.maximum(
+        a2 + c2 - a2 * c2, 1e-12)))
+
+
+def _disney_weights(params):
+    """Per-lane lobe selection probabilities [B,4]:
+    (cosine diffuse+retro+sheen, GGX specular, GTR1 clearcoat,
+    microfacet transmission).  pdf_f uses the same mixture, which keeps
+    the one-sample estimator consistent by construction."""
+    metallic, _, _, _, cc, _, strans = _disney_unpack(params)
+    w_diff = (1.0 - metallic) * (1.0 - strans) + 1e-4
+    w_spec = jnp.ones_like(metallic)
+    w_cc = 0.5 * jnp.clip(cc, 0.0, 1.0)
+    w_trans = (1.0 - metallic) * strans
+    tot = w_diff + w_spec + w_cc + w_trans
+    return jnp.stack([w_diff, w_spec, w_cc, w_trans], -1) / tot[..., None]
+
+
+def _disney_f_refl(params, wo, wi):
+    """Reflective Disney lobes f(wo,wi) [B,31] (same-hemisphere only;
+    caller masks)."""
+    from pbrt_tpu.core import spectrum as _spec
+    (metallic, spec_tint, sheen, sheen_tint, cc, cc_gloss,
+     strans) = _disney_unpack(params)
+    base = params.kd
+    lum = jnp.maximum(_spec.luminance(base), 1e-4)
+    ctint = base / lum[..., None]
+    co = jnp.maximum(abs_cos_theta(wo), 1e-6)
+    ci = jnp.maximum(abs_cos_theta(wi), 1e-6)
+    wh_raw = wo + wi
+    wh_ok = geom.length(wh_raw) > 1e-9
+    wh = geom.normalize(jnp.where(wh_ok[..., None], wh_raw,
+                                  jnp.asarray([0.0, 0.0, 1.0])))
+    cosd = jnp.abs(geom.dot(wi, wh))          # half-vector angle
+    ax, ay = params.rough_u, params.rough_v
+    rough = jnp.clip((ax * ay) ** 0.25, 1e-3, 1.0)  # undo alpha remap
+    Fo = _pow5(jnp.clip(1.0 - co, 0.0, 1.0))
+    Fi = _pow5(jnp.clip(1.0 - ci, 0.0, 1.0))
+    Fd = _pow5(jnp.clip(1.0 - cosd, 0.0, 1.0))
+    diffuse_w = (1.0 - metallic) * (1.0 - strans)
+    # DisneyDiffuse + DisneyRetro (Burley 2012 split as in disney.cpp)
+    f_diff = base * (INV_PI * (1.0 - 0.5 * Fo) * (1.0 - 0.5 * Fi))[..., None]
+    RR = 2.0 * rough * cosd * cosd
+    f_retro = base * (INV_PI * RR * (Fo + Fi + Fo * Fi * (RR - 1.0))
+                      )[..., None]
+    # DisneySheen
+    csheen = (1.0 - sheen_tint)[..., None] + sheen_tint[..., None] * ctint
+    f_sheen = sheen[..., None] * csheen * Fd[..., None]
+    f = diffuse_w[..., None] * (f_diff + f_retro + f_sheen)
+    # specular GGX with DisneyFresnel (Schlick toward Cspec0)
+    r0 = ((params.eta - 1.0) / (params.eta + 1.0)) ** 2
+    cspec0 = ((1.0 - metallic)[..., None] * r0[..., None]
+              * ((1.0 - spec_tint)[..., None]
+                 + spec_tint[..., None] * ctint)
+              + metallic[..., None] * base)
+    F = cspec0 + Fd[..., None] * (1.0 - cspec0)
+    d = ggx_d(wh, ax, ay)
+    g = ggx_g(wo, wi, ax, ay)
+    f = f + jnp.where(wh_ok[..., None],
+                      (d * g / (4.0 * co * ci))[..., None] * F, 0.0)
+    # clearcoat (GTR1 + fixed-0.25 separable smith, disney.cpp)
+    acc = 0.1 * (1.0 - cc_gloss) + 0.001 * cc_gloss
+    dr = _gtr1_d(wh[..., 2], acc)
+    gr = _smith_ggx_sep(cos_theta(wo), 0.25) * _smith_ggx_sep(
+        cos_theta(wi), 0.25)
+    fr = 0.04 + 0.96 * Fd
+    f_cc = cc * dr * gr * fr * 0.25
+    return f + jnp.where(wh_ok, f_cc, 0.0)[..., None]
+
+
+def _disney_pdf(params, wo, wi):
+    """Mixture pdf matching _disney_weights' sampling strategy."""
+    w = _disney_weights(params)
+    refl = same_hemisphere(wo, wi)
+    pdf_cos = jnp.where(refl, abs_cos_theta(wi) * INV_PI, 0.0)
+    ax, ay = params.rough_u, params.rough_v
+    pdf_spec = jnp.where(refl, microfacet_reflection_pdf(wo, wi, ax, ay),
+                         0.0)
+    (_, _, _, _, _, cc_gloss, _) = _disney_unpack(params)
+    wh_raw = wo + wi
+    wh_ok = geom.length(wh_raw) > 1e-9
+    wh = geom.normalize(jnp.where(wh_ok[..., None], wh_raw,
+                                  jnp.asarray([0.0, 0.0, 1.0])))
+    acc = 0.1 * (1.0 - cc_gloss) + 0.001 * cc_gloss
+    dwo = jnp.maximum(jnp.abs(geom.dot(wo, wh)), 1e-6)
+    pdf_cc = jnp.where(refl & wh_ok,
+                       jnp.abs(_gtr1_d(wh[..., 2], acc))
+                       * jnp.abs(wh[..., 2]) / (4.0 * dwo), 0.0)
+    _, pdf_rt = _rough_transmission(params, wo, wi)
+    return (w[..., 0] * pdf_cos + w[..., 1] * pdf_spec
+            + w[..., 2] * pdf_cc + w[..., 3] * pdf_rt)
+
+
+# ---------------------------------------------------------------------------
 # type dispatch: eval / pdf / sample
 # ---------------------------------------------------------------------------
 
 def _masks(t):
     has_diff = ((t == ir.MAT_MATTE) | (t == ir.MAT_PLASTIC)
-                | (t == ir.MAT_UBER) | (t == ir.MAT_DISNEY)
-                | (t == ir.MAT_RETRO))
-    has_ggx_diel = ((t == ir.MAT_PLASTIC) | (t == ir.MAT_UBER)
-                    | (t == ir.MAT_DISNEY))
+                | (t == ir.MAT_UBER) | (t == ir.MAT_RETRO))
+    has_ggx_diel = (t == ir.MAT_PLASTIC) | (t == ir.MAT_UBER)
     is_metal = t == ir.MAT_METAL
     is_substrate = t == ir.MAT_SUBSTRATE
     is_mirror = t == ir.MAT_MIRROR
@@ -458,6 +583,16 @@ def eval_f(params: MaterialParams, wo, wi):
     cos_r = geom.dot(wi, wo)
     f_ret = params.ks * _retro_d(cos_r, jnp.maximum(ax, 1e-3))[..., None]
     f = f + jnp.where((is_retro & refl)[..., None], f_ret, 0.0)
+    # disney principled lobes (fully custom path)
+    is_disney = t == ir.MAT_DISNEY
+    f = f + jnp.where((is_disney & refl)[..., None],
+                      _disney_f_refl(params, wo, wi), 0.0)
+    metallic_d, strans_d = (_disney_unpack(params)[0],
+                            _disney_unpack(params)[6])
+    # specTrans transmission: kt already holds sqrt(baseColor)
+    f = f + jnp.where((is_disney & ~refl)[..., None],
+                      f_rg_t * ((1.0 - metallic_d)
+                                * strans_d)[..., None], 0.0)
     return jnp.where(valid[..., None], f, 0.0)
 
 
@@ -482,6 +617,9 @@ def pdf_f(params: MaterialParams, wo, wi):
            + jnp.where(is_transl, 2.0 * 0.5 * pdf_transl, 0.0)
            + jnp.where(is_retro, pdf_retro, 0.0))
     pdf = pdf / n_lobes
+    # disney: self-normalized lobe mixture (outside the n_lobes scheme)
+    is_disney = t == ir.MAT_DISNEY
+    pdf = jnp.where(is_disney, _disney_pdf(params, wo, wi), pdf)
     # uber opacity: the surface lobes are only picked with prob 1-p_tr
     transp = jnp.clip(1.0 - params.opacity, 0.0, 1.0).mean(-1)
     pdf = jnp.where(t == ir.MAT_UBER, pdf * (1.0 - transp), pdf)
@@ -548,6 +686,30 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2):
     # retro: diffuse half / retro half
     wi_re = jnp.where((u_lobe < 0.5)[..., None], wi_diff, wi_retro)
     wi = jnp.where(is_retro[..., None], wi_re, wi)
+    # disney: mixture over (cosine, GGX spec, GTR1 clearcoat, specTrans)
+    # with the same per-lane probabilities _disney_pdf integrates
+    is_disney = t == ir.MAT_DISNEY
+    dw = _disney_weights(params)
+    dc1 = dw[..., 0]
+    dc2 = dc1 + dw[..., 1]
+    dc3 = dc2 + dw[..., 2]
+    cc_gloss_s = _disney_unpack(params)[5]
+    acc_s = 0.1 * (1.0 - cc_gloss_s) + 0.001 * cc_gloss_s
+    a2c = jnp.clip(acc_s * acc_s, 1e-6, 1.0 - 1e-4)
+    ch2 = jnp.clip((1.0 - a2c ** (1.0 - u1)) / (1.0 - a2c), 0.0, 1.0)
+    ch = jnp.sqrt(ch2)
+    shc = jnp.sqrt(jnp.maximum(1.0 - ch2, 0.0))
+    phic = 2 * PI * u2
+    wh_cc = jnp.concatenate(
+        [(shc * jnp.cos(phic))[..., None], (shc * jnp.sin(phic))[..., None],
+         ch[..., None] * sgn], -1)
+    wi_cc = geom.reflect(wo, wh_cc)
+    wi_dis = jnp.where(
+        (u_lobe < dc1)[..., None], wi_diff,
+        jnp.where((u_lobe < dc2)[..., None], wi_ggx,
+                  jnp.where((u_lobe < dc3)[..., None], wi_cc,
+                            jnp.where(can_rt[..., None], wi_rt, wi_ggx))))
+    wi = jnp.where(is_disney[..., None], wi_dis, wi)
 
     # delta lobes
     is_none = t == ir.MAT_NONE
@@ -595,9 +757,9 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2):
                             * jnp.maximum(p_tr, 1e-6)[..., None]), f)
     pdf = jnp.where(pick_pass, 1.0, pdf)
 
-    transmitted = (is_glass & ~do_reflect) |         (is_rglass & ~same_hemisphere(wo, wi)) |         (is_transl & ~same_hemisphere(wo, wi)) | pick_pass
+    transmitted = (is_glass & ~do_reflect) |         ((is_rglass | is_disney) & ~same_hemisphere(wo, wi)) |         (is_transl & ~same_hemisphere(wo, wi)) | pick_pass
     # etaScale update: eta^2 entering, 1/eta^2 exiting (path.cpp:150-156)
-    eta_fac = jnp.where(transmitted & (is_glass | is_rglass),
+    eta_fac = jnp.where(transmitted & (is_glass | is_rglass | is_disney),
                         jnp.where(entering, params.eta ** 2,
                                   1.0 / params.eta ** 2), 1.0)
     return wi, f, pdf, is_delta | pick_pass, transmitted, eta_fac

@@ -554,12 +554,32 @@ class PbrtAPI:
             m.rough_u = m.rough_v = self._float_or_texture(
                 ps, "roughness", 0.1)
         elif mname == "disney":
+            # materials/disney.cpp: full principled BSDF.  Roughness +
+            # anisotropic are folded into GGX alphas here (aspect
+            # remap, disney.cpp ComputeScatteringFunctions); the lobe
+            # weights travel in the mat_disney[8] block.
             m.type = ir.MAT_DISNEY
             m.kd = self._spectrum_or_texture(ps, "color", 0.5)[0]
-            m.rough_u = m.rough_v = self._float_or_texture(
-                ps, "roughness", 0.5)
+            rough = self._float_or_texture(ps, "roughness", 0.5)
+            aniso = self._float_or_texture(ps, "anisotropic", 0.0)
+            aspect = float(np.sqrt(max(1.0 - 0.9 * aniso, 1e-4)))
+            m.rough_u = max(rough * rough / aspect, 1e-3)
+            m.rough_v = max(rough * rough * aspect, 1e-3)
+            m.remap_roughness = False
             m.eta = self._float_or_texture(ps, "eta", 1.5)
-            m.sigma = self._float_or_texture(ps, "metallic", 0.0)
+            metallic = self._float_or_texture(ps, "metallic", 0.0)
+            strans = self._float_or_texture(ps, "spectrans", 0.0)
+            m.disney = (
+                metallic,
+                self._float_or_texture(ps, "speculartint", 0.0),
+                self._float_or_texture(ps, "sheen", 0.0),
+                self._float_or_texture(ps, "sheentint", 0.5),
+                self._float_or_texture(ps, "clearcoat", 0.0),
+                self._float_or_texture(ps, "clearcoatgloss", 1.0),
+                strans,
+                aniso)
+            # specTrans transmits sqrt(baseColor) (disney.cpp thin=false)
+            m.kt = np.sqrt(np.maximum(np.asarray(m.kd, np.float32), 0.0))
         elif mname == "mix":
             # materials/mixmat.cpp: blend two named materials by `amount`;
             # realized as stochastic per-ray selection (unbiased)

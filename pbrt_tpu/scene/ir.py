@@ -99,6 +99,10 @@ class SceneData:
     mat_mix_a: jnp.ndarray     # [M] material id of namedmaterial1
     mat_mix_b: jnp.ndarray     # [M] material id of namedmaterial2
     mat_mix_amt: jnp.ndarray   # [M] P(select a)
+    # disney material extras (materials/disney.cpp):
+    # [metallic, specTint, sheen, sheenTint, clearcoat, ccGloss,
+    #  specTrans, anisotropic]
+    mat_disney: jnp.ndarray    # [M,8]
 
     # --- light table ---
     light_type: jnp.ndarray    # [L]
@@ -197,6 +201,7 @@ class MaterialSpec:
     mix_a: int = -1
     mix_b: int = -1
     mix_amt: float = 0.5
+    disney: tuple = (0.0,) * 8
     name: str = ""
 
     def resolved(self):
@@ -584,6 +589,8 @@ class SceneBuilder:
             mat_mix_a=jnp.asarray([m.mix_a for m in mats], jnp.int32),
             mat_mix_b=jnp.asarray([m.mix_b for m in mats], jnp.int32),
             mat_mix_amt=jnp.asarray([m.mix_amt for m in mats], f32),
+            mat_disney=jnp.asarray([m.disney for m in mats],
+                                   f32).reshape(len(mats), 8),
             light_type=jnp.asarray([l["type"] for l in lights], jnp.int32),
             light_L=jnp.asarray(np.stack([l["L"] for l in lights]), f32),
             light_pos=jnp.asarray(np.stack([l["pos"] for l in lights]), f32),
