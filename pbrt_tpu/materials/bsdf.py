@@ -92,6 +92,8 @@ def resolve_mix(scene: ir.SceneData, material_idx, u_mix=None, p=None):
     one-sample selection is the unbiased wavefront analog).  Without a
     supplied uniform, a position-hash dither is used (spatially correct
     average; integrators on the hot path thread a real sampler dim)."""
+    if not getattr(scene, "has_mix", True):
+        return material_idx
     m = jnp.clip(material_idx, 0, scene.mat_type.shape[0] - 1)
     is_mix = (scene.mat_type[m] == ir.MAT_MIX) & (material_idx >= 0)
     if u_mix is None:
@@ -146,7 +148,9 @@ def gather_materials(scene: ir.SceneData, material_idx, uv=None,
         kt=scene.mat_kt[m] * op, rough_u=au, rough_v=av,
         eta=scene.mat_eta[m], eta_spec=scene.mat_eta_spec[m],
         k_spec=scene.mat_k_spec[m], sigma=scene.mat_sigma[m],
-        opacity=scene.mat_opacity[m], disney=scene.mat_disney[m])
+        opacity=scene.mat_opacity[m],
+        disney=(scene.mat_disney[m]
+                if getattr(scene, "has_disney", True) else None))
 
 
 # ---------------------------------------------------------------------------
@@ -583,16 +587,18 @@ def eval_f(params: MaterialParams, wo, wi):
     cos_r = geom.dot(wi, wo)
     f_ret = params.ks * _retro_d(cos_r, jnp.maximum(ax, 1e-3))[..., None]
     f = f + jnp.where((is_retro & refl)[..., None], f_ret, 0.0)
-    # disney principled lobes (fully custom path)
-    is_disney = t == ir.MAT_DISNEY
-    f = f + jnp.where((is_disney & refl)[..., None],
-                      _disney_f_refl(params, wo, wi), 0.0)
-    metallic_d, strans_d = (_disney_unpack(params)[0],
-                            _disney_unpack(params)[6])
-    # specTrans transmission: kt already holds sqrt(baseColor)
-    f = f + jnp.where((is_disney & ~refl)[..., None],
-                      f_rg_t * ((1.0 - metallic_d)
-                                * strans_d)[..., None], 0.0)
+    # disney principled lobes (fully custom path; statically skipped
+    # for scenes with no disney materials — scene.has_disney)
+    if params.disney is not None:
+        is_disney = t == ir.MAT_DISNEY
+        f = f + jnp.where((is_disney & refl)[..., None],
+                          _disney_f_refl(params, wo, wi), 0.0)
+        metallic_d, strans_d = (_disney_unpack(params)[0],
+                                _disney_unpack(params)[6])
+        # specTrans transmission: kt already holds sqrt(baseColor)
+        f = f + jnp.where((is_disney & ~refl)[..., None],
+                          f_rg_t * ((1.0 - metallic_d)
+                                    * strans_d)[..., None], 0.0)
     return jnp.where(valid[..., None], f, 0.0)
 
 
@@ -618,8 +624,9 @@ def pdf_f(params: MaterialParams, wo, wi):
            + jnp.where(is_retro, pdf_retro, 0.0))
     pdf = pdf / n_lobes
     # disney: self-normalized lobe mixture (outside the n_lobes scheme)
-    is_disney = t == ir.MAT_DISNEY
-    pdf = jnp.where(is_disney, _disney_pdf(params, wo, wi), pdf)
+    if params.disney is not None:
+        is_disney = t == ir.MAT_DISNEY
+        pdf = jnp.where(is_disney, _disney_pdf(params, wo, wi), pdf)
     # uber opacity: the surface lobes are only picked with prob 1-p_tr
     transp = jnp.clip(1.0 - params.opacity, 0.0, 1.0).mean(-1)
     pdf = jnp.where(t == ir.MAT_UBER, pdf * (1.0 - transp), pdf)
@@ -689,27 +696,30 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2):
     # disney: mixture over (cosine, GGX spec, GTR1 clearcoat, specTrans)
     # with the same per-lane probabilities _disney_pdf integrates
     is_disney = t == ir.MAT_DISNEY
-    dw = _disney_weights(params)
-    dc1 = dw[..., 0]
-    dc2 = dc1 + dw[..., 1]
-    dc3 = dc2 + dw[..., 2]
-    cc_gloss_s = _disney_unpack(params)[5]
-    acc_s = 0.1 * (1.0 - cc_gloss_s) + 0.001 * cc_gloss_s
-    a2c = jnp.clip(acc_s * acc_s, 1e-6, 1.0 - 1e-4)
-    ch2 = jnp.clip((1.0 - a2c ** (1.0 - u1)) / (1.0 - a2c), 0.0, 1.0)
-    ch = jnp.sqrt(ch2)
-    shc = jnp.sqrt(jnp.maximum(1.0 - ch2, 0.0))
-    phic = 2 * PI * u2
-    wh_cc = jnp.concatenate(
-        [(shc * jnp.cos(phic))[..., None], (shc * jnp.sin(phic))[..., None],
-         ch[..., None] * sgn], -1)
-    wi_cc = geom.reflect(wo, wh_cc)
-    wi_dis = jnp.where(
-        (u_lobe < dc1)[..., None], wi_diff,
-        jnp.where((u_lobe < dc2)[..., None], wi_ggx,
-                  jnp.where((u_lobe < dc3)[..., None], wi_cc,
-                            jnp.where(can_rt[..., None], wi_rt, wi_ggx))))
-    wi = jnp.where(is_disney[..., None], wi_dis, wi)
+    if params.disney is not None:
+        dw = _disney_weights(params)
+        dc1 = dw[..., 0]
+        dc2 = dc1 + dw[..., 1]
+        dc3 = dc2 + dw[..., 2]
+        cc_gloss_s = _disney_unpack(params)[5]
+        acc_s = 0.1 * (1.0 - cc_gloss_s) + 0.001 * cc_gloss_s
+        a2c = jnp.clip(acc_s * acc_s, 1e-6, 1.0 - 1e-4)
+        ch2 = jnp.clip((1.0 - a2c ** (1.0 - u1)) / (1.0 - a2c), 0.0, 1.0)
+        ch = jnp.sqrt(ch2)
+        shc = jnp.sqrt(jnp.maximum(1.0 - ch2, 0.0))
+        phic = 2 * PI * u2
+        wh_cc = jnp.concatenate(
+            [(shc * jnp.cos(phic))[..., None],
+             (shc * jnp.sin(phic))[..., None],
+             ch[..., None] * sgn], -1)
+        wi_cc = geom.reflect(wo, wh_cc)
+        wi_dis = jnp.where(
+            (u_lobe < dc1)[..., None], wi_diff,
+            jnp.where((u_lobe < dc2)[..., None], wi_ggx,
+                      jnp.where((u_lobe < dc3)[..., None], wi_cc,
+                                jnp.where(can_rt[..., None], wi_rt,
+                                          wi_ggx))))
+        wi = jnp.where(is_disney[..., None], wi_dis, wi)
 
     # delta lobes
     is_none = t == ir.MAT_NONE

@@ -154,6 +154,11 @@ class SceneData:
     inf_light_idx: int = struct.field(pytree_node=False, default=0)
     # static specialization flags (compile-time branch pruning)
     n_quadrics: int = struct.field(pytree_node=False, default=0)
+    # static material-family flags: lets the BSDF dispatch skip whole
+    # lobe families at trace time when a scene never uses them (the
+    # wavefront evaluates every masked lobe otherwise — real VPU cost)
+    has_disney: bool = struct.field(pytree_node=False, default=False)
+    has_mix: bool = struct.field(pytree_node=False, default=False)
     clip_quadrics: bool = struct.field(pytree_node=False, default=False)
     use_dense: bool = struct.field(pytree_node=False, default=False)
     dense_npad: int = struct.field(pytree_node=False, default=0)
@@ -591,6 +596,8 @@ class SceneBuilder:
             mat_mix_amt=jnp.asarray([m.mix_amt for m in mats], f32),
             mat_disney=jnp.asarray([m.disney for m in mats],
                                    f32).reshape(len(mats), 8),
+            has_disney=any(m.type == MAT_DISNEY for m in mats),
+            has_mix=any(m.type == MAT_MIX for m in mats),
             light_type=jnp.asarray([l["type"] for l in lights], jnp.int32),
             light_L=jnp.asarray(np.stack([l["L"] for l in lights]), f32),
             light_pos=jnp.asarray(np.stack([l["pos"] for l in lights]), f32),
