@@ -800,7 +800,7 @@ class PbrtAPI:
             P_cp = ps.find_points("P")
             w = ps.find_one_float("width", 1.0)
             n0 = ps.find_points("N")
-            verts, idx = curve_from_params(
+            verts, idx, uvs = curve_from_params(
                 P_cp,
                 degree=ps.find_one_int("degree", 3),
                 basis=ps.find_one_string("basis", "bezier"),
@@ -808,7 +808,7 @@ class PbrtAPI:
                 width1=ps.find_one_float("width1", w),
                 curve_type=ps.find_one_string("type", "flat"),
                 normal0=n0[0] if n0 is not None else None)
-            record_or_add_mesh(verts, idx)
+            record_or_add_mesh(verts, idx, None, uvs)
         elif sname == "nurbs":
             # shapes/nurbs.cpp tessellates to a triangle mesh at
             # creation; same here (Cox-de Boor eval in shapes/nurbs.py)

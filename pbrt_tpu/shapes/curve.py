@@ -88,13 +88,18 @@ def tessellate_curve(cp, width0, width1, curve_type="flat", n_segments=8,
         v0 = pts - 0.5 * widths * side
         v1 = pts + 0.5 * widths * side
         verts = np.concatenate([v0, v1], 0)
+        # curve.cpp parameterization: u along the curve, v across the
+        # width (v in [0,1]; hair shading maps h = -1 + 2v)
+        uvs = np.concatenate(
+            [np.stack([u, np.zeros_like(u)], -1),
+             np.stack([u, np.ones_like(u)], -1)], 0)
         S = n_segments
         idx = []
         for i in range(S):
             a, b = i, i + 1
             c, d = i + S + 1, i + S + 2
             idx += [[a, b, c], [c, b, d]]
-        return verts, np.asarray(idx, np.int64)
+        return verts, np.asarray(idx, np.int64), uvs
 
     # cylinder tube
     binorm = np.cross(tang, normals)
@@ -106,6 +111,8 @@ def tessellate_curve(cp, width0, width1, curve_type="flat", n_segments=8,
             verts.append(p + r * (np.cos(a) * normals[i]
                                   + np.sin(a) * binorm[i]))
     verts = np.asarray(verts)
+    uvs = np.stack([np.repeat(u, n_sides),
+                    np.tile(ring_angles / (2 * np.pi), len(pts))], -1)
     idx = []
     for i in range(n_segments):
         for j in range(n_sides):
@@ -114,7 +121,7 @@ def tessellate_curve(cp, width0, width1, curve_type="flat", n_segments=8,
             c = a + n_sides
             d = b + n_sides
             idx += [[a, b, d], [a, d, c]]
-    return verts, np.asarray(idx, np.int64)
+    return verts, np.asarray(idx, np.int64), uvs
 
 
 def curve_from_params(P, degree=3, basis="bezier", width0=1.0, width1=1.0,
@@ -134,15 +141,20 @@ def curve_from_params(P, degree=3, basis="bezier", width0=1.0, width1=1.0,
                 for s in range(0, len(P) - 3)]
     else:
         segs = [P[s:s + 4] for s in range(0, len(P) - 3, 3)]
-    all_v, all_i = [], []
+    all_v, all_i, all_uv = [], [], []
     off = 0
     n = max(len(segs), 1)
     for k, cp in enumerate(segs):
         w0 = width0 + (width1 - width0) * (k / n)
         w1 = width0 + (width1 - width0) * ((k + 1) / n)
-        v, i = tessellate_curve(cp, w0, w1, curve_type, n_segments,
-                                normal0=normal0)
+        v, i, uv = tessellate_curve(cp, w0, w1, curve_type, n_segments,
+                                    normal0=normal0)
+        # global u spans the whole control polygon across segments
+        uv = uv.copy()
+        uv[:, 0] = (k + uv[:, 0]) / n
         all_v.append(v)
         all_i.append(i + off)
+        all_uv.append(uv)
         off += len(v)
-    return np.concatenate(all_v, 0), np.concatenate(all_i, 0)
+    return (np.concatenate(all_v, 0), np.concatenate(all_i, 0),
+            np.concatenate(all_uv, 0))

@@ -15,7 +15,9 @@ def test_bezier_eval_endpoints():
 
 def test_ribbon_tessellation_width():
     cp = np.array([[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]], float)
-    v, i = curve.tessellate_curve(cp, 0.2, 0.4, "flat", n_segments=4)
+    v, i, uv = curve.tessellate_curve(cp, 0.2, 0.4, "flat", n_segments=4)
+    assert uv.shape == (10, 2)
+    assert set(np.unique(uv[:, 1])) == {0.0, 1.0}  # v across width
     assert len(v) == 10 and len(i) == 8
     # ribbon width at the start/end matches width0/width1
     w_start = np.linalg.norm(v[5] - v[0])
@@ -26,8 +28,9 @@ def test_ribbon_tessellation_width():
 
 def test_cylinder_tube():
     cp = np.array([[0, 0, 0], [0, 0, 1], [0, 0, 2], [0, 0, 3]], float)
-    v, i = curve.tessellate_curve(cp, 0.1, 0.1, "cylinder", n_segments=4,
-                                  n_sides=6)
+    v, i, uv = curve.tessellate_curve(cp, 0.1, 0.1, "cylinder",
+                                      n_segments=4, n_sides=6)
+    assert uv.shape == (30, 2)
     assert len(v) == 30 and len(i) == 48
     r = np.linalg.norm(v[:6, :2], axis=-1)
     assert np.allclose(r, 0.05, atol=1e-6)
@@ -36,8 +39,9 @@ def test_cylinder_tube():
 def test_bspline_segments():
     P = np.array([[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0],
                   [4, 0, 0]], float)
-    v, i = curve.curve_from_params(P, basis="bspline", width0=0.1,
-                                   width1=0.1)
+    v, i, uv = curve.curve_from_params(P, basis="bspline", width0=0.1,
+                                       width1=0.1)
+    assert uv[:, 0].min() == 0.0 and uv[:, 0].max() == 1.0
     assert len(v) > 0 and len(i) > 0  # 2 sliding-window segments
 
 
