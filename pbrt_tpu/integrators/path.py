@@ -41,7 +41,7 @@ DIM_PIXEL_Y = 1
 DIM_LENS_U = 2
 DIM_LENS_V = 3
 DIM_TIME = 4
-DIMS_PER_BOUNCE = 8
+DIMS_PER_BOUNCE = 9
 DIM_BOUNCE_BASE = 5
 
 
@@ -124,6 +124,8 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
         hit = hit.replace(ns=bsdf.bump_shading_normal(scene, hit.material,
                                                       hit))
         ss, ts = geom.coordinate_system(hit.ns)
+        if getattr(scene, "has_hair", False):
+            ss, ts = bsdf.hair_shading_frame(scene, hit, ss, ts)
         wo_l = geom.world_to_frame(ss, ts, hit.ns, hit.wo)
 
         # ---- NEE: one light, MIS power heuristic (integrator.cpp:85-216) -
@@ -155,8 +157,10 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
         u_lobe = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 3))
         ub1 = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 4))
         ub2 = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 5))
+        ub3 = (sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 8))
+               if getattr(scene, "has_hair", False) else None)
         wi_l, f, pdf, is_spec, transmitted, eta_fac = bsdf.sample_f(
-            mat, wo_l, u_lobe, ub1, ub2)
+            mat, wo_l, u_lobe, ub1, ub2, u3=ub3)
         wi_w = geom.frame_to_world(ss, ts, hit.ns, wi_l)
         cos_t = geom.absdot(wi_w, hit.ns)
         ok = (pdf > 1e-12) & ~spec.is_black(f)

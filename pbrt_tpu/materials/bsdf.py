@@ -43,6 +43,9 @@ class MaterialParams:
     # disney lobe weights [B,8]: metallic, specTint, sheen, sheenTint,
     # clearcoat, ccGloss, specTrans, anisotropic (None => all zero)
     disney: jnp.ndarray = None
+    # hair fiber offset h in [-1,1] (curve v across width; None => no
+    # hair materials in the scene, all hair math statically skipped)
+    hair_h: jnp.ndarray = None
 
 
 def bump_shading_normal(scene: ir.SceneData, material_idx, hit):
@@ -77,6 +80,32 @@ def bump_shading_normal(scene: ir.SceneData, material_idx, hit):
     has = btex >= 0
     ns2 = jnp.where(geom.dot(ns2, hit.ng)[:, None] < 0, -ns2, ns2)
     return jnp.where(has[:, None], ns2, hit.ns)
+
+
+def hair_shading_frame(scene: ir.SceneData, hit, ss, ts):
+    """For hair lanes, align the shading-frame x-axis with the fiber
+    tangent: dpdu from the hit triangle's uv parameterization (curves
+    emit u along the fiber).  The hair BSDF frame is x=fiber, (y,z) the
+    normal plane (hair.h; reference uses the dpdu-aligned BSDF frame)."""
+    m = jnp.clip(hit.material, 0, scene.mat_type.shape[0] - 1)
+    is_hair = (scene.mat_type[m] == ir.MAT_HAIR) & (hit.material >= 0)
+    prim = jnp.clip(hit.prim, 0, scene.tri_v0.shape[0] - 1)
+    uv = scene.tri_uv[prim]                       # [B,3,2]
+    e1 = scene.tri_e1[prim]
+    e2 = scene.tri_e2[prim]
+    duv1 = uv[:, 1] - uv[:, 0]
+    duv2 = uv[:, 2] - uv[:, 0]
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    ok = jnp.abs(det) > 1e-12
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    dpdu = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv[:, None]
+    tang = dpdu - geom.dot(dpdu, hit.ns)[:, None] * hit.ns
+    ln = geom.length(tang)
+    ok = ok & (ln > 1e-9)
+    tang = tang / jnp.maximum(ln, 1e-9)[:, None]
+    ts2 = jnp.cross(hit.ns, tang)
+    use = (is_hair & ok)[:, None]
+    return jnp.where(use, tang, ss), jnp.where(use, ts2, ts)
 
 
 def roughness_to_alpha(rough):
@@ -150,7 +179,10 @@ def gather_materials(scene: ir.SceneData, material_idx, uv=None,
         k_spec=scene.mat_k_spec[m], sigma=scene.mat_sigma[m],
         opacity=scene.mat_opacity[m],
         disney=(scene.mat_disney[m]
-                if getattr(scene, "has_disney", True) else None))
+                if getattr(scene, "has_disney", True) else None),
+        hair_h=(jnp.clip(2.0 * uv[..., 1] - 1.0, -0.995, 0.995)
+                if getattr(scene, "has_hair", False) and uv is not None
+                else None))
 
 
 # ---------------------------------------------------------------------------
@@ -599,6 +631,16 @@ def eval_f(params: MaterialParams, wo, wi):
         f = f + jnp.where((is_disney & ~refl)[..., None],
                           f_rg_t * ((1.0 - metallic_d)
                                     * strans_d)[..., None], 0.0)
+    # hair (materials/hair.cpp via materials/hair.py; kd = sigma_a,
+    # rough_u/v = beta_m/beta_n, sigma = alpha degrees, frame: x=fiber)
+    if params.hair_h is not None:
+        from pbrt_tpu.materials import hair as hairmod
+        is_hair = t == ir.MAT_HAIR
+        f_hair = hairmod.hair_eval(
+            wo, wi, params.hair_h, params.kd, eta=params.eta,
+            beta_m=params.rough_u, beta_n=params.rough_v,
+            alpha=params.sigma * (PI / 180.0))
+        f = jnp.where(is_hair[..., None], f_hair, f)
     return jnp.where(valid[..., None], f, 0.0)
 
 
@@ -627,14 +669,25 @@ def pdf_f(params: MaterialParams, wo, wi):
     if params.disney is not None:
         is_disney = t == ir.MAT_DISNEY
         pdf = jnp.where(is_disney, _disney_pdf(params, wo, wi), pdf)
+    if params.hair_h is not None:
+        from pbrt_tpu.materials import hair as hairmod
+        is_hair = t == ir.MAT_HAIR
+        pdf_hair = hairmod.hair_pdf(
+            wo, wi, params.hair_h, params.kd, eta=params.eta,
+            beta_m=params.rough_u, beta_n=params.rough_v,
+            alpha=params.sigma * (PI / 180.0))
+        pdf = jnp.where(is_hair, pdf_hair, pdf)
     # uber opacity: the surface lobes are only picked with prob 1-p_tr
     transp = jnp.clip(1.0 - params.opacity, 0.0, 1.0).mean(-1)
     pdf = jnp.where(t == ir.MAT_UBER, pdf * (1.0 - transp), pdf)
     return jnp.where(is_delta | (t == ir.MAT_NONE), 0.0, pdf)
 
 
-def sample_f(params: MaterialParams, wo, u_lobe, u1, u2):
+def sample_f(params: MaterialParams, wo, u_lobe, u1, u2, u3=None):
     """Sample wi; returns (wi, f, pdf, is_specular, transmitted, eta_fac).
+
+    u3: extra uniform for the hair azimuth dimension; when absent a
+    hash-decorrelated fallback is derived from u1/u2.
 
     eta_fac: multiplicative update for the path's etaScale (Russian-roulette
     radiance correction, reference path.cpp:150-156).
@@ -720,6 +773,25 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2):
                                 jnp.where(can_rt[..., None], wi_rt,
                                           wi_ggx))))
         wi = jnp.where(is_disney[..., None], wi_dis, wi)
+    # hair: full Chiang-model importance sampling (hair.cpp:389)
+    if params.hair_h is not None:
+        from pbrt_tpu.materials import hair as hairmod
+        is_hair = t == ir.MAT_HAIR
+        if u3 is None:
+            from pbrt_tpu.core import rng as _rng
+            u3v = _rng.uniform_float(_rng.hash_combine(
+                (u1 * 16777216.0).astype(jnp.uint32),
+                (u2 * 16777216.0).astype(jnp.uint32)))
+        else:
+            u3v = u3
+        u_h = jnp.stack([u_lobe, u1, u2, u3v], -1)
+        wi_hair, _, _ = hairmod.hair_sample(
+            wo, params.hair_h, params.kd, u_h, eta=params.eta,
+            beta_m=params.rough_u, beta_n=params.rough_v,
+            alpha=params.sigma * (PI / 180.0))
+        wi = jnp.where(is_hair[..., None], wi_hair, wi)
+    else:
+        is_hair = jnp.zeros_like(t, bool)
 
     # delta lobes
     is_none = t == ir.MAT_NONE
@@ -767,7 +839,7 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2):
                             * jnp.maximum(p_tr, 1e-6)[..., None]), f)
     pdf = jnp.where(pick_pass, 1.0, pdf)
 
-    transmitted = (is_glass & ~do_reflect) |         ((is_rglass | is_disney) & ~same_hemisphere(wo, wi)) |         (is_transl & ~same_hemisphere(wo, wi)) | pick_pass
+    transmitted = (is_glass & ~do_reflect) |         ((is_rglass | is_disney | is_hair) & ~same_hemisphere(wo, wi)) |         (is_transl & ~same_hemisphere(wo, wi)) | pick_pass
     # etaScale update: eta^2 entering, 1/eta^2 exiting (path.cpp:150-156)
     eta_fac = jnp.where(transmitted & (is_glass | is_rglass | is_disney),
                         jnp.where(entering, params.eta ** 2,

@@ -595,7 +595,41 @@ class PbrtAPI:
                             "matte", n1, n2)
                 m.type = ir.MAT_MATTE
                 m.kd = np.full(31, 0.5, np.float32)
-        elif mname in ("fourier", "hair", "subsurface", "kdsubsurface"):
+        elif mname == "hair":
+            # materials/hair.cpp CreateHairMaterial: sigma_a directly,
+            # or from color (inverse-fit), or from melanin concentration
+            m.type = ir.MAT_HAIR
+            bm = ps.find_one_float("beta_m", 0.3)
+            bn = ps.find_one_float("beta_n", 0.3)
+            sig = np.asarray(ps.find_one_spectrum("sigma_a", -1.0),
+                             np.float32).reshape(-1)
+            col = np.asarray(ps.find_one_spectrum("color", -1.0),
+                             np.float32).reshape(-1)
+            if (sig >= 0).all():
+                sigma_a = sig
+            elif (col >= 0).all():
+                c = np.clip(col, 1e-4, 1.0)
+                denom = (5.969 - 0.215 * bn + 2.532 * bn ** 2
+                         - 10.73 * bn ** 3 + 5.574 * bn ** 4
+                         + 0.245 * bn ** 5)
+                sigma_a = (np.log(c) / denom) ** 2
+            else:
+                ce = ps.find_one_float("eumelanin", 1.3)
+                cp = ps.find_one_float("pheomelanin", 0.0)
+                rgb = (ce * np.array([0.419, 0.697, 1.37])
+                       + cp * np.array([0.187, 0.4, 1.05]))
+                s_max = max(float(rgb.max()), 1e-6)
+                sigma_a = np.asarray(
+                    spec.from_rgb_np(rgb / s_max, "reflectance"),
+                    np.float32) * s_max
+            # slot reuse: kd=sigma_a spectrum, rough_u/v=beta_m/beta_n,
+            # sigma=alpha (degrees), eta=1.55 (keratin)
+            m.kd = sigma_a
+            m.rough_u, m.rough_v = bm, bn
+            m.remap_roughness = False
+            m.sigma = ps.find_one_float("alpha", 2.0)
+            m.eta = ps.find_one_float("eta", 1.55)
+        elif mname in ("fourier", "subsurface", "kdsubsurface"):
             log.warning("material %r approximated as matte (v1)", mname)
             m.type = ir.MAT_MATTE
             m.kd = self._spectrum_or_texture(ps, "Kd", 0.5)[0][0]

@@ -159,6 +159,7 @@ class SceneData:
     # wavefront evaluates every masked lobe otherwise — real VPU cost)
     has_disney: bool = struct.field(pytree_node=False, default=False)
     has_mix: bool = struct.field(pytree_node=False, default=False)
+    has_hair: bool = struct.field(pytree_node=False, default=False)
     clip_quadrics: bool = struct.field(pytree_node=False, default=False)
     use_dense: bool = struct.field(pytree_node=False, default=False)
     dense_npad: int = struct.field(pytree_node=False, default=0)
@@ -598,6 +599,7 @@ class SceneBuilder:
                                    f32).reshape(len(mats), 8),
             has_disney=any(m.type == MAT_DISNEY for m in mats),
             has_mix=any(m.type == MAT_MIX for m in mats),
+            has_hair=any(m.type == MAT_HAIR for m in mats),
             light_type=jnp.asarray([l["type"] for l in lights], jnp.int32),
             light_L=jnp.asarray(np.stack([l["L"] for l in lights]), f32),
             light_pos=jnp.asarray(np.stack([l["pos"] for l in lights]), f32),

@@ -95,3 +95,38 @@ def test_sigma_a_reflectance_roundtrip():
     sa = hair.sigma_a_from_reflectance(c, jnp.asarray([0.3]))
     sa = np.asarray(sa)[0]
     assert sa[2] > sa[1] > sa[0] > 0
+
+
+def test_hair_material_renders_on_curves():
+    """End-to-end: hair material + curve geometry through the parser and
+    path integrator (frame from fiber dpdu, h from curve v)."""
+    from pbrt_tpu.parser.api import PbrtAPI
+    from pbrt_tpu.tools.pbrt import run_job
+    from pbrt_tpu.film import film as filmmod
+    from pbrt_tpu.scene import ir as _ir
+    job = PbrtAPI().parse_string("""
+LookAt 0 0 -4  0 0 0  0 1 0
+Camera "perspective" "float fov" [40]
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+Sampler "sobol" "integer pixelsamples" [8]
+Integrator "path" "integer maxdepth" [3]
+WorldBegin
+AttributeBegin
+AreaLightSource "area" "color L" [15 15 15]
+Shape "trianglemesh" "point P" [-3 3 -3  3 3 -3  3 3 3  -3 3 3]
+    "integer indices" [0 1 2 2 3 0]
+AttributeEnd
+Material "hair" "float eumelanin" [0.3]
+Shape "curve" "point P" [-1 -1 0  -0.3 0.5 0  0.3 -0.5 0  1 1 0]
+    "float width" [0.4] "string type" "flat"
+Shape "curve" "point P" [-1 0.8 0  -0.3 0.2 0  0.3 0.8 0  1 -0.6 0]
+    "float width" [0.4] "string type" "flat"
+WorldEnd
+""")
+    assert job.scene.has_hair
+    mids = np.asarray(job.scene.mat_type)
+    assert (mids == _ir.MAT_HAIR).any()
+    film, _ = run_job(job, quiet=True, progress=False)
+    rgb = np.asarray(filmmod.develop_rgb(film))
+    assert np.isfinite(rgb).all()
+    assert rgb.max() > 1e-3  # hair scatters light (not black)
