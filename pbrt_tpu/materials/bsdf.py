@@ -46,6 +46,10 @@ class MaterialParams:
     # hair fiber offset h in [-1,1] (curve v across width; None => no
     # hair materials in the scene, all hair math statically skipped)
     hair_h: jnp.ndarray = None
+    # fourier measured BSDFs: shared baked lattice [F,NM,NM,NP,3] and
+    # per-lane grid index (None => statically skipped)
+    fourier_grid: jnp.ndarray = None
+    fourier_id: jnp.ndarray = None
 
 
 def bump_shading_normal(scene: ir.SceneData, material_idx, hit):
@@ -182,7 +186,11 @@ def gather_materials(scene: ir.SceneData, material_idx, uv=None,
                 if getattr(scene, "has_disney", True) else None),
         hair_h=(jnp.clip(2.0 * uv[..., 1] - 1.0, -0.995, 0.995)
                 if getattr(scene, "has_hair", False) and uv is not None
-                else None))
+                else None),
+        fourier_grid=(scene.fourier_grid
+                      if getattr(scene, "has_fourier", False) else None),
+        fourier_id=(scene.mat_fourier_id[m]
+                    if getattr(scene, "has_fourier", False) else None))
 
 
 # ---------------------------------------------------------------------------
@@ -641,6 +649,17 @@ def eval_f(params: MaterialParams, wo, wi):
             beta_m=params.rough_u, beta_n=params.rough_v,
             alpha=params.sigma * (PI / 180.0))
         f = jnp.where(is_hair[..., None], f_hair, f)
+    # fourier measured BSDF: trilinear lookup of the compile-time baked
+    # lattice, one static unroll per registered grid (F is tiny)
+    if params.fourier_id is not None:
+        from pbrt_tpu.materials import fourier as fouriermod
+        from pbrt_tpu.core import spectrum as _spec
+        is_four = t == ir.MAT_FOURIER
+        for gi in range(params.fourier_grid.shape[0]):
+            rgb = fouriermod.eval_grid(params.fourier_grid[gi], wo, wi)
+            f_four = _spec.from_rgb(jnp.maximum(rgb, 0.0), "reflectance")
+            f = jnp.where((is_four & (params.fourier_id == gi))[..., None],
+                          f_four, f)
     return jnp.where(valid[..., None], f, 0.0)
 
 
@@ -677,6 +696,10 @@ def pdf_f(params: MaterialParams, wo, wi):
             beta_m=params.rough_u, beta_n=params.rough_v,
             alpha=params.sigma * (PI / 180.0))
         pdf = jnp.where(is_hair, pdf_hair, pdf)
+    if params.fourier_id is not None:
+        # two-sided cosine sampling (p=1/2 each hemisphere)
+        pdf = jnp.where(t == ir.MAT_FOURIER,
+                        0.5 * abs_cos_theta(wi) * INV_PI, pdf)
     # uber opacity: the surface lobes are only picked with prob 1-p_tr
     transp = jnp.clip(1.0 - params.opacity, 0.0, 1.0).mean(-1)
     pdf = jnp.where(t == ir.MAT_UBER, pdf * (1.0 - transp), pdf)
@@ -792,6 +815,15 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2, u3=None):
         wi = jnp.where(is_hair[..., None], wi_hair, wi)
     else:
         is_hair = jnp.zeros_like(t, bool)
+    # fourier: two-sided cosine sampling (v1; the reference importance-
+    # samples the table — upgrade path noted in materials/fourier.py)
+    if params.fourier_id is not None:
+        is_four = t == ir.MAT_FOURIER
+        wi_four = jnp.where((u_lobe < 0.5)[..., None], wi_diff,
+                            wi_diff * jnp.asarray([1.0, 1.0, -1.0]))
+        wi = jnp.where(is_four[..., None], wi_four, wi)
+    else:
+        is_four = jnp.zeros_like(t, bool)
 
     # delta lobes
     is_none = t == ir.MAT_NONE
@@ -839,7 +871,8 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2, u3=None):
                             * jnp.maximum(p_tr, 1e-6)[..., None]), f)
     pdf = jnp.where(pick_pass, 1.0, pdf)
 
-    transmitted = (is_glass & ~do_reflect) |         ((is_rglass | is_disney | is_hair) & ~same_hemisphere(wo, wi)) |         (is_transl & ~same_hemisphere(wo, wi)) | pick_pass
+    transmitted = (is_glass & ~do_reflect) |         ((is_rglass | is_disney | is_hair | is_four)
+         & ~same_hemisphere(wo, wi)) |         (is_transl & ~same_hemisphere(wo, wi)) | pick_pass
     # etaScale update: eta^2 entering, 1/eta^2 exiting (path.cpp:150-156)
     eta_fac = jnp.where(transmitted & (is_glass | is_rglass | is_disney),
                         jnp.where(entering, params.eta ** 2,

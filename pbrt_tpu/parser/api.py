@@ -629,7 +629,23 @@ class PbrtAPI:
             m.remap_roughness = False
             m.sigma = ps.find_one_float("alpha", 2.0)
             m.eta = ps.find_one_float("eta", 1.55)
-        elif mname in ("fourier", "subsurface", "kdsubsurface"):
+        elif mname == "fourier":
+            # materials/fourier.cpp: SCATFUN measured BSDF, baked at
+            # compile into a (muI,muO,phi) lattice (materials/fourier.py)
+            fname = ps.find_one_filename("bsdffile", "")
+            try:
+                from pbrt_tpu.materials import fourier as fouriermod
+                tab = fouriermod.read_bsdf(fname)
+                grid = fouriermod.bake_grid(tab)
+                m.type = ir.MAT_FOURIER
+                m.eta = tab["eta"]
+                m.fourier_id = self.builder.add_fourier_grid(grid)
+            except Exception as e:
+                log.warning("fourier bsdffile %r unusable (%s) -> matte",
+                            fname, e)
+                m.type = ir.MAT_MATTE
+                m.kd = np.full(31, 0.5, np.float32)
+        elif mname in ("subsurface", "kdsubsurface"):
             log.warning("material %r approximated as matte (v1)", mname)
             m.type = ir.MAT_MATTE
             m.kd = self._spectrum_or_texture(ps, "Kd", 0.5)[0][0]

@@ -103,6 +103,10 @@ class SceneData:
     # [metallic, specTint, sheen, sheenTint, clearcoat, ccGloss,
     #  specTrans, anisotropic]
     mat_disney: jnp.ndarray    # [M,8]
+    # fourier (measured) BSDFs baked to (muI,muO,phi) lattices at scene
+    # compile (materials/fourier.py bake_grid)
+    fourier_grid: jnp.ndarray  # [F,NM,NM,NP,3]
+    mat_fourier_id: jnp.ndarray  # [M] index into fourier_grid or -1
 
     # --- light table ---
     light_type: jnp.ndarray    # [L]
@@ -160,6 +164,7 @@ class SceneData:
     has_disney: bool = struct.field(pytree_node=False, default=False)
     has_mix: bool = struct.field(pytree_node=False, default=False)
     has_hair: bool = struct.field(pytree_node=False, default=False)
+    has_fourier: bool = struct.field(pytree_node=False, default=False)
     clip_quadrics: bool = struct.field(pytree_node=False, default=False)
     use_dense: bool = struct.field(pytree_node=False, default=False)
     dense_npad: int = struct.field(pytree_node=False, default=0)
@@ -208,6 +213,7 @@ class MaterialSpec:
     mix_b: int = -1
     mix_amt: float = 0.5
     disney: tuple = (0.0,) * 8
+    fourier_id: int = -1
     name: str = ""
 
     def resolved(self):
@@ -242,8 +248,14 @@ class SceneBuilder:
         self._mesh_light_tris = {}  # light idx -> list of prim indices
         self.instance_names = {}
         self.material_names = {}
+        self.fourier_grids = []   # baked [NM,NM,NP,3] measured BSDFs
         from pbrt_tpu.textures.textures import TextureTable
         self.textures = TextureTable()
+
+    def add_fourier_grid(self, grid):
+        """Register a baked FourierBSDF lattice; returns its index."""
+        self.fourier_grids.append(np.asarray(grid, np.float32))
+        return len(self.fourier_grids) - 1
 
     @property
     def n_prims(self):
@@ -597,9 +609,15 @@ class SceneBuilder:
             mat_mix_amt=jnp.asarray([m.mix_amt for m in mats], f32),
             mat_disney=jnp.asarray([m.disney for m in mats],
                                    f32).reshape(len(mats), 8),
+            fourier_grid=jnp.asarray(
+                np.stack(self.fourier_grids) if self.fourier_grids
+                else np.zeros((1, 2, 2, 2, 3), np.float32)),
+            mat_fourier_id=jnp.asarray([m.fourier_id for m in mats],
+                                       jnp.int32),
             has_disney=any(m.type == MAT_DISNEY for m in mats),
             has_mix=any(m.type == MAT_MIX for m in mats),
             has_hair=any(m.type == MAT_HAIR for m in mats),
+            has_fourier=bool(self.fourier_grids),
             light_type=jnp.asarray([l["type"] for l in lights], jnp.int32),
             light_L=jnp.asarray(np.stack([l["L"] for l in lights]), f32),
             light_pos=jnp.asarray(np.stack([l["pos"] for l in lights]), f32),
