@@ -188,8 +188,18 @@ def build_medium_from_job(job):
     from pbrt_tpu.core.transform import Transform
     for name, m in job.media.items():
         ps = m["params"]
-        sig_a = ps.find_one_spectrum("sigma_a", 1.0)
-        sig_s = ps.find_one_spectrum("sigma_s", 1.0)
+        # named measured presets give the defaults, explicit sigma_a /
+        # sigma_s override them (api.cpp MakeMedium:699-745)
+        default_a, default_s = 1.0, 1.0
+        preset = ps.find_one_string("preset", "")
+        if preset:
+            from pbrt_tpu.media.presets import (
+                get_medium_scattering_properties)
+            got = get_medium_scattering_properties(preset)
+            if got is not None:
+                default_a, default_s = got
+        sig_a = ps.find_one_spectrum("sigma_a", default_a)
+        sig_s = ps.find_one_spectrum("sigma_s", default_s)
         scale = ps.find_one_float("scale", 1.0)
         g = ps.find_one_float("g", 0.0)
         if m["type"] in ("heterogeneous", "grid"):

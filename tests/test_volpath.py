@@ -130,3 +130,32 @@ def test_volpath_fog_dims_image():
     # emissive wall at distance 4 through fog: Le * exp(-0.2*4)
     expected = 5.0 * np.exp(-sigma_a * 4.0)
     assert abs(center - expected) / expected < 0.05, (center, expected)
+
+
+def test_named_medium_preset():
+    """MakeNamedMedium "preset" loads measured scattering data (medium
+    .cpp:181 GetMediumScatteringProperties); explicit sigma_* override."""
+    import numpy as np
+    from pbrt_tpu.parser.api import PbrtAPI
+    from pbrt_tpu.integrators.volpath import build_medium_from_job
+    base = """
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+MakeNamedMedium "goo" "string type" "homogeneous" %s
+MediumInterface "goo" ""
+WorldBegin
+Shape "sphere" "float radius" [1]
+WorldEnd
+"""
+    job_p = PbrtAPI().parse_string(base % '"string preset" "Skin1"')
+    med_p = build_medium_from_job(job_p)
+    job_d = PbrtAPI().parse_string(base % '')
+    med_d = build_medium_from_job(job_d)
+    sa_p = np.asarray(med_p.sigma_a)
+    sa_d = np.asarray(med_d.sigma_a)
+    assert not np.allclose(sa_p, sa_d)       # preset changed the default
+    assert sa_p.min() >= 0 and np.isfinite(sa_p).all()
+    # explicit sigma_a wins over the preset
+    job_o = PbrtAPI().parse_string(
+        base % ('"string preset" "Skin1" "color sigma_a" [9 9 9]'))
+    sa_o = np.asarray(build_medium_from_job(job_o).sigma_a)
+    assert sa_o.mean() > 5.0
