@@ -646,9 +646,56 @@ class PbrtAPI:
                 m.type = ir.MAT_MATTE
                 m.kd = np.full(31, 0.5, np.float32)
         elif mname in ("subsurface", "kdsubsurface"):
-            log.warning("material %r approximated as matte (v1)", mname)
-            m.type = ir.MAT_MATTE
-            m.kd = self._spectrum_or_texture(ps, "Kd", 0.5)[0][0]
+            # materials/subsurface.cpp:60-88 / kdsubsurface.cpp.
+            # v1 realization: the photon-beam-diffusion table's
+            # effective albedo (materials/bssrdf.py) becomes the
+            # surface diffuse response — the far-field limit of the
+            # TabulatedBSSRDF — under the material's dielectric
+            # interface; probe-ray Sample_S is the upgrade path.
+            from pbrt_tpu.materials import bssrdf as bssrdfmod
+
+            def _mag_spectrum(rgb):
+                rgb = np.asarray(rgb, np.float64)
+                s = max(float(rgb.max()), 1e-9)
+                return np.asarray(spec.from_rgb_np(rgb / s, "reflectance"),
+                                  np.float32) * s
+
+            g = ps.find_one_float("g", 0.0)
+            eta = ps.find_one_float("eta", 1.33)
+            scale = ps.find_one_float("scale", 1.0)
+            table = bssrdfmod.compute_beam_diffusion_bssrdf(g, eta)
+            if mname == "subsurface":
+                default_a = _mag_spectrum([0.0011, 0.0024, 0.014])
+                default_s = _mag_spectrum([2.55, 3.21, 3.77])
+                pname = ps.find_one_string("name", "")
+                if pname:
+                    from pbrt_tpu.media.presets import (
+                        get_medium_scattering_properties)
+                    got = get_medium_scattering_properties(pname)
+                    if got is not None:
+                        default_a, default_s = got
+                        g = 0.0  # database stores reduced coefficients
+                sig_a = ps.find_one_spectrum("sigma_a", default_a) * scale
+                sig_s = ps.find_one_spectrum("sigma_s", default_s) * scale
+            else:
+                kd_t = ps.find_one_spectrum("Kd", 0.5)
+                mfp = ps.find_one_spectrum("mfp", 1.0) * scale
+                sig_a, sig_s = bssrdfmod.subsurface_from_diffuse(
+                    table, np.asarray(kd_t, np.float64),
+                    np.asarray(mfp, np.float64))
+            sigp_s = sig_s * (1.0 - g)
+            sigp_t = np.maximum(sig_a + sigp_s, 1e-9)
+            rho = sigp_s / sigp_t
+            rho_eff = np.interp(rho, table["rho"], table["rho_eff"])
+            m.type = ir.MAT_PLASTIC
+            m.kd = np.clip(rho_eff, 0.0, 1.0).astype(np.float32)
+            m.ks = (np.asarray(
+                self._spectrum_or_texture(ps, "Kr", 1.0)[0], np.float32)
+                * np.float32(0.05))
+            m.eta = eta
+            m.rough_u = m.rough_v = ps.find_one_float(
+                "uroughness", ps.find_one_float("roughness", 0.1))
+            m.remap_roughness = ps.find_one_bool("remaproughness", True)
         else:
             log.warning("unknown material %r -> matte", mname)
             m.type = ir.MAT_MATTE

@@ -72,3 +72,36 @@ def test_eval_sr_positive_and_decaying():
     v = bssrdf.eval_sr(t, np.full_like(rr, 0.7), rr)
     assert (v >= 0).all()
     assert v[0] > v[-1]                      # near-field dominates
+
+
+def test_subsurface_material_parses_to_diffusion_albedo():
+    """subsurface/kdsubsurface produce physically-derived diffuse
+    response (far-field diffusion limit), not a flat matte."""
+    from pbrt_tpu.parser.api import PbrtAPI
+    from pbrt_tpu.core import spectrum as spec
+    from pbrt_tpu.scene import ir
+    import jax.numpy as jnp
+    base = """
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+WorldBegin
+Material %s
+Shape "sphere" "float radius" [1]
+WorldEnd
+"""
+    # named preset: skin is red-dominant in reflectance
+    job = PbrtAPI().parse_string(base % '"subsurface" "string name" "Skin1"')
+    s = job.scene
+    mid = int(np.asarray(s.prim_material)[0])
+    assert int(np.asarray(s.mat_type)[mid]) == ir.MAT_PLASTIC
+    kd = np.asarray(s.mat_kd)[mid]
+    rgb = np.asarray(spec.to_rgb(jnp.asarray(kd)))
+    assert rgb[0] > rgb[1] > rgb[2] > 0, rgb     # skin: R > G > B
+    assert rgb.max() <= 1.2
+    # kdsubsurface: recovered albedo tracks the requested Kd
+    job2 = PbrtAPI().parse_string(
+        base % '"kdsubsurface" "color Kd" [0.6 0.3 0.1]')
+    mid2 = int(np.asarray(job2.scene.prim_material)[0])
+    kd2 = np.asarray(job2.scene.mat_kd)[mid2]
+    rgb2 = np.asarray(spec.to_rgb(jnp.asarray(kd2)))
+    assert rgb2[0] > rgb2[1] > rgb2[2], rgb2
+    assert abs(rgb2[0] - 0.6) < 0.25, rgb2
