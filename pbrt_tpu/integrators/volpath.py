@@ -41,6 +41,13 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
         prev_pdf = jnp.ones(B)
         prev_p = ray.o
         n_lights = max(scene.n_lights, 1)
+        # per-primitive MediumInterface: each lane tracks its current
+        # medium index (homogeneous table in SceneData); the global
+        # medium path handles the single fog/grid volume case
+        per_prim = getattr(scene, "has_prim_media", False)
+        if per_prim:
+            cur_med = jnp.full(B, scene.camera_medium, jnp.int32)
+            n_med = scene.med_sigma_a.shape[0]
 
         for bounce in range(max_depth + 1):
             hit = isect.intersect_full(scene, ray)
@@ -51,8 +58,19 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
 
             # ---- medium free flight over the segment ----
             salt = 0x9000 + bounce * 256
-            t_m, in_medium, w_med = med_mod.sample_distance(
-                medium, ray.o, dnorm, t_seg, pixel_id, sample_idx, salt)
+            if per_prim:
+                mk = jnp.clip(cur_med, 0, n_med - 1)
+                in_any = (cur_med >= 0)[:, None]
+                lane_sa = jnp.where(in_any, scene.med_sigma_a[mk], 0.0)
+                lane_ss = jnp.where(in_any, scene.med_sigma_s[mk], 0.0)
+                g_eff = jnp.where(cur_med >= 0, scene.med_g[mk], 0.0)
+                t_m, in_medium, w_med = med_mod.sample_distance_lanes(
+                    lane_sa, lane_ss, t_seg, pixel_id, sample_idx, salt)
+            else:
+                g_eff = medium.g
+                t_m, in_medium, w_med = med_mod.sample_distance(
+                    medium, ray.o, dnorm, t_seg, pixel_id, sample_idx,
+                    salt)
             in_medium = in_medium & alive
             beta = beta * jnp.where(alive[:, None], w_med, 1.0)
 
@@ -105,7 +123,7 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
                 pdf_b_surf = bsdf.pdf_f(mat, wo_l, wi_l)
                 # medium throughput: phase function value (pdf == value)
                 cos_wi = geom.dot(-dnorm, wi)
-                ph = med_mod.hg_p(medium.g, cos_wi)
+                ph = med_mod.hg_p(g_eff, cos_wi)
                 f = jnp.where(in_medium[:, None],
                               jnp.broadcast_to(ph[:, None], (B, NS)), f_surf)
                 pdf_b = jnp.where(in_medium, ph, pdf_b_surf)
@@ -117,12 +135,18 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
                                        tmax=jnp.where(cand, dist * 0.999,
                                                       -1.0))
                 occ = isect.occluded(scene, sray, ignore_light=l)
-                # transmittance along the unoccluded shadow path
-                tr = med_mod.transmittance(
-                    medium, sp_org, wi,
-                    jnp.where(jnp.isfinite(dist), dist,
-                              2 * scene.world_radius),
-                    pixel_id, sample_idx, salt + 128)
+                # transmittance along the unoccluded shadow path (per-
+                # prim: the vertex's own medium attenuates the whole
+                # segment — boundary changes mid-segment are ignored)
+                sh_dist = jnp.where(jnp.isfinite(dist), dist,
+                                    2 * scene.world_radius)
+                if per_prim:
+                    tr = med_mod.transmittance_lanes(lane_sa + lane_ss,
+                                                     sh_dist)
+                else:
+                    tr = med_mod.transmittance(
+                        medium, sp_org, wi, sh_dist,
+                        pixel_id, sample_idx, salt + 128)
                 w_l = jnp.where(delta_l, 1.0, sampling.power_heuristic(
                     1.0, pdf_l, 1.0, pdf_b))
                 contrib = beta * f * li * tr * \
@@ -142,7 +166,7 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
             beta_s = f_s * (cos_t / jnp.maximum(pdf_s, 1e-12))[:, None]
             # medium phase sample around the propagation direction
             # (wo = -dnorm at a medium vertex; pdf == value => beta *= 1)
-            wi_med, ph_pdf = med_mod.hg_sample(medium.g, -dnorm, ub1, ub2)
+            wi_med, ph_pdf = med_mod.hg_sample(g_eff, -dnorm, ub1, ub2)
             wi_new = jnp.where(in_medium[:, None], wi_med, wi_surf)
             ok = jnp.where(in_medium, True, ok_s)
             beta_mul = jnp.where(in_medium[:, None], 1.0, beta_s)
@@ -155,6 +179,16 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
             nray = isect.spawn_ray(p_vert, org_n, wi_new, ray.wavelength,
                                    time=ray.time)
             ray = nray.replace(tmax=jnp.where(alive, nray.tmax, -1.0))
+            if per_prim:
+                # crossing a transmissive surface switches the lane's
+                # medium to the primitive's inside/outside binding
+                pm = jnp.clip(hit.prim, 0,
+                              scene.prim_medium_in.shape[0] - 1)
+                entering = geom.dot(wi_new, hit.ng) < 0
+                new_med = jnp.where(entering, scene.prim_medium_in[pm],
+                                    scene.prim_medium_out[pm])
+                crossed = alive & ~in_medium & hit.valid & transmitted
+                cur_med = jnp.where(crossed, new_med, cur_med)
 
             # ---- RR on beta (volpath.cpp:208) ----
             if bounce > 3:
@@ -186,7 +220,10 @@ def make_trace_volpath(job):
 def build_medium_from_job(job):
     import numpy as np
     from pbrt_tpu.core.transform import Transform
+    skip = set(getattr(job, "prim_media_names", ()))
     for name, m in job.media.items():
+        if name in skip:
+            continue            # handled per-lane via MediumInterface
         ps = m["params"]
         # named measured presets give the defaults, explicit sigma_a /
         # sigma_s override them (api.cpp MakeMedium:699-745)

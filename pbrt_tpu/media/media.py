@@ -216,6 +216,41 @@ def sample_distance(med: MediumData, o, d, tmax, pixel_id, sample_idx,
     return tmax, jnp.zeros(B, bool), jnp.ones((B, NS))
 
 
+def sample_distance_lanes(sigma_a, sigma_s, tmax, pixel_id, sample_idx,
+                          dim_salt):
+    """Per-lane homogeneous free-flight sampling (sigma_* [B,31], one
+    medium per lane — the per-primitive MediumInterface path).  Vacuum
+    lanes (all-zero sigma) never interact and carry weight 1.  Same
+    spectral-MIS estimator as sample_distance's homogeneous branch
+    (homogeneous.cpp:44+)."""
+    NS = spec.N_SPECTRAL_SAMPLES
+    sigma_t = sigma_a + sigma_s
+    u_ch = prng.uniform_float(pixel_id, sample_idx, prng._u32(dim_salt))
+    u_t = prng.uniform_float(pixel_id, sample_idx,
+                             prng._u32(dim_salt + 1))
+    ch = jnp.minimum((u_ch * NS).astype(jnp.int32), NS - 1)
+    st_ch = jnp.maximum(
+        jnp.take_along_axis(sigma_t, ch[:, None], 1)[:, 0], 1e-9)
+    t_m = -jnp.log(jnp.maximum(1.0 - u_t, 1e-9)) / st_ch
+    vacuum = jnp.max(sigma_t, -1) <= 1e-12
+    interacted = (t_m < tmax) & ~vacuum
+    t = jnp.where(vacuum, tmax, jnp.minimum(t_m, tmax))
+    tr = jnp.exp(-sigma_t * t[:, None])
+    pdf_m = jnp.mean(sigma_t * tr, -1)
+    pdf_s = jnp.mean(tr, -1)
+    w_med = tr * sigma_s / jnp.maximum(pdf_m, 1e-12)[:, None]
+    w_surf = tr / jnp.maximum(pdf_s, 1e-12)[:, None]
+    weight = jnp.where(interacted[:, None], w_med, w_surf)
+    weight = jnp.where(vacuum[:, None], 1.0, weight)
+    return t, interacted, weight
+
+
+def transmittance_lanes(sigma_t, tmax):
+    """Per-lane homogeneous Tr = exp(-sigma_t * d) (sigma_t [B,31])."""
+    seg = jnp.maximum(jnp.where(jnp.isfinite(tmax), tmax, 0.0), 0.0)
+    return jnp.exp(-sigma_t * seg[:, None])
+
+
 def transmittance(med: MediumData, o, d, tmax, pixel_id, sample_idx,
                   dim_salt):
     """Tr along a (shadow) segment.  Homogeneous: exp(-sigma_t d);

@@ -78,6 +78,9 @@ class RenderJob:
     material_names: dict
     media: dict
     max_sample_luminance: float = 1e30
+    # names of media bound to primitives via MediumInterface — these
+    # are handled per-lane in volpath, not as the global medium
+    prim_media_names: tuple = ()
 
 
 class PbrtAPI:
@@ -107,6 +110,8 @@ class PbrtAPI:
         self.accel_kind = "bvh"
         self.transform_times = (0.0, 1.0)
         self.media = {}
+        self._medium_ids = {}          # name -> per-prim media-table idx
+        self._camera_medium_name = ""
         # instancing
         self.objects = {}
         self.current_object = None
@@ -235,6 +240,10 @@ class PbrtAPI:
         # camera-to-world = inverse(CTM)
         self.camera_to_world = self.ctm[0].inverse()
         self.named_coord_systems["camera"] = [self.ctm[0], self.ctm[1]]
+        # camera exists in the currently-active medium (api.cpp
+        # RenderOptions::CameraMedium); resolved at WorldEnd since
+        # MakeNamedMedium may not have been seen yet
+        self._camera_medium_name = self.graphics.inside_medium
 
     def _d_Film(self, s):
         unquote(s.next())  # "image"
@@ -324,6 +333,38 @@ class PbrtAPI:
         ps = self._params(s)
         self.media[name] = {"name": name, "params": ps,
                             "type": ps.find_one_string("type", "homogeneous")}
+
+    def _medium_index(self, name):
+        """Resolve a named medium to a per-primitive media-table index
+        (homogeneous only; grid media stay on the global-medium path)."""
+        if not name:
+            return -1
+        if name in self._medium_ids:
+            return self._medium_ids[name]
+        m = self.media.get(name)
+        idx = -1
+        if m is None:
+            log.warning("MediumInterface names unknown medium %r", name)
+        elif m["type"] in ("heterogeneous", "grid"):
+            log.warning("per-primitive grid medium %r unsupported — "
+                        "handled on the global-medium path", name)
+        else:
+            ps = m["params"]
+            default_a, default_s = 1.0, 1.0
+            preset = ps.find_one_string("preset", "")
+            if preset:
+                from pbrt_tpu.media.presets import (
+                    get_medium_scattering_properties)
+                got = get_medium_scattering_properties(preset)
+                if got is not None:
+                    default_a, default_s = got
+            scale = ps.find_one_float("scale", 1.0)
+            idx = self.builder.add_medium_record(
+                ps.find_one_spectrum("sigma_a", default_a) * scale,
+                ps.find_one_spectrum("sigma_s", default_s) * scale,
+                ps.find_one_float("g", 0.0))
+        self._medium_ids[name] = idx
+        return idx
 
     def _d_MediumInterface(self, s):
         self.graphics.inside_medium = unquote(s.next())
@@ -791,6 +832,11 @@ class PbrtAPI:
         inst = self.next_instance_id
         self.next_instance_id += 1
         self.instance_names[inst] = f"{sname}_{inst}"
+        # per-primitive MediumInterface (api.cpp pbrtMediumInterface):
+        # resolve the active inside/outside named media to table indices
+        self.builder.current_medium = (
+            self._medium_index(g.inside_medium),
+            self._medium_index(g.outside_medium))
 
         def record_or_add_mesh(verts, idx, norms=None, uvs=None):
             if self.current_object is not None:
@@ -937,6 +983,8 @@ class PbrtAPI:
     # ------------------------------------------------------------ finish
     def _d_WorldEnd(self, s):
         self.in_world = False
+        self.builder.camera_medium = self._medium_index(
+            self._camera_medium_name)
         fp = self.film_params
         width = fp.find_one_int("xresolution", 1280)
         height = fp.find_one_int("yresolution", 720)
@@ -1013,7 +1061,9 @@ class PbrtAPI:
             integrator_params=integ_params,
             instance_names=self.instance_names,
             material_names=self.builder.material_names,
-            media=self.media)
+            media=self.media,
+            prim_media_names=tuple(
+                n for n, i in self._medium_ids.items() if i >= 0))
 
 
 def _map_sampler(kind):

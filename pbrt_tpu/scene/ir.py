@@ -107,6 +107,13 @@ class SceneData:
     # compile (materials/fourier.py bake_grid)
     fourier_grid: jnp.ndarray  # [F,NM,NM,NP,3]
     mat_fourier_id: jnp.ndarray  # [M] index into fourier_grid or -1
+    # per-primitive MediumInterface (homogeneous media table; the
+    # reference's MediumInterface nesting, api.cpp MediumInterface)
+    prim_medium_in: jnp.ndarray   # [P] medium idx inside or -1
+    prim_medium_out: jnp.ndarray  # [P] medium idx outside or -1
+    med_sigma_a: jnp.ndarray      # [K,31]
+    med_sigma_s: jnp.ndarray      # [K,31]
+    med_g: jnp.ndarray            # [K]
 
     # --- light table ---
     light_type: jnp.ndarray    # [L]
@@ -165,6 +172,8 @@ class SceneData:
     has_mix: bool = struct.field(pytree_node=False, default=False)
     has_hair: bool = struct.field(pytree_node=False, default=False)
     has_fourier: bool = struct.field(pytree_node=False, default=False)
+    has_prim_media: bool = struct.field(pytree_node=False, default=False)
+    camera_medium: int = struct.field(pytree_node=False, default=-1)
     clip_quadrics: bool = struct.field(pytree_node=False, default=False)
     use_dense: bool = struct.field(pytree_node=False, default=False)
     dense_npad: int = struct.field(pytree_node=False, default=0)
@@ -249,8 +258,21 @@ class SceneBuilder:
         self.instance_names = {}
         self.material_names = {}
         self.fourier_grids = []   # baked [NM,NM,NP,3] measured BSDFs
+        # per-primitive media (MediumInterface): homogeneous table +
+        # the (inside, outside) register applied to subsequent shapes
+        self.media_table = []     # list of (sigma_a[31], sigma_s[31], g)
+        self.current_medium = (-1, -1)
+        self.camera_medium = -1
         from pbrt_tpu.textures.textures import TextureTable
         self.textures = TextureTable()
+
+    def add_medium_record(self, sigma_a, sigma_s, g):
+        """Register a homogeneous medium for per-primitive interfaces;
+        returns its index."""
+        self.media_table.append((np.asarray(sigma_a, np.float32),
+                                 np.asarray(sigma_s, np.float32),
+                                 float(g)))
+        return len(self.media_table) - 1
 
     def add_fourier_grid(self, grid):
         """Register a baked FourierBSDF lattice; returns its index."""
@@ -271,7 +293,10 @@ class SceneBuilder:
             prim_material=np.full(F, material_id, np.int32),
             prim_light=np.full(F, light_id, np.int32),
             prim_instance=np.full(F, instance_id, np.int32),
-            prim_flip=np.full(F, flip, bool)))
+            prim_flip=np.full(F, flip, bool),
+            prim_medium_in=np.full(F, self.current_medium[0], np.int32),
+            prim_medium_out=np.full(F, self.current_medium[1],
+                                    np.int32)))
         first = self._n_prims
         self._n_prims += F
         return first
@@ -394,7 +419,8 @@ class SceneBuilder:
     def _concat(self):
         """Concatenate chunks into per-prim SoA arrays (vectorized)."""
         keys = ("tri_v", "tri_ns", "tri_uv", "prim_type", "quad_refs",
-                "prim_material", "prim_light", "prim_instance", "prim_flip")
+                "prim_material", "prim_light", "prim_instance", "prim_flip",
+                "prim_medium_in", "prim_medium_out")
         if not self._chunks:
             return {k: np.zeros((0, 3, 3) if k == "tri_v" or k == "tri_ns"
                                 else (0, 3, 2) if k == "tri_uv" else (0,),
@@ -614,6 +640,21 @@ class SceneBuilder:
                 else np.zeros((1, 2, 2, 2, 3), np.float32)),
             mat_fourier_id=jnp.asarray([m.fourier_id for m in mats],
                                        jnp.int32),
+            prim_medium_in=jnp.asarray(
+                reorder("prim_medium_in", np.int32)),
+            prim_medium_out=jnp.asarray(
+                reorder("prim_medium_out", np.int32)),
+            med_sigma_a=jnp.asarray(
+                np.stack([m[0] for m in self.media_table])
+                if self.media_table else np.zeros((1, 31), np.float32)),
+            med_sigma_s=jnp.asarray(
+                np.stack([m[1] for m in self.media_table])
+                if self.media_table else np.zeros((1, 31), np.float32)),
+            med_g=jnp.asarray(
+                np.asarray([m[2] for m in self.media_table], np.float32)
+                if self.media_table else np.zeros(1, np.float32)),
+            has_prim_media=bool(self.media_table),
+            camera_medium=int(self.camera_medium),
             has_disney=any(m.type == MAT_DISNEY for m in mats),
             has_mix=any(m.type == MAT_MIX for m in mats),
             has_hair=any(m.type == MAT_HAIR for m in mats),

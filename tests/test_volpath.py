@@ -141,7 +141,6 @@ def test_named_medium_preset():
     base = """
 Film "image" "integer xresolution" [8] "integer yresolution" [8]
 MakeNamedMedium "goo" "string type" "homogeneous" %s
-MediumInterface "goo" ""
 WorldBegin
 Shape "sphere" "float radius" [1]
 WorldEnd
