@@ -120,10 +120,14 @@ def ray_vectors(o, d, center):
 # kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(r16_ref, tmax_ref, w_ref, nv0_ref, cb_ref, t_ref, prim_ref):
-    c = pl.program_id(1)
+def _kernel(cl_ref, na_ref, r16_ref, tmax_ref, w_ref, nv0_ref, cb_ref,
+            t_ref, prim_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    c = cl_ref[i, j]                   # chunk visited at step j (SMEM)
+    active = j < na_ref[i]
 
-    @pl.when(c == 0)
+    @pl.when(j == 0)
     def _():
         t_ref[:] = tmax_ref[:]
         prim_ref[:] = jnp.full_like(prim_ref, -1)
@@ -131,7 +135,9 @@ def _kernel(r16_ref, tmax_ref, w_ref, nv0_ref, cb_ref, t_ref, prim_ref):
     r = r16_ref[0]                     # [T,16]
     t_best = t_ref[0, 0]               # [T]
 
-    # ---- chunk AABB vs ray tile cull (VPU, cheap) ----
+    # ---- per-ray chunk AABB refinement against the shrinking t_best
+    # (the tile-level cull already ran on the host side: inactive steps
+    # revisit the previous block, so their DMA is elided entirely) ----
     d = r[:, 0:3]
     oc = r[:, 6:9]
     inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
@@ -144,7 +150,7 @@ def _kernel(r16_ref, tmax_ref, w_ref, nv0_ref, cb_ref, t_ref, prim_ref):
     box_hit = (tnear <= tfar * 1.0001 + 1e-5) & (tnear < t_best) & \
               (tfar > 0) & (t_best > 0)
 
-    @pl.when(jnp.any(box_hit))
+    @pl.when(active & jnp.any(box_hit))
     def _():
         # manual bf16x2 split dot: ~f32 accuracy (rel err ~1e-5 with the
         # max-normalized columns) in 3 bf16 MXU passes instead of the 6
@@ -179,8 +185,48 @@ def _kernel(r16_ref, tmax_ref, w_ref, nv0_ref, cb_ref, t_ref, prim_ref):
         k = jnp.min(jnp.where(tm <= chunk_min[:, None], lane, CHUNK), axis=1)
         upd = chunk_min < t_best
         t_ref[0, 0, :] = jnp.where(upd, chunk_min, t_best)
-        prim_ref[0, 0, :] = jnp.where(upd, c * CHUNK + k,
+        prim_ref[0, 0, :] = jnp.where(upd, c.astype(jnp.int32) * CHUNK + k,
                                       prim_ref[0, 0, :])
+
+
+def _tile_chunk_lists(r16_t, tmax_t, chunk_bounds):
+    """Per-ray-tile active-chunk lists for the scalar-prefetch grid.
+
+    r16_t [n_tiles,T,16], tmax_t [n_tiles,T], chunk_bounds [C,8].
+    Returns (chunk_list [n_tiles,C] int32, n_active [n_tiles] int32):
+    active chunks first, sorted front-to-back by the tile's nearest AABB
+    entry (shrinks t_best fastest), then the last active index repeated
+    so inactive grid steps re-fetch nothing.
+    """
+    d = r16_t[..., 0:3]
+    oc = r16_t[..., 6:9]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+    ray_ok = tmax_t > 0
+
+    def per_chunk(cbrow):
+        lo = cbrow[0:3]
+        hi = cbrow[4:7]
+        t0 = (lo - oc) * inv_d
+        t1 = (hi - oc) * inv_d
+        tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit = (tnear <= tfar * 1.0001 + 1e-5) & (tfar > 0) \
+            & (tnear < tmax_t) & ray_ok
+        near = jnp.where(hit, jnp.maximum(tnear, 0.0), F32_MAX)
+        return hit.any(-1), near.min(-1)            # [n_tiles] each
+
+    hits, nears = jax.lax.map(per_chunk, chunk_bounds)
+    hits = hits.T                                   # [n_tiles, C]
+    nears = nears.T
+    C = chunk_bounds.shape[0]
+    order = jnp.argsort(jnp.where(hits, nears, F32_MAX),
+                        axis=1).astype(jnp.int32)
+    n_active = hits.sum(-1).astype(jnp.int32)
+    ranks = jnp.arange(C, dtype=jnp.int32)[None, :]
+    last = jnp.take_along_axis(
+        order, jnp.maximum(n_active - 1, 0)[:, None], 1)
+    chunk_list = jnp.where(ranks < n_active[:, None], order, last)
+    return chunk_list, n_active
 
 
 @partial(jax.jit, static_argnames=("n_pad",))
@@ -197,32 +243,35 @@ def dense_intersect(r16, tmax, W, nv0, chunk_bounds, n_pad):
     n_tiles = Bp // RAY_TILE
     n_chunks = n_pad // CHUNK
     r16 = r16.reshape(n_tiles, RAY_TILE, 16)
+    tmax_t = tmax.reshape(n_tiles, RAY_TILE)
     tmax2 = tmax.reshape(n_tiles, 1, RAY_TILE)
+    chunk_list, n_active = _tile_chunk_lists(r16, tmax_t, chunk_bounds)
 
-    grid = (n_tiles, n_chunks)
-    t_out, prim_out = pl.pallas_call(
-        _kernel,
-        grid=grid,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,             # chunk_list, n_active
+        grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, RAY_TILE, 16), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, RAY_TILE), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 16, 5 * CHUNK), lambda i, c: (0, 0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK), lambda i, c: (0, c),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_TILE, 16), lambda i, j, cl, na: (i, 0, 0)),
+            pl.BlockSpec((1, 1, RAY_TILE), lambda i, j, cl, na: (i, 0, 0)),
+            # the W/nv0 blocks follow the tile's OWN chunk list: steps
+            # past n_active revisit the same block, whose copy Mosaic
+            # elides — culled chunks cost no HBM traffic at all
+            pl.BlockSpec((2, 16, 5 * CHUNK),
+                         lambda i, j, cl, na: (0, 0, cl[i, j])),
+            pl.BlockSpec((1, CHUNK), lambda i, j, cl, na: (0, cl[i, j])),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk_bounds, whole
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, RAY_TILE), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, RAY_TILE), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, RAY_TILE), lambda i, j, cl, na: (i, 0, 0)),
+            pl.BlockSpec((1, 1, RAY_TILE), lambda i, j, cl, na: (i, 0, 0)),
         ],
+    )
+    t_out, prim_out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.int32),
         ],
-    )(r16, tmax2, W, nv0, chunk_bounds)
+    )(chunk_list, n_active, r16, tmax2, W, nv0, chunk_bounds)
     return t_out.reshape(-1)[:B], prim_out.reshape(-1)[:B]
