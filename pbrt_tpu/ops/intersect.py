@@ -314,8 +314,7 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray):
         prim_init = jnp.where(qhit, qprim, prim_init)
     r16 = pdense.ray_vectors(o, d, scene.dense_center)
     t, prim = pdense.dense_intersect(r16, t_init, scene.dense_w,
-                                     scene.dense_nv0, scene.dense_cb,
-                                     scene.dense_npad)
+                                     scene.dense_cb, scene.dense_npad)
     # kernel only reports triangle wins; keep the quadric prehit otherwise
     prim = jnp.where(prim >= 0, prim, prim_init)
     found = prim >= 0

@@ -73,9 +73,13 @@ def build_dense_tables(v0, e1, e2):
             col = col / (np.abs(col).max(-1, keepdims=True) + 1e-30)
             Wsep[s, 0:3, :P] = col[:, :3].T
             Wsep[s, 3:6, :P] = col[:, 3:].T
-        Wsep[3, 6:9, :P] = nn.T       # n.(o-c)
-        Wsep[4, 0:3, :P] = nn.T       # n.d
         nv0[:P] = (nn * (v0 - center)).sum(-1)
+        # "num" block: r16 lane 15 is the constant 1, so the matmul
+        # computes  nv0 - n.(o-c)  directly (saves a VPU pass in the
+        # kernel epilogue); t = num / n.d
+        Wsep[3, 6:9, :P] = -nn.T
+        Wsep[3, 15, :P] = nv0[:P]
+        Wsep[4, 0:3, :P] = nn.T       # n.d
 
     # pack the 5 matrices chunk-interleaved so ONE dot per chunk suffices
     C = Pp // CHUNK
@@ -109,18 +113,23 @@ def build_dense_tables(v0, e1, e2):
 
 
 def ray_vectors(o, d, center):
-    """r16 rows for the dense kernel: [B,16] = [d, (o-c)xd, o-c, pad]."""
+    """r16 rows for the dense kernel: [B,16] = [d, (o-c)xd, o-c, pad, 1].
+
+    Lane 15 is the constant 1 that pairs with the nv0 row baked into the
+    "num" block of W (see build_dense_tables).
+    """
     oc = o - center
     m = jnp.cross(oc, d)
     B = o.shape[0]
-    return jnp.concatenate([d, m, oc, jnp.zeros((B, 7), o.dtype)], -1)
+    return jnp.concatenate([d, m, oc, jnp.zeros((B, 6), o.dtype),
+                            jnp.ones((B, 1), o.dtype)], -1)
 
 
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(cl_ref, na_ref, r16_ref, tmax_ref, w_ref, nv0_ref, cb_ref,
+def _kernel(cl_ref, na_ref, r16_ref, tmax_ref, w_ref, cb_ref,
             t_ref, prim_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -167,24 +176,37 @@ def _kernel(cl_ref, na_ref, r16_ref, tmax_ref, w_ref, nv0_ref, cb_ref,
                                    preferred_element_type=jnp.float32)
         out += jax.lax.dot_general(r_lo, w_hi, dn,
                                    preferred_element_type=jnp.float32)
-        # out: [T, 5*CHUNK]
+        # out: [T, 5*CHUNK].  Lean VPU epilogue (~13 elementwise ops +
+        # one int-min reduction per (ray,tri) pair):
+        #  - sign-consistency via integer XOR of the float bit patterns
+        #    (3 int ops replace 9 fp compare/and/or)
+        #  - t = num * 1/nd with IEEE semantics doing the guarding:
+        #    padding/degenerate columns give 0/0=NaN or num/0=inf, both
+        #    of which fail the ordered t-range compares
+        #  - winner lane packed into the low 9 mantissa bits of t so ONE
+        #    int-min reduction yields both the min-t and its lane (t is
+        #    quantized to ~6e-5 relative; the caller re-derives the
+        #    winner's exact t with one fp32 MT test afterwards)
         s0 = out[:, 0 * CHUNK:1 * CHUNK]
         s1 = out[:, 1 * CHUNK:2 * CHUNK]
         s2 = out[:, 2 * CHUNK:3 * CHUNK]
-        no = out[:, 3 * CHUNK:4 * CHUNK]
+        num = out[:, 3 * CHUNK:4 * CHUNK]
         nd = out[:, 4 * CHUNK:5 * CHUNK]
-        inside = ((s0 >= 0) & (s1 >= 0) & (s2 >= 0)) | \
-                 ((s0 <= 0) & (s1 <= 0) & (s2 <= 0))
-        nd_ok = jnp.abs(nd) > 1e-12
-        t = (nv0_ref[0][None, :] - no) / jnp.where(nd_ok, nd, 1.0)
-        hit = inside & nd_ok & (t > 1e-4) & (t < t_best[:, None]) \
-            & box_hit[:, None]
-        tm = jnp.where(hit, t, F32_MAX)
-        chunk_min = jnp.min(tm, axis=1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 1)
-        k = jnp.min(jnp.where(tm <= chunk_min[:, None], lane, CHUNK), axis=1)
-        upd = chunk_min < t_best
-        t_ref[0, 0, :] = jnp.where(upd, chunk_min, t_best)
+        i0 = s0.view(jnp.int32)
+        i1 = s1.view(jnp.int32)
+        i2 = s2.view(jnp.int32)
+        inside = ((i0 ^ i1) | (i0 ^ i2)) >= 0
+        t = num / nd
+        tb = jnp.where(box_hit, t_best, -F32_MAX)
+        hit = inside & (t > 1e-4) & (t < tb[:, None])
+        lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        key = (t.view(jnp.int32) & jnp.int32(~0x1FF)) | lane
+        BIG = jnp.int32(0x7F7FFFFF)
+        kmin = jnp.min(jnp.where(hit, key, BIG), axis=1)
+        upd = kmin < BIG
+        t_new = (kmin & jnp.int32(~0x1FF)).view(jnp.float32)
+        k = kmin & jnp.int32(0x1FF)
+        t_ref[0, 0, :] = jnp.where(upd, t_new, t_best)
         prim_ref[0, 0, :] = jnp.where(upd, c.astype(jnp.int32) * CHUNK + k,
                                       prim_ref[0, 0, :])
 
@@ -230,8 +252,8 @@ def _tile_chunk_lists(r16_t, tmax_t, chunk_bounds):
 
 
 @partial(jax.jit, static_argnames=("n_pad",))
-def dense_intersect(r16, tmax, W, nv0, chunk_bounds, n_pad):
-    """r16 [B,16], tmax [B]; W [2,16,5*Pp] bf16 hi/lo, nv0 [1,Pp], chunk_bounds [C,8].
+def dense_intersect(r16, tmax, W, chunk_bounds, n_pad):
+    """r16 [B,16], tmax [B]; W [2,16,5*Pp] bf16 hi/lo, chunk_bounds [C,8].
 
     Returns (t [B], prim [B]) with prim=-1 for misses.
     """
@@ -253,12 +275,11 @@ def dense_intersect(r16, tmax, W, nv0, chunk_bounds, n_pad):
         in_specs=[
             pl.BlockSpec((1, RAY_TILE, 16), lambda i, j, cl, na: (i, 0, 0)),
             pl.BlockSpec((1, 1, RAY_TILE), lambda i, j, cl, na: (i, 0, 0)),
-            # the W/nv0 blocks follow the tile's OWN chunk list: steps
+            # the W block follows the tile's OWN chunk list: steps
             # past n_active revisit the same block, whose copy Mosaic
             # elides — culled chunks cost no HBM traffic at all
             pl.BlockSpec((2, 16, 5 * CHUNK),
                          lambda i, j, cl, na: (0, 0, cl[i, j])),
-            pl.BlockSpec((1, CHUNK), lambda i, j, cl, na: (0, cl[i, j])),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk_bounds, whole
         ],
         out_specs=[
@@ -273,5 +294,5 @@ def dense_intersect(r16, tmax, W, nv0, chunk_bounds, n_pad):
             jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.int32),
         ],
-    )(chunk_list, n_active, r16, tmax2, W, nv0, chunk_bounds)
+    )(chunk_list, n_active, r16, tmax2, W, chunk_bounds)
     return t_out.reshape(-1)[:B], prim_out.reshape(-1)[:B]

@@ -58,7 +58,7 @@ def run_case(n_tris, n_rays, seed, coherent):
                              jnp.asarray(tab["center"]))
     t, prim = pdense.dense_intersect(
         r16, jnp.asarray(tmax),
-        jnp.asarray(tab["W"]), jnp.asarray(tab["nv0"]),
+        jnp.asarray(tab["W"]),
         jnp.asarray(tab["chunk_bounds"]), tab["n_pad"])
     t = np.asarray(t)
     prim = np.asarray(prim)
