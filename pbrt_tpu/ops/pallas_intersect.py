@@ -113,15 +113,19 @@ def build_dense_tables(v0, e1, e2):
 
 
 def ray_vectors(o, d, center):
-    """r16 rows for the dense kernel: [B,16] = [d, (o-c)xd, o-c, pad, 1].
+    """r16 rows for the dense kernel: [B,16] = [d, (o-c)xd, o-c, 1/d, pad, 1].
 
     Lane 15 is the constant 1 that pairs with the nv0 row baked into the
-    "num" block of W (see build_dense_tables).
+    "num" block of W (see build_dense_tables).  Lanes 9:12 carry 1/d for
+    the in-kernel chunk AABB slab test (W rows 9:15 are zero, so the extra
+    lanes never perturb the dots) — computing it here once replaces a
+    [T,3] divide in every grid step.
     """
     oc = o - center
     m = jnp.cross(oc, d)
     B = o.shape[0]
-    return jnp.concatenate([d, m, oc, jnp.zeros((B, 6), o.dtype),
+    inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+    return jnp.concatenate([d, m, oc, inv_d, jnp.zeros((B, 3), o.dtype),
                             jnp.ones((B, 1), o.dtype)], -1)
 
 
@@ -129,14 +133,21 @@ def ray_vectors(o, d, center):
 # kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(cl_ref, na_ref, r16_ref, tmax_ref, w_ref, cb_ref,
-            t_ref, prim_ref):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    c = cl_ref[i, j]                   # chunk visited at step j (SMEM)
-    active = j < na_ref[i]
+def _kernel(wq_tile_ref, wq_chunk_ref, wq_flag_ref, r16_ref, tmax_ref,
+            w_ref, cb_ref, t_ref, prim_ref):
+    """One step of the flattened (tile, chunk) work queue.
 
-    @pl.when(j == 0)
+    The grid is 1-D over a sparse work list of ACTIVE (ray-tile, chunk)
+    pairs only (sorted by tile, front-to-back within a tile) — culled
+    pairs cost zero grid steps, unlike a dense (tiles x chunks) grid
+    where skipped steps still pay the per-step floor.  wq_flag: 2 = first
+    step of its tile (init outputs), 1 = continuation, 0 = padding.
+    """
+    k = pl.program_id(0)
+    c = wq_chunk_ref[k]                # chunk visited at this step (SMEM)
+    flag = wq_flag_ref[k]
+
+    @pl.when(flag == 2)
     def _():
         t_ref[:] = tmax_ref[:]
         prim_ref[:] = jnp.full_like(prim_ref, -1)
@@ -144,12 +155,9 @@ def _kernel(cl_ref, na_ref, r16_ref, tmax_ref, w_ref, cb_ref,
     r = r16_ref[0]                     # [T,16]
     t_best = t_ref[0, 0]               # [T]
 
-    # ---- per-ray chunk AABB refinement against the shrinking t_best
-    # (the tile-level cull already ran on the host side: inactive steps
-    # revisit the previous block, so their DMA is elided entirely) ----
-    d = r[:, 0:3]
+    # ---- per-ray chunk AABB refinement against the shrinking t_best ----
     oc = r[:, 6:9]
-    inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+    inv_d = r[:, 9:12]
     lo = cb_ref[c, 0:3]
     hi = cb_ref[c, 4:7]
     t0 = (lo[None, :] - oc) * inv_d
@@ -159,7 +167,7 @@ def _kernel(cl_ref, na_ref, r16_ref, tmax_ref, w_ref, cb_ref,
     box_hit = (tnear <= tfar * 1.0001 + 1e-5) & (tnear < t_best) & \
               (tfar > 0) & (t_best > 0)
 
-    @pl.when(active & jnp.any(box_hit))
+    @pl.when((flag > 0) & jnp.any(box_hit))
     def _():
         # manual bf16x2 split dot: ~f32 accuracy (rel err ~1e-5 with the
         # max-normalized columns) in 3 bf16 MXU passes instead of the 6
@@ -196,7 +204,9 @@ def _kernel(cl_ref, na_ref, r16_ref, tmax_ref, w_ref, cb_ref,
         i1 = s1.view(jnp.int32)
         i2 = s2.view(jnp.int32)
         inside = ((i0 ^ i1) | (i0 ^ i2)) >= 0
-        t = num / nd
+        # approx reciprocal (~12-bit) is fine: t is quantized to 9 lane
+        # bits below anyway and the caller re-derives the winner's exact t
+        t = num * pl.reciprocal(nd, approx=True)
         tb = jnp.where(box_hit, t_best, -F32_MAX)
         hit = inside & (t > 1e-4) & (t < tb[:, None])
         lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
@@ -251,6 +261,49 @@ def _tile_chunk_lists(r16_t, tmax_t, chunk_bounds):
     return chunk_list, n_active
 
 
+def _work_queue(chunk_list, n_active, n_tiles, n_chunks):
+    """Flatten per-tile active-chunk lists into one sparse work list.
+
+    Returns (wq_tile, wq_chunk, wq_flag) each [S+1] int32 with
+    S = n_tiles * n_chunks, tile-major (so each output block is visited in
+    one contiguous run), front-to-back within a tile.  Entries past the
+    total active count are padding: tile = n_tiles-1 and a constant chunk,
+    so consecutive padding steps revisit the same blocks and Mosaic elides
+    their copies; flag = 0 marks them dead for the kernel.
+    """
+    S = n_tiles * n_chunks
+    ranks = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
+    valid = ranks < n_active[:, None]
+    offsets = jnp.cumsum(n_active) - n_active           # exclusive prefix
+    pos = offsets[:, None] + ranks                      # [n_tiles, C]
+    flat_pos = jnp.where(valid, pos, S).ravel()         # invalid -> slot S
+    tile_ids = jnp.broadcast_to(
+        jnp.arange(n_tiles, dtype=jnp.int32)[:, None], valid.shape)
+    pad_chunk = chunk_list[-1, 0]
+    wq_tile = jnp.full((S + 1,), n_tiles - 1, jnp.int32) \
+        .at[flat_pos].set(tile_ids.ravel(), mode="drop")
+    wq_chunk = jnp.broadcast_to(pad_chunk, (S + 1,)).astype(jnp.int32) \
+        .at[flat_pos].set(chunk_list.ravel(), mode="drop")
+    flags = jnp.where(ranks == 0, 2, 1).astype(jnp.int32)
+    flags = jnp.broadcast_to(flags, valid.shape)
+    wq_flag = jnp.zeros((S + 1,), jnp.int32) \
+        .at[flat_pos].set(flags.ravel(), mode="drop")
+    return wq_tile, wq_chunk, wq_flag
+
+
+def _queue_caps(S):
+    """Static grid-size buckets: smallest eighth of the dense step count
+    that covers the runtime queue length (each compiles one kernel —
+    same body, different grid — so finer buckets trade compile time for
+    less padding; padding steps still cost the per-step floor)."""
+    caps = []
+    for k in range(1, 9):
+        cap = max((S * k + 7) // 8, 1)
+        if not caps or cap > caps[-1]:
+            caps.append(cap)
+    return caps
+
+
 @partial(jax.jit, static_argnames=("n_pad",))
 def dense_intersect(r16, tmax, W, chunk_bounds, n_pad):
     """r16 [B,16], tmax [B]; W [2,16,5*Pp] bf16 hi/lo, chunk_bounds [C,8].
@@ -268,31 +321,54 @@ def dense_intersect(r16, tmax, W, chunk_bounds, n_pad):
     tmax_t = tmax.reshape(n_tiles, RAY_TILE)
     tmax2 = tmax.reshape(n_tiles, 1, RAY_TILE)
     chunk_list, n_active = _tile_chunk_lists(r16, tmax_t, chunk_bounds)
+    wq_tile, wq_chunk, wq_flag = _work_queue(chunk_list, n_active,
+                                             n_tiles, n_chunks)
+    total = jnp.sum(n_active)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,             # chunk_list, n_active
-        grid=(n_tiles, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, RAY_TILE, 16), lambda i, j, cl, na: (i, 0, 0)),
-            pl.BlockSpec((1, 1, RAY_TILE), lambda i, j, cl, na: (i, 0, 0)),
-            # the W block follows the tile's OWN chunk list: steps
-            # past n_active revisit the same block, whose copy Mosaic
-            # elides — culled chunks cost no HBM traffic at all
-            pl.BlockSpec((2, 16, 5 * CHUNK),
-                         lambda i, j, cl, na: (0, 0, cl[i, j])),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk_bounds, whole
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, RAY_TILE), lambda i, j, cl, na: (i, 0, 0)),
-            pl.BlockSpec((1, 1, RAY_TILE), lambda i, j, cl, na: (i, 0, 0)),
-        ],
-    )
-    t_out, prim_out = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.int32),
-        ],
-    )(chunk_list, n_active, r16, tmax2, W, chunk_bounds)
+    def make_branch(cap):
+        def branch():
+            wt = jax.lax.slice(wq_tile, (0,), (cap,))
+            wc = jax.lax.slice(wq_chunk, (0,), (cap,))
+            wf = jax.lax.slice(wq_flag, (0,), (cap,))
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,         # wq_tile, wq_chunk, wq_flag
+                grid=(cap,),
+                in_specs=[
+                    pl.BlockSpec((1, RAY_TILE, 16),
+                                 lambda k, wt, wc, wf: (wt[k], 0, 0)),
+                    pl.BlockSpec((1, 1, RAY_TILE),
+                                 lambda k, wt, wc, wf: (wt[k], 0, 0)),
+                    pl.BlockSpec((2, 16, 5 * CHUNK),
+                                 lambda k, wt, wc, wf: (0, 0, wc[k])),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # chunk_bounds
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, 1, RAY_TILE),
+                                 lambda k, wt, wc, wf: (wt[k], 0, 0)),
+                    pl.BlockSpec((1, 1, RAY_TILE),
+                                 lambda k, wt, wc, wf: (wt[k], 0, 0)),
+                ],
+            )
+            return pl.pallas_call(
+                _kernel,
+                grid_spec=grid_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.float32),
+                    jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.int32),
+                ],
+            )(wt, wc, wf, r16, tmax2, W, chunk_bounds)
+        return branch
+
+    caps = _queue_caps(n_tiles * n_chunks)
+    if len(caps) == 1:
+        t_out, prim_out = make_branch(caps[0])()
+    else:
+        which = sum((total > cap).astype(jnp.int32) for cap in caps[:-1])
+        t_out, prim_out = jax.lax.switch(
+            which, [make_branch(cap) for cap in caps])
+    # tiles with an empty queue never reach the kernel: their outputs are
+    # whatever the flush left there — overwrite with the miss result
+    untouched = (n_active == 0)[:, None, None]
+    t_out = jnp.where(untouched, tmax2, t_out)
+    prim_out = jnp.where(untouched, -1, prim_out)
     return t_out.reshape(-1)[:B], prim_out.reshape(-1)[:B]
