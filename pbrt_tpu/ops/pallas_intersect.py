@@ -5,23 +5,23 @@ Moller-Trumbore, bvh.cpp:662 / triangle.cpp:188): instead of a divergent
 pointer chase, intersection is expressed as **dense matrix multiplies** using
 Pluecker coordinates, which the MXU executes directly:
 
-  per-ray 12-vector  r = [d, (o-c) x d, (o-c), pad]      (c = scene center)
-  per-tri constants  5 columns: 3 edge Pluecker forms (sign test), plane
-                     normal twice (n.o and n.d for the hit distance)
-  sides = r @ W      -> ray hits tri iff the 3 sides share a sign
-  t     = (n.v0 - n.o) / (n.d)
+  per-ray 16-vector  r = [d, (o-c) x d, (o-c), 1/d, pad, 1]   (c = center)
+  per-tri constants  4 columns: 2 edge Pluecker forms (the third follows
+                     from s0+s1+s2 = n.d), plane numerator and n.d
+  out = r @ W        -> ray hits tri iff the 3 sides share a sign
+  t   = num / nd
 
-Edge columns are max-normalized (sign-invariant) so bf16x3 ("HIGH") MXU
-passes keep the sign test fp32-exact in practice; shared-edge sign
-consistency also makes the test watertight where fp32 MT can leak.
+Columns share a per-triangle scale (sign-invariant); a single K=48 bf16
+MXU pass [r_hi|r_lo|r_hi] @ [w_hi;w_hi;w_lo] reaches ~f32 accuracy, and
+shared-edge sign consistency keeps the test watertight where fp32
+Moller-Trumbore can leak.
 
 Hierarchy is recovered *without divergence* by chunking: triangles stay in
-BVH-leaf order, so each 512-triangle chunk is spatially tight; the kernel
-tests every chunk's AABB against the whole ray tile first and skips the
-matmuls for chunks no live ray can reach (`@pl.when`), with per-ray t_best
-pruning shrinking intervals as hits accumulate.  Camera tiles are coherent,
-so most chunks are skipped; the worst case degrades to dense brute force
-rather than to pointer chasing.
+BVH-leaf order, so each 512-triangle chunk is spatially tight.  A sparse
+1-D work queue of (ray-tile, chunk) pairs that survive whole-tile AABB
+culling (rays pre-sorted by origin/octant for tile coherence) drives the
+grid, with per-ray AABB + shrinking-t_best refinement inside the kernel;
+the worst case degrades to dense brute force rather than pointer chasing.
 
 The octant-threaded BVH loop (ops/intersect.py) remains the fallback for
 very large scenes.
@@ -50,8 +50,9 @@ def build_dense_tables(v0, e1, e2):
     """Per-triangle Pluecker/plane tables + per-chunk AABBs.
 
     v0,e1,e2: [P,3] float arrays (BVH-leaf order, so chunks are spatially
-    tight).  Returns dict with W [16, 5*Pp] f32 (chunk-interleaved
-    s0|s1|s2|no|nd), nv0 [1,Pp], chunk_bounds [C,8], center [3], n_pad.
+    tight).  Returns dict with W [48, 4*Pp] bf16 (chunk-interleaved
+    s1|s2|num|nd, rows = [w_hi; w_hi; w_lo]), chunk_bounds [C,8],
+    center [3], n_pad.
     """
     v0 = np.asarray(v0, np.float64)
     e1 = np.asarray(e1, np.float64)
@@ -60,40 +61,57 @@ def build_dense_tables(v0, e1, e2):
     Pp = max(((P + CHUNK - 1) // CHUNK) * CHUNK, CHUNK)
     center = v0.mean(0) if P else np.zeros(3)
 
-    Wsep = np.zeros((5, 16, Pp), np.float32)
-    nv0 = np.zeros(Pp, np.float32)
+    # 4 sections per tri: s1 | s2 | num | nd.  The third edge side s0 is
+    # NOT stored: the three Pluecker edge forms of a triangle satisfy
+    # s0+s1+s2 = nd after a per-triangle rescale, so the kernel derives
+    # s0 = nd - s1 - s2 — one fifth less MXU output, VMEM traffic and
+    # table DMA.  That identity requires the three edge columns and the
+    # nd column to share ONE common scale per triangle (not the per-edge
+    # max-normalization used when sections were independent).
+    Wsep = np.zeros((4, 16, Pp), np.float32)
     if P:
         a0, b0 = v0 - center, v0 + e1 - center
         a1, b1 = b0, v0 + e2 - center
         a2, b2 = b1, a0
-        n = np.cross(e1, e2)
-        nn = n / (np.abs(n).max(-1, keepdims=True) + 1e-30)
-        for s, (a, b) in enumerate([(a0, b0), (a1, b1), (a2, b2)]):
-            col = np.concatenate([np.cross(a, b), b - a], -1)  # [P,6]
-            col = col / (np.abs(col).max(-1, keepdims=True) + 1e-30)
+        n = np.cross(e1, e2)                       # = unscaled nd column
+        cols = []
+        for a, b in [(a0, b0), (a1, b1), (a2, b2)]:
+            cols.append(np.concatenate([np.cross(a, b), b - a], -1))
+        # common per-tri scale: largest magnitude across the 3 edge
+        # columns and the normal (keeps everything in healthy f32/bf16
+        # range; signs and the s0+s1+s2=nd identity are scale-invariant)
+        mag = np.maximum.reduce([np.abs(c).max(-1) for c in cols])
+        mag = np.maximum(mag, np.abs(n).max(-1)) + 1e-30
+        inv = (1.0 / mag)[:, None]
+        nn = n * inv
+        for s, col in enumerate(cols[1:]):         # store s1, s2 only
+            col = col * inv
             Wsep[s, 0:3, :P] = col[:, :3].T
             Wsep[s, 3:6, :P] = col[:, 3:].T
-        nv0[:P] = (nn * (v0 - center)).sum(-1)
-        # "num" block: r16 lane 15 is the constant 1, so the matmul
-        # computes  nv0 - n.(o-c)  directly (saves a VPU pass in the
-        # kernel epilogue); t = num / n.d
-        Wsep[3, 6:9, :P] = -nn.T
-        Wsep[3, 15, :P] = nv0[:P]
-        Wsep[4, 0:3, :P] = nn.T       # n.d
+        nv0 = (nn * (v0 - center)).sum(-1)
+        # "num" section: r lane 15 is the constant 1, so the matmul
+        # computes  nv0 - n.(o-c)  directly; t = num / nd
+        Wsep[2, 6:9, :P] = -nn.T
+        Wsep[2, 15, :P] = nv0
+        Wsep[3, 0:3, :P] = nn.T       # nd = n.d
 
-    # pack the 5 matrices chunk-interleaved so ONE dot per chunk suffices
+    # pack the 4 matrices chunk-interleaved so ONE dot per chunk suffices
     C = Pp // CHUNK
-    W = np.zeros((16, 5 * Pp), np.float32)
+    W = np.zeros((16, 4 * Pp), np.float32)
     for c in range(C):
-        for s in range(5):
-            W[:, (c * 5 + s) * CHUNK:(c * 5 + s + 1) * CHUNK] = \
+        for s in range(4):
+            W[:, (c * 4 + s) * CHUNK:(c * 4 + s + 1) * CHUNK] = \
                 Wsep[s, :, c * CHUNK:(c + 1) * CHUNK]
-    # bf16x2 split storage: W ~= W_hi + W_lo at ~f32 accuracy, half the
-    # HBM->VMEM streaming of f32
+    # bf16x2 split, pre-stacked for a SINGLE K=48 MXU pass per chunk:
+    #   [r_hi | r_lo | r_hi] @ [w_hi ; w_hi ; w_lo]
+    #     = r_hi@w_hi + r_lo@w_hi + r_hi@w_lo  (~f32 accuracy)
+    # One dot instead of three means `out` is written once, K rises from
+    # 16 to 48 of the MXU's 128 rows, and Mosaic never materializes the
+    # two partial accumulations.
     import jax.numpy as _jnp
-    w_hi = np.asarray(W, np.float32).astype(_jnp.bfloat16)
-    w_lo = (W - np.asarray(w_hi, np.float32)).astype(_jnp.bfloat16)
-    W2 = np.stack([np.asarray(w_hi), np.asarray(w_lo)], 0)  # [2,16,5Pp]
+    w_hi = np.asarray(np.asarray(W, np.float32).astype(_jnp.bfloat16))
+    w_lo = np.asarray((W - w_hi.astype(np.float32)).astype(_jnp.bfloat16))
+    W2 = np.concatenate([w_hi, w_hi, w_lo], 0)     # [48, 4Pp] bf16
 
     # chunk AABBs in centered coordinates (8-wide rows for clean VMEM tiles)
     cb = np.zeros((C, 8), np.float32)
@@ -108,7 +126,7 @@ def build_dense_tables(v0, e1, e2):
                 vv = verts[s0:s1].reshape(-1, 3)
                 cb[c, 0:3] = vv.min(0) - 1e-4
                 cb[c, 4:7] = vv.max(0) + 1e-4
-    return dict(W=W2, nv0=nv0.reshape(1, Pp), chunk_bounds=cb,
+    return dict(W=W2, chunk_bounds=cb,
                 center=center.astype(np.float32), n_pad=Pp)
 
 
@@ -169,37 +187,32 @@ def _kernel(wq_tile_ref, wq_chunk_ref, wq_flag_ref, r16_ref, tmax_ref,
 
     @pl.when((flag > 0) & jnp.any(box_hit))
     def _():
-        # manual bf16x2 split dot: ~f32 accuracy (rel err ~1e-5 with the
-        # max-normalized columns) in 3 bf16 MXU passes instead of the 6
-        # passes Mosaic uses for Precision.HIGHEST — measured 2.8x faster,
-        # and storing W as two bf16 halves also halves the streaming DMA
+        # ONE K=48 bf16 MXU pass: [r_hi|r_lo|r_hi] @ [w_hi;w_hi;w_lo]
+        # = r_hi@w_hi + r_lo@w_hi + r_hi@w_lo (~f32 accuracy, rel err
+        # ~1e-5) — vs three K=16 passes this writes `out` once and uses
+        # 48 of the MXU's 128 contraction rows instead of 16
         r_hi = r.astype(jnp.bfloat16)
         r_lo = (r - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        r48 = jnp.concatenate([r_hi, r_lo, r_hi], axis=1)
         dn = (((1,), (0,)), ((), ()))
-        w_hi = w_ref[0]
-        w_lo = w_ref[1]
-        out = jax.lax.dot_general(r_hi, w_hi, dn,
+        out = jax.lax.dot_general(r48, w_ref[:], dn,
                                   preferred_element_type=jnp.float32)
-        out += jax.lax.dot_general(r_hi, w_lo, dn,
-                                   preferred_element_type=jnp.float32)
-        out += jax.lax.dot_general(r_lo, w_hi, dn,
-                                   preferred_element_type=jnp.float32)
-        # out: [T, 5*CHUNK].  Lean VPU epilogue (~13 elementwise ops +
-        # one int-min reduction per (ray,tri) pair):
+        # out: [T, 4*CHUNK] = s1 | s2 | num | nd.  Lean VPU epilogue:
+        #  - s0 = nd - s1 - s2 (Pluecker edge forms of a closed triangle
+        #    loop sum to n.d), so the third edge section is never stored
         #  - sign-consistency via integer XOR of the float bit patterns
-        #    (3 int ops replace 9 fp compare/and/or)
-        #  - t = num * 1/nd with IEEE semantics doing the guarding:
-        #    padding/degenerate columns give 0/0=NaN or num/0=inf, both
-        #    of which fail the ordered t-range compares
+        #  - t = num * rcp(nd) with IEEE semantics doing the guarding:
+        #    padding/degenerate columns give 0*inf=NaN or inf, both of
+        #    which fail the ordered t-range compares
         #  - winner lane packed into the low 9 mantissa bits of t so ONE
         #    int-min reduction yields both the min-t and its lane (t is
         #    quantized to ~6e-5 relative; the caller re-derives the
         #    winner's exact t with one fp32 MT test afterwards)
-        s0 = out[:, 0 * CHUNK:1 * CHUNK]
-        s1 = out[:, 1 * CHUNK:2 * CHUNK]
-        s2 = out[:, 2 * CHUNK:3 * CHUNK]
-        num = out[:, 3 * CHUNK:4 * CHUNK]
-        nd = out[:, 4 * CHUNK:5 * CHUNK]
+        s1 = out[:, 0 * CHUNK:1 * CHUNK]
+        s2 = out[:, 1 * CHUNK:2 * CHUNK]
+        num = out[:, 2 * CHUNK:3 * CHUNK]
+        nd = out[:, 3 * CHUNK:4 * CHUNK]
+        s0 = nd - s1 - s2
         i0 = s0.view(jnp.int32)
         i1 = s1.view(jnp.int32)
         i2 = s2.view(jnp.int32)
@@ -306,7 +319,7 @@ def _queue_caps(S):
 
 @partial(jax.jit, static_argnames=("n_pad",))
 def dense_intersect(r16, tmax, W, chunk_bounds, n_pad):
-    """r16 [B,16], tmax [B]; W [2,16,5*Pp] bf16 hi/lo, chunk_bounds [C,8].
+    """r16 [B,16], tmax [B]; W [48,4*Pp] bf16 stacked, chunk_bounds [C,8].
 
     Returns (t [B], prim [B]) with prim=-1 for misses.
     """
@@ -338,8 +351,8 @@ def dense_intersect(r16, tmax, W, chunk_bounds, n_pad):
                                  lambda k, wt, wc, wf: (wt[k], 0, 0)),
                     pl.BlockSpec((1, 1, RAY_TILE),
                                  lambda k, wt, wc, wf: (wt[k], 0, 0)),
-                    pl.BlockSpec((2, 16, 5 * CHUNK),
-                                 lambda k, wt, wc, wf: (0, 0, wc[k])),
+                    pl.BlockSpec((48, 4 * CHUNK),
+                                 lambda k, wt, wc, wf: (0, wc[k])),
                     pl.BlockSpec(memory_space=pltpu.VMEM),  # chunk_bounds
                 ],
                 out_specs=[

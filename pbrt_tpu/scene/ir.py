@@ -148,8 +148,7 @@ class SceneData:
     tex_c2: jnp.ndarray          # [T,3]
 
     # --- dense MXU intersector tables (ops/pallas_intersect.py) ---
-    dense_w: jnp.ndarray       # [16, 5*Pp]
-    dense_nv0: jnp.ndarray     # [1, Pp]
+    dense_w: jnp.ndarray       # [48, 4*Pp] bf16 (s1|s2|num|nd sections)
     dense_cb: jnp.ndarray      # [C, 8] chunk AABBs (centered coords)
     dense_center: jnp.ndarray  # [3]
 
@@ -683,7 +682,6 @@ class SceneBuilder:
             tex_params=jnp.asarray(tex_p), tex_c1=jnp.asarray(tex_a),
             tex_c2=jnp.asarray(tex_b),
             dense_w=jnp.asarray(dtab["W"]),
-            dense_nv0=jnp.asarray(dtab["nv0"]),
             dense_cb=jnp.asarray(dtab["chunk_bounds"]),
             dense_center=jnp.asarray(dtab["center"]),
             world_lo=jnp.asarray(world_lo, f32),

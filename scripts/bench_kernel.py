@@ -36,7 +36,6 @@ print("P =", n, "chunks =", tab["n_pad"] // pdense.CHUNK)
 
 B = 65536
 W = jnp.asarray(tab["W"])
-nv0 = jnp.asarray(tab["nv0"])
 cb = jnp.asarray(tab["chunk_bounds"])
 center = jnp.asarray(tab["center"])
 
