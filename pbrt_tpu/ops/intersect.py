@@ -447,10 +447,17 @@ def occluded(scene: SceneData, ray: geom.Ray, ignore_light=None):
 
 
 def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
-    """Gather full surface-interaction data for the winning primitives."""
+    """Gather full surface-interaction data for the winning primitives.
+
+    All per-prim columns come from TWO packed gathers (shade_f32 [P,24],
+    shade_i32 [P,8]) — fine-grained gathers are serial on TPU, so the
+    one-row layout is ~2x faster than per-table lookups.
+    """
     P = scene.prim_type.shape[0]
     pid = jnp.clip(prim, 0, P - 1)
-    ptype = scene.prim_type[pid]
+    sf = scene.shade_f32[pid]                      # [B,24]
+    si = scene.shade_i32[pid]                      # [B,8]
+    ptype = si[:, 0]
     is_tri = ptype == PRIM_TRIANGLE
 
     # missed lanes carry t=F32_MAX; clamp so masked-out geometry math stays
@@ -458,25 +465,23 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
     t = jnp.where(found, t, 1.0)
     p = ray.at(t)
     # triangle geometric normal
-    e1 = scene.tri_e1[pid]
-    e2 = scene.tri_e2[pid]
+    e1 = sf[:, 0:3]
+    e2 = sf[:, 3:6]
     ng_tri = geom.normalize(jnp.cross(e1, e2))
     # triangle shading normal: barycentric interp; fall back to geometric
-    ns_all = scene.tri_ns[pid]                     # [B,3,3]
     b0 = (1.0 - u - v)[..., None]
-    ns_tri = b0 * ns_all[:, 0] + u[..., None] * ns_all[:, 1] \
-        + v[..., None] * ns_all[:, 2]
+    ns_tri = b0 * sf[:, 6:9] + u[..., None] * sf[:, 9:12] \
+        + v[..., None] * sf[:, 12:15]
     has_ns = jnp.sum(ns_tri * ns_tri, -1) > 1e-12
     ns_tri = jnp.where(has_ns[..., None], geom.normalize(ns_tri), ng_tri)
     # keep shading normal on the same side as geometric
     ns_tri = jnp.where(geom.dot(ns_tri, ng_tri)[..., None] < 0, -ns_tri, ns_tri)
     # triangle uv from vertex uvs
-    uv_all = scene.tri_uv[pid]                     # [B,3,2]
-    uv_tri = (b0[..., 0:1] * uv_all[:, 0] + u[..., None] * uv_all[:, 1]
-              + v[..., None] * uv_all[:, 2])
+    uv_tri = (b0 * sf[:, 15:17] + u[..., None] * sf[:, 17:19]
+              + v[..., None] * sf[:, 19:21])
 
     # quadric normal
-    qi = jnp.clip(scene.quad_idx[pid], 0, scene.quad_params.shape[0] - 1)
+    qi = jnp.clip(si[:, 1], 0, scene.quad_params.shape[0] - 1)
     w2o = scene.quad_w2o[qi]
     o2w = scene.quad_o2w[qi]
     ph = jnp.einsum('bij,bj->bi', w2o[:, :3, :3], p) + w2o[:, :3, 3]
@@ -488,15 +493,15 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
     ns = jnp.where(is_tri[..., None], ns_tri, ng_quad)
     uv = jnp.where(is_tri[..., None], uv_tri, jnp.stack([uq, vq], -1))
 
-    flip = scene.prim_flip_normal[pid]
+    flip = si[:, 5] != 0
     ng = jnp.where(flip[..., None], -ng, ng)
     ns = jnp.where(flip[..., None], -ns, ns)
 
     return Hit(valid=found, t=t, p=p, ng=ng, ns=ns, uv=uv,
                wo=-geom.normalize(ray.d), prim=pid,
-               material=jnp.where(found, scene.prim_material[pid], -1),
-               light=jnp.where(found, scene.prim_light[pid], -1),
-               instance=jnp.where(found, scene.prim_instance[pid], -1))
+               material=jnp.where(found, si[:, 2], -1),
+               light=jnp.where(found, si[:, 3], -1),
+               instance=jnp.where(found, si[:, 4], -1))
 
 
 def intersect_full(scene: SceneData, ray: geom.Ray) -> Hit:

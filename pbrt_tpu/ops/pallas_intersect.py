@@ -39,6 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAY_TILE = 512
 CHUNK = 512          # triangles per streamed chunk (4 x 128 lanes)
+LANE_BITS = (CHUNK - 1).bit_length()   # low mantissa bits holding the lane
+LANE_MASK = (1 << LANE_BITS) - 1
 F32_MAX = 3.4e38     # python float: jnp scalars would be captured kernel consts
 
 
@@ -223,12 +225,12 @@ def _kernel(wq_tile_ref, wq_chunk_ref, wq_flag_ref, r16_ref, tmax_ref,
         tb = jnp.where(box_hit, t_best, -F32_MAX)
         hit = inside & (t > 1e-4) & (t < tb[:, None])
         lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        key = (t.view(jnp.int32) & jnp.int32(~0x1FF)) | lane
+        key = (t.view(jnp.int32) & jnp.int32(~LANE_MASK)) | lane
         BIG = jnp.int32(0x7F7FFFFF)
         kmin = jnp.min(jnp.where(hit, key, BIG), axis=1)
         upd = kmin < BIG
-        t_new = (kmin & jnp.int32(~0x1FF)).view(jnp.float32)
-        k = kmin & jnp.int32(0x1FF)
+        t_new = (kmin & jnp.int32(~LANE_MASK)).view(jnp.float32)
+        k = kmin & jnp.int32(LANE_MASK)
         t_ref[0, 0, :] = jnp.where(upd, t_new, t_best)
         prim_ref[0, 0, :] = jnp.where(upd, c.astype(jnp.int32) * CHUNK + k,
                                       prim_ref[0, 0, :])

@@ -59,6 +59,10 @@ class SceneData:
     # --- primitive SoA (BVH-leaf order) ---
     prim_type: jnp.ndarray     # [P]
     tri_packed: jnp.ndarray    # [P,12] v0,e1,e2,pad — one-gather layout
+    # make_hit's one-gather layouts (all per-prim surface data a winning
+    # lane needs, so the hot path does 2 gathers instead of ~9)
+    shade_f32: jnp.ndarray     # [P,24] e1,e2,ns0,ns1,ns2,uv0,uv1,uv2,pad
+    shade_i32: jnp.ndarray     # [P,8] type,quad_idx,material,light,instance,flip
     tri_v0: jnp.ndarray        # [P,3]
     tri_e1: jnp.ndarray        # [P,3]
     tri_e2: jnp.ndarray        # [P,3]
@@ -581,6 +585,21 @@ class SceneBuilder:
         tri_packed[:, 0:3] = tri_v0
         tri_packed[:, 3:6] = tri_e1
         tri_packed[:, 6:9] = tri_e2
+        # make_hit one-gather tables
+        _tns = reorder("tri_ns")
+        _tuv = reorder("tri_uv")
+        shade_f32 = np.zeros((Pp, 24), np.float32)
+        shade_f32[:, 0:3] = tri_e1
+        shade_f32[:, 3:6] = tri_e2
+        shade_f32[:, 6:15] = _tns.reshape(Pp, 9)
+        shade_f32[:, 15:21] = _tuv.reshape(Pp, 6)
+        shade_i32 = np.zeros((Pp, 8), np.int32)
+        shade_i32[:, 0] = reorder("prim_type", np.int32)
+        shade_i32[:, 1] = reorder("quad_refs", np.int32)
+        shade_i32[:, 2] = reorder("prim_material", np.int32)
+        shade_i32[:, 3] = prim_light_arr
+        shade_i32[:, 4] = reorder("prim_instance", np.int32)
+        shade_i32[:, 5] = reorder("prim_flip", bool).astype(np.int32)
         n_quadrics = len(self.quads)
         # only full spheres can skip the z/phi clip tests
         def _needs_clip(entry):
@@ -602,6 +621,8 @@ class SceneBuilder:
             bvh_miss=jnp.asarray(bvh.miss_links),
             prim_type=jnp.asarray(reorder("prim_type", np.int32)),
             tri_packed=jnp.asarray(tri_packed),
+            shade_f32=jnp.asarray(shade_f32),
+            shade_i32=jnp.asarray(shade_i32),
             tri_v0=jnp.asarray(tri_v0, f32), tri_e1=jnp.asarray(tri_e1, f32),
             tri_e2=jnp.asarray(tri_e2, f32),
             tri_ns=jnp.asarray(reorder("tri_ns")),
