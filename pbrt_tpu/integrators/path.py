@@ -90,7 +90,7 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
     # camera-ray closest hit; every later bounce traces its closest-hit
     # and NEE shadow rays through ONE combined batch (_trace_pair) so the
     # sparse kernel pays one sort + one queue + one launch per bounce
-    hit = isect.intersect_full(scene, ray)
+    hit = isect.intersect_full(scene, ray, presorted=True)
     for bounce in range(max_depth + 1):
         dnorm = geom.normalize(ray.d)
 

@@ -289,17 +289,20 @@ def _leaf_test(scene: SceneData, o, d, offs, count, t_best, leaf_mask):
     return any_hit, t_new, prim_new, u_new, v_new
 
 
-def intersect(scene: SceneData, ray: geom.Ray, any_hit: bool = False):
+def intersect(scene: SceneData, ray: geom.Ray, any_hit: bool = False,
+              presorted: bool = False):
     """Closest-hit (or any-hit) query.
 
     Dispatches to the dense MXU Pluecker kernel (ops/pallas_intersect.py)
     when the scene is compiled for it, else to the octant-threaded BVH
     `lax.while_loop`.  Returns (t, prim, u, v, found) arrays [B]; use
     `make_hit` to build the full surface-interaction record.
+    presorted: skip the coherence sort (camera batches arrive in scanline
+    order, which is already tile-coherent).
     """
     import jax as _jax
     if scene.use_dense and _jax.default_backend() != "cpu":
-        return _intersect_dense(scene, ray)
+        return _intersect_dense(scene, ray, presorted=presorted)
     return _intersect_bvh(scene, ray, any_hit)
 
 
@@ -329,7 +332,7 @@ def _coherence_order(scene: SceneData, o, d, tmax):
     return jnp.argsort(key.astype(jnp.int32)).astype(jnp.int32)
 
 
-def _intersect_dense(scene: SceneData, ray: geom.Ray):
+def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False):
     from pbrt_tpu.ops import pallas_intersect as pdense
     o, d = ray.o, ray.d
     t_init = ray.tmax.astype(jnp.float32)
@@ -339,13 +342,16 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray):
         t_init = jnp.where(qhit, tq, t_init)
         prim_init = jnp.where(qhit, qprim, prim_init)
     r16 = pdense.ray_vectors(o, d, scene.dense_center)
-    order = _coherence_order(scene, o, d, t_init)
-    t_s, prim_s = pdense.dense_intersect(r16[order], t_init[order],
-                                         scene.dense_w, scene.dense_cb,
-                                         scene.dense_npad)
-    B = order.shape[0]
-    t = jnp.zeros_like(t_s).at[order].set(t_s)
-    prim = jnp.zeros_like(prim_s).at[order].set(prim_s)
+    if presorted:
+        t, prim = pdense.dense_intersect(r16, t_init, scene.dense_w,
+                                         scene.dense_cb, scene.dense_npad)
+    else:
+        order = _coherence_order(scene, o, d, t_init)
+        t_s, prim_s = pdense.dense_intersect(r16[order], t_init[order],
+                                             scene.dense_w, scene.dense_cb,
+                                             scene.dense_npad)
+        t = jnp.zeros_like(t_s).at[order].set(t_s)
+        prim = jnp.zeros_like(prim_s).at[order].set(prim_s)
     # kernel only reports triangle wins; keep the quadric prehit otherwise
     prim = jnp.where(prim >= 0, prim, prim_init)
     found = prim >= 0
@@ -504,8 +510,9 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
                instance=jnp.where(found, si[:, 4], -1))
 
 
-def intersect_full(scene: SceneData, ray: geom.Ray) -> Hit:
-    t, prim, u, v, found = intersect(scene, ray)
+def intersect_full(scene: SceneData, ray: geom.Ray,
+                   presorted: bool = False) -> Hit:
+    t, prim, u, v, found = intersect(scene, ray, presorted=presorted)
     return make_hit(scene, ray, t, prim, u, v, found)
 
 

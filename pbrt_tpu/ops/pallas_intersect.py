@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RAY_TILE = 512
-CHUNK = 512          # triangles per streamed chunk (4 x 128 lanes)
+CHUNK = 1024          # triangles per streamed chunk (4 x 128 lanes)
 LANE_BITS = (CHUNK - 1).bit_length()   # low mantissa bits holding the lane
 LANE_MASK = (1 << LANE_BITS) - 1
 F32_MAX = 3.4e38     # python float: jnp scalars would be captured kernel consts
