@@ -49,6 +49,163 @@ def _bdim(bounce, k):
     return DIM_BOUNCE_BASE + bounce * DIMS_PER_BOUNCE + k
 
 
+# BSSRDF probe-relocation dimensions live in their own block above the
+# regular per-bounce dims (supports max_depth < 64 at 8 dims/bounce
+# within the 1024-dim Sobol' table)
+DIM_SSS_BASE = DIM_BOUNCE_BASE + 64 * DIMS_PER_BOUNCE
+DIMS_PER_SSS = 8
+# chained probe passes: the reference walks the FULL intersection chain
+# along the probe segment (bssrdf.cpp:255-270); each pass here extends
+# the chain by one closest hit, reservoir-sampling among same-material
+# hits, so 2 passes cover chains of length <= 2 exactly (typical convex
+# subsurface geometry) and longer chains are truncated
+SSS_PROBE_PASSES = 2
+
+
+def _sdim_sss(bounce, k):
+    return DIM_SSS_BASE + bounce * DIMS_PER_SSS + k
+
+
+def _sss_event(scene, hit, mat, beta, alive, ss, ts, pixel_id, sample_idx,
+               cfg, sdim, bounce, wavelength, n_rays, count_rays):
+    """BSSRDF interface event + probe-ray relocation (reference
+    SeparableBSSRDF::Sample_S / Sample_Sp / Pdf_Sp, bssrdf.cpp:214-309;
+    path.cpp:155-180).
+
+    At a subsurface hit: with probability Fr(cos wo) the lane becomes a
+    perfect specular interface reflection; otherwise it transmits into
+    the medium and relocates to an exit point pi found by a probe ray
+    through a radius sampled from the diffusion profile.  Relocated
+    lanes get beta *= Sp(po,pi) / Pdf_Sp and switch to the Sw exit lobe
+    (MAT_SSW) so the bounce's NEE + direction sampling run at pi; the
+    (1-Fr) transmission factor cancels against the branch selection
+    probability exactly as in FresnelSpecular.
+
+    Returns (hit, mat, beta, alive, n_rays)."""
+    from pbrt_tpu.materials import bssrdf as bssrdfmod
+    t = mat.type
+    is_ss = alive & ((t == ir.MAT_SUBSURFACE) | (t == ir.MAT_KDSUBSURFACE))
+    NS = spec.N_SPECTRAL_SAMPLES
+    u0 = sdim(cfg, pixel_id, sample_idx, _sdim_sss(bounce, 0))
+    fr = bsdf.fresnel_dielectric(geom.dot(hit.wo, hit.ns), 1.0, mat.eta)
+    refl = is_ss & (u0 < fr)
+    trans = is_ss & ~refl
+    mat = mat.replace(type=jnp.where(refl, ir.MAT_MIRROR, mat.type),
+                      kr=jnp.where(refl[:, None], 1.0, mat.kr))
+
+    # ---- probe setup (Sample_Sp): projection frame, channel, radius --
+    u_ax = sdim(cfg, pixel_id, sample_idx, _sdim_sss(bounce, 1))
+    u_ch = sdim(cfg, pixel_id, sample_idx, _sdim_sss(bounce, 2))
+    u_r = sdim(cfg, pixel_id, sample_idx, _sdim_sss(bounce, 3))
+    u_phi = sdim(cfg, pixel_id, sample_idx, _sdim_sss(bounce, 4))
+    u_pick = sdim(cfg, pixel_id, sample_idx, _sdim_sss(bounce, 5))
+    pick_ns = (u_ax < 0.5)[:, None]
+    pick_ss = ((u_ax >= 0.5) & (u_ax < 0.75))[:, None]
+    vx = jnp.where(pick_ns, ss, jnp.where(pick_ss, ts, hit.ns))
+    vy = jnp.where(pick_ns, ts, jnp.where(pick_ss, hit.ns, ss))
+    vz = jnp.where(pick_ns, hit.ns, jnp.where(pick_ss, ss, ts))
+    ch = jnp.clip((u_ch * NS).astype(jnp.int32), 0, NS - 1)
+    sigt_ch = jnp.take_along_axis(mat.sss_sigma_t, ch[:, None], 1)[:, 0]
+    rho_ch = jnp.take_along_axis(mat.sss_rho, ch[:, None], 1)[:, 0]
+    tid = jnp.clip(mat.sss_tid, 0, scene.bssrdf_profile.shape[0] - 1)
+    r_opt = bssrdfmod.sr_sample_device(
+        scene.bssrdf_cdf, scene.bssrdf_radius, scene.bssrdf_rho,
+        tid, rho_ch, u_r)
+    r_max_opt = bssrdfmod.sr_sample_device(
+        scene.bssrdf_cdf, scene.bssrdf_radius, scene.bssrdf_rho,
+        tid, rho_ch, jnp.full_like(u_r, 0.999))
+    inv_sigt = 1.0 / jnp.maximum(sigt_ch, 1e-9)
+    r_w = r_opt * inv_sigt
+    r_max = r_max_opt * inv_sigt
+    ok_r = trans & (sigt_ch > 1e-9) & (r_w < r_max)
+    half_l = jnp.sqrt(jnp.maximum(r_max * r_max - r_w * r_w, 0.0))
+    phi = 2.0 * jnp.pi * u_phi
+    pstart = (hit.p + r_w[:, None] * (jnp.cos(phi)[:, None] * vx
+                                      + jnp.sin(phi)[:, None] * vy)
+              + half_l[:, None] * vz)
+    pdir = -vz
+
+    # ---- chained probe: reservoir-pick among same-material hits ------
+    P = scene.prim_type.shape[0]
+    eps = 1e-4 * jnp.maximum(jnp.max(jnp.abs(pstart), -1), 1.0)
+    cur_o = pstart
+    remaining = jnp.where(ok_r, 2.0 * half_l, -1.0)
+    dist0 = jnp.zeros_like(remaining)
+    nfound = jnp.zeros_like(ch)
+    picked = (jnp.zeros_like(dist0), jnp.zeros_like(ch),
+              jnp.zeros_like(dist0), jnp.zeros_like(dist0))
+    for k in range(SSS_PROBE_PASSES):
+        pray = geom.Ray.make(cur_o, pdir, tmax=remaining,
+                             wavelength=wavelength)
+        if count_rays:
+            n_rays = n_rays + jnp.sum((remaining > 0).astype(jnp.float32))
+        tt, prim, uu, vv, found = isect.intersect(scene, pray)
+        pm = scene.prim_material[jnp.clip(prim, 0, P - 1)]
+        match = found & (pm == hit.material)
+        nfound = nfound + match.astype(jnp.int32)
+        # golden-ratio shift decorrelates the per-pass reservoir draw
+        u_k = jnp.mod(u_pick + 0.61803398875 * k, 1.0)
+        accept = match & (u_k * nfound.astype(jnp.float32) < 1.0)
+        picked = (jnp.where(accept, dist0 + tt, picked[0]),
+                  jnp.where(accept, prim, picked[1]),
+                  jnp.where(accept, uu, picked[2]),
+                  jnp.where(accept, vv, picked[3]))
+        if k + 1 < SSS_PROBE_PASSES:
+            step = tt + eps
+            dist0 = dist0 + jnp.where(found, step, 0.0)
+            cur_o = cur_o + jnp.where(found, step, 0.0)[:, None] * pdir
+            remaining = jnp.where(found, remaining - step, -1.0)
+
+    found_any = trans & (nfound > 0)
+    probe_ray = geom.Ray.make(pstart, pdir, tmax=jnp.maximum(remaining, 0.0),
+                              wavelength=wavelength)
+    pih = isect.make_hit(scene, probe_ray, picked[0], picked[1],
+                         picked[2], picked[3], found_any)
+
+    # ---- Sp and its pdf at pi (TabulatedBSSRDF::Sr + Pdf_Sp) ---------
+    d_vec = pih.p - hit.p
+    d_w = geom.length(d_vec)
+    sig2 = mat.sss_sigma_t * mat.sss_sigma_t                    # [B,31]
+    sp = bssrdfmod.sr_eval_device(
+        scene.bssrdf_profile, scene.bssrdf_rho, scene.bssrdf_radius,
+        tid[:, None], mat.sss_rho, d_w[:, None] * mat.sss_sigma_t) * sig2
+    dl = jnp.stack([geom.dot(ss, d_vec), geom.dot(ts, d_vec),
+                    geom.dot(hit.ns, d_vec)], -1)               # [B,3]
+    nl = jnp.stack([geom.dot(ss, pih.ng), geom.dot(ts, pih.ng),
+                    geom.dot(hit.ns, pih.ng)], -1)
+    r_proj = jnp.sqrt(jnp.maximum(jnp.stack(
+        [dl[:, 1] ** 2 + dl[:, 2] ** 2,
+         dl[:, 2] ** 2 + dl[:, 0] ** 2,
+         dl[:, 0] ** 2 + dl[:, 1] ** 2], -1), 1e-20))           # [B,3]
+    # MIS over 3 projection axes x NS channels (bssrdf.cpp:283-309)
+    pdf_terms = bssrdfmod.sr_pdf_device(
+        scene.bssrdf_profile, scene.bssrdf_cdf, scene.bssrdf_rho,
+        scene.bssrdf_radius, tid[:, None, None], mat.sss_rho[:, None, :],
+        r_proj[:, :, None] * mat.sss_sigma_t[:, None, :]) \
+        * sig2[:, None, :]                                      # [B,3,31]
+    axis_prob = jnp.asarray([0.25, 0.25, 0.5])
+    pdf_sp = jnp.sum(pdf_terms * jnp.abs(nl)[:, :, None]
+                     * axis_prob[None, :, None], axis=(1, 2)) / NS
+    pdf_sp = pdf_sp / jnp.maximum(nfound.astype(jnp.float32), 1.0)
+
+    ok = found_any & (pdf_sp > 1e-12)
+    beta = jnp.where(ok[:, None],
+                     beta * sp / jnp.maximum(pdf_sp, 1e-12)[:, None], beta)
+    alive = alive & ~(trans & ~ok)
+    okc = ok[:, None]
+    hit = hit.replace(p=jnp.where(okc, pih.p, hit.p),
+                      ng=jnp.where(okc, pih.ng, hit.ng),
+                      ns=jnp.where(okc, pih.ns, hit.ns),
+                      uv=jnp.where(okc, pih.uv, hit.uv),
+                      prim=jnp.where(ok, pih.prim, hit.prim),
+                      instance=jnp.where(ok, pih.instance, hit.instance),
+                      # the Sw exit lobe is wo-independent; pointing wo
+                      # along ns keeps the shading frame well-formed
+                      wo=jnp.where(okc, pih.ns, hit.wo))
+    mat = mat.replace(type=jnp.where(ok, ir.MAT_SSW, mat.type))
+    return hit, mat, beta, alive, n_rays
+
+
 def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
                 cfg: SamplerConfig, max_depth=5, rr_threshold=1.0,
                 wavelength_mask=None, light_strategy="uniform",
@@ -136,6 +293,17 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
         ss, ts = geom.coordinate_system(hit.ns)
         if getattr(scene, "has_hair", False):
             ss, ts = bsdf.hair_shading_frame(scene, hit, ss, ts)
+        # ---- BSSRDF probe relocation (bssrdf.cpp Sample_S) ---------------
+        # statically skipped unless the scene has subsurface materials;
+        # relocated lanes continue this bounce's NEE + sampling at pi
+        if getattr(scene, "has_sss", False):
+            hit, mat, beta, alive, n_rays = _sss_event(
+                scene, hit, mat, beta, alive, ss, ts, pixel_id,
+                sample_idx, cfg, sdim, bounce, ray.wavelength,
+                n_rays, count_rays)
+            ss, ts = geom.coordinate_system(hit.ns)
+            if getattr(scene, "has_hair", False):
+                ss, ts = bsdf.hair_shading_frame(scene, hit, ss, ts)
         wo_l = geom.world_to_frame(ss, ts, hit.ns, hit.wo)
 
         # ---- NEE: one light, MIS power heuristic (integrator.cpp:85-216) -

@@ -24,7 +24,7 @@ from pbrt_tpu.lights import lights
 from pbrt_tpu.media import media as med_mod
 from pbrt_tpu.ops import intersect as isect
 from pbrt_tpu.samplers.samplers import sample_dim
-from pbrt_tpu.integrators.path import _bdim
+from pbrt_tpu.integrators.path import _bdim, _sss_event
 
 
 def make_trace_volpath_medium(medium: med_mod.MediumData):
@@ -106,6 +106,16 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
             # ---- NEE from the vertex (phase fn or BSDF) ----
             mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv, p=hit.p)
             ss, ts = geom.coordinate_system(hit.ns)
+            # BSSRDF probe relocation for surface lanes (path.py
+            # _sss_event; volpath.cpp handles subsurface identically)
+            if getattr(scene, "has_sss", False):
+                hit, mat, beta, alive_s, _ = _sss_event(
+                    scene, hit, mat, beta, alive & ~in_medium & hit.valid,
+                    ss, ts, pixel_id, sample_idx, cfg, sample_dim, bounce,
+                    ray.wavelength, jnp.zeros((), jnp.float32), False)
+                alive = jnp.where(in_medium, alive, alive_s)
+                ss, ts = geom.coordinate_system(hit.ns)
+                p_vert = jnp.where(in_medium[:, None], p_med, hit.p)
             wo_l = geom.world_to_frame(ss, ts, hit.ns, hit.wo)
             if scene.n_lights > 0:
                 u_sel = sample_dim(cfg, pixel_id, sample_idx,

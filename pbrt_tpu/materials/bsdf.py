@@ -50,6 +50,14 @@ class MaterialParams:
     # per-lane grid index (None => statically skipped)
     fourier_grid: jnp.ndarray = None
     fourier_id: jnp.ndarray = None
+    # tabulated BSSRDF (None => scene has no subsurface materials and
+    # every sss branch is statically skipped): Sw normalization factor
+    # c = 1 - 2*FresnelMoment1(1/eta) (bssrdf.h:221), profile-table id
+    # and per-channel medium coefficients for the probe-relocation pass
+    sss_c: jnp.ndarray = None        # [B]
+    sss_tid: jnp.ndarray = None      # [B]
+    sss_sigma_t: jnp.ndarray = None  # [B,31]
+    sss_rho: jnp.ndarray = None      # [B,31]
 
 
 def bump_shading_normal(scene: ir.SceneData, material_idx, hit):
@@ -190,7 +198,27 @@ def gather_materials(scene: ir.SceneData, material_idx, uv=None,
         fourier_grid=(scene.fourier_grid
                       if getattr(scene, "has_fourier", False) else None),
         fourier_id=(scene.mat_fourier_id[m]
-                    if getattr(scene, "has_fourier", False) else None))
+                    if getattr(scene, "has_fourier", False) else None),
+        sss_c=(jnp.maximum(1.0 - 2.0 * fresnel_moment1_jnp(
+            1.0 / jnp.maximum(scene.mat_eta[m], 1e-3)), 1e-4)
+            if getattr(scene, "has_sss", False) else None),
+        sss_tid=(scene.mat_bssrdf_id[m]
+                 if getattr(scene, "has_sss", False) else None),
+        sss_sigma_t=(scene.mat_sss_sigma_t[m]
+                     if getattr(scene, "has_sss", False) else None),
+        sss_rho=(scene.mat_sss_rho[m]
+                 if getattr(scene, "has_sss", False) else None))
+
+
+def fresnel_moment1_jnp(eta):
+    """First angular Fresnel moment, jnp (reference bssrdf.cpp:43)."""
+    e2, e3 = eta * eta, eta * eta * eta
+    e4, e5 = e3 * eta, e3 * eta * eta
+    lo = (0.45966 - 1.73965 * eta + 3.37668 * e2 - 3.904945 * e3
+          + 2.49277 * e4 - 0.68441 * e5)
+    hi = (-4.61686 + 11.1136 * eta - 10.4646 * e2 + 5.11455 * e3
+          - 1.27198 * e4 + 0.12746 * e5)
+    return jnp.where(eta < 1, lo, hi)
 
 
 # ---------------------------------------------------------------------------
@@ -521,9 +549,15 @@ def _disney_pdf(params, wo, wi):
 # ---------------------------------------------------------------------------
 
 def _masks(t):
+    # subsurface lanes that reach the dispatch un-relocated (bdpt/sppm/
+    # whitted have no probe pass) fall back to the diffusion-limit
+    # plastic: kd holds the table's effective albedo (parser/api.py)
+    is_sss_fallback = (t == ir.MAT_SUBSURFACE) | (t == ir.MAT_KDSUBSURFACE)
     has_diff = ((t == ir.MAT_MATTE) | (t == ir.MAT_PLASTIC)
-                | (t == ir.MAT_UBER) | (t == ir.MAT_RETRO))
-    has_ggx_diel = (t == ir.MAT_PLASTIC) | (t == ir.MAT_UBER)
+                | (t == ir.MAT_UBER) | (t == ir.MAT_RETRO)
+                | is_sss_fallback)
+    has_ggx_diel = ((t == ir.MAT_PLASTIC) | (t == ir.MAT_UBER)
+                    | is_sss_fallback)
     is_metal = t == ir.MAT_METAL
     is_substrate = t == ir.MAT_SUBSTRATE
     is_mirror = t == ir.MAT_MIRROR
@@ -649,6 +683,16 @@ def eval_f(params: MaterialParams, wo, wi):
             beta_m=params.rough_u, beta_n=params.rough_v,
             alpha=params.sigma * (PI / 180.0))
         f = jnp.where(is_hair[..., None], f_hair, f)
+    # Sw exit lobe at a BSSRDF probe point pi: Fresnel transmission
+    # scaled to unit albedo, cosine-shaped (SeparableBSSRDF::Sw,
+    # bssrdf.h:221; the eta^2 factor is the radiance-transport
+    # non-symmetry correction, SeparableBSSRDFAdapter::f)
+    if params.sss_c is not None:
+        is_ssw = t == ir.MAT_SSW
+        fr_wi = fresnel_dielectric(cos_theta(wi), 1.0, params.eta)
+        f_ssw = ((1.0 - fr_wi) / (params.sss_c * PI)
+                 * params.eta * params.eta)
+        f = jnp.where((is_ssw & refl)[..., None], f_ssw[..., None], f)
     # fourier measured BSDF: trilinear lookup of the compile-time baked
     # lattice, one static unroll per registered grid (F is tiny)
     if params.fourier_id is not None:
@@ -700,6 +744,10 @@ def pdf_f(params: MaterialParams, wo, wi):
         # two-sided cosine sampling (p=1/2 each hemisphere)
         pdf = jnp.where(t == ir.MAT_FOURIER,
                         0.5 * abs_cos_theta(wi) * INV_PI, pdf)
+    if params.sss_c is not None:
+        # Sw exit lobe: one-sided cosine (SeparableBSSRDFAdapter keeps
+        # BxDF's default cosine sampling)
+        pdf = jnp.where(t == ir.MAT_SSW, pdf_diff, pdf)
     # uber opacity: the surface lobes are only picked with prob 1-p_tr
     transp = jnp.clip(1.0 - params.opacity, 0.0, 1.0).mean(-1)
     pdf = jnp.where(t == ir.MAT_UBER, pdf * (1.0 - transp), pdf)

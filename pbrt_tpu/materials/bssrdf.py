@@ -182,3 +182,83 @@ def sample_sr(table, rho, u):
         tot = max(row[-1], 1e-12)
         res[k] = np.interp(flat_u[k] * tot, row, table["radius"])
     return res.reshape(np.shape(u))
+
+
+# ---------------------------------------------------------------------------
+# device-side (jnp) table queries for the probe-ray Sample_S path
+# (reference: TabulatedBSSRDF::{Sr, Sample_Sr, Pdf_Sr}, bssrdf.cpp:184-281)
+# ---------------------------------------------------------------------------
+
+def _rho_row(rho_grid, rho):
+    """Nearest rho row index.  Sampling and pdf MUST use the same row so
+    pdf matches the actual sampling density (the reference couples them
+    through the same Catmull-Rom weights)."""
+    import jax.numpy as jnp
+    ri = jnp.searchsorted(rho_grid, rho)
+    ri = jnp.clip(ri, 1, rho_grid.shape[0] - 1)
+    lo = rho_grid[ri - 1]
+    hi = rho_grid[ri]
+    return jnp.where(rho - lo < hi - rho, ri - 1, ri)
+
+
+def sr_eval_device(profile, rho_grid, radius_grid, tid, rho, r_opt):
+    """Canonical profile value Sr(rho, r_opt) per unit OPTICAL area —
+    bilinear over the [T,NR,NK] stacked tables; callers scale by
+    sigma_t^2 for world-area units.  All args broadcast ([B,31] ok)."""
+    import jax.numpy as jnp
+    NR = rho_grid.shape[0]
+    NK = radius_grid.shape[0]
+    ri = jnp.clip(jnp.searchsorted(rho_grid, rho) - 1, 0, NR - 2)
+    fr = jnp.clip((rho - rho_grid[ri])
+                  / jnp.maximum(rho_grid[ri + 1] - rho_grid[ri], 1e-9),
+                  0.0, 1.0)
+    ci = jnp.clip(jnp.searchsorted(radius_grid, r_opt) - 1, 0, NK - 2)
+    fc = jnp.clip((r_opt - radius_grid[ci])
+                  / jnp.maximum(radius_grid[ci + 1] - radius_grid[ci], 1e-9),
+                  0.0, 1.0)
+    # joint advanced indexing so tid/ri/ci broadcast together ([B,31] ok)
+    tid, ri, ci, fr, fc = jnp.broadcast_arrays(tid, ri, ci, fr, fc)
+    v = ((1 - fr) * (1 - fc) * profile[tid, ri, ci]
+         + fr * (1 - fc) * profile[tid, ri + 1, ci]
+         + (1 - fr) * fc * profile[tid, ri, ci + 1]
+         + fr * fc * profile[tid, ri + 1, ci + 1])
+    return v / jnp.maximum(2 * np.pi * r_opt, 1e-6)
+
+
+def sr_sample_device(cdf, radius_grid, rho_grid, tid, rho, u):
+    """Invert the per-row radius CDF: returns optical radius (nearest
+    rho row; matches sr_pdf_device)."""
+    import jax.numpy as jnp
+    NK = radius_grid.shape[0]
+    row = jnp.broadcast_to(cdf[tid, _rho_row(rho_grid, rho)],
+                           jnp.shape(u) + (NK,))     # [...,NK]
+    tot = jnp.maximum(row[..., -1], 1e-12)
+    target = u * tot
+    ci = jnp.clip(jnp.sum((row <= target[..., None]).astype(jnp.int32), -1)
+                  - 1, 0, NK - 2)
+    c0 = jnp.take_along_axis(row, ci[..., None], -1)[..., 0]
+    c1 = jnp.take_along_axis(row, ci[..., None] + 1, -1)[..., 0]
+    f = jnp.clip((target - c0) / jnp.maximum(c1 - c0, 1e-12), 0.0, 1.0)
+    r0 = radius_grid[ci]
+    r1 = radius_grid[ci + 1]
+    return r0 + f * (r1 - r0)
+
+
+def sr_pdf_device(profile, cdf, rho_grid, radius_grid, tid, rho, r_opt):
+    """pdf of sr_sample_device per unit OPTICAL area (canonical profile
+    of the nearest rho row / its rho_eff / 2*pi*r)."""
+    import jax.numpy as jnp
+    NK = radius_grid.shape[0]
+    rr = _rho_row(rho_grid, rho)
+    prow = jnp.broadcast_to(profile[tid, rr],
+                            jnp.shape(r_opt) + (NK,))   # [...,NK]
+    ci = jnp.clip(jnp.searchsorted(radius_grid, r_opt) - 1, 0, NK - 2)
+    fc = jnp.clip((r_opt - radius_grid[ci])
+                  / jnp.maximum(radius_grid[ci + 1] - radius_grid[ci], 1e-9),
+                  0.0, 1.0)
+    p0 = jnp.take_along_axis(prow, ci[..., None], -1)[..., 0]
+    p1 = jnp.take_along_axis(prow, ci[..., None] + 1, -1)[..., 0]
+    v = (1 - fc) * p0 + fc * p1
+    rho_eff = jnp.maximum(cdf[tid, rr][..., -1], 1e-12)
+    pdf = v / rho_eff / jnp.maximum(2 * np.pi * r_opt, 1e-6)
+    return jnp.where(r_opt >= radius_grid[-1], 0.0, jnp.maximum(pdf, 0.0))

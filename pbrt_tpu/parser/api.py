@@ -688,11 +688,12 @@ class PbrtAPI:
                 m.kd = np.full(31, 0.5, np.float32)
         elif mname in ("subsurface", "kdsubsurface"):
             # materials/subsurface.cpp:60-88 / kdsubsurface.cpp.
-            # v1 realization: the photon-beam-diffusion table's
-            # effective albedo (materials/bssrdf.py) becomes the
-            # surface diffuse response — the far-field limit of the
-            # TabulatedBSSRDF — under the material's dielectric
-            # interface; probe-ray Sample_S is the upgrade path.
+            # Full TabulatedBSSRDF: the beam-diffusion profile table +
+            # per-channel (sigma_t, rho) ride the material record; the
+            # path integrator relocates transmitted lanes with probe
+            # rays (bssrdf.cpp Sample_S).  kd keeps the table's
+            # effective albedo so integrators without a probe pass
+            # (bdpt/sppm/whitted) fall back to the diffusion limit.
             from pbrt_tpu.materials import bssrdf as bssrdfmod
 
             def _mag_spectrum(rgb):
@@ -726,9 +727,15 @@ class PbrtAPI:
                     np.asarray(mfp, np.float64))
             sigp_s = sig_s * (1.0 - g)
             sigp_t = np.maximum(sig_a + sigp_s, 1e-9)
-            rho = sigp_s / sigp_t
-            rho_eff = np.interp(rho, table["rho"], table["rho_eff"])
-            m.type = ir.MAT_PLASTIC
+            rho_p = sigp_s / sigp_t
+            rho_eff = np.interp(rho_p, table["rho"], table["rho_eff"])
+            m.type = ir.MAT_SUBSURFACE
+            m.bssrdf_id = self.builder.add_bssrdf_table(table)
+            sigma_t = np.maximum(np.asarray(sig_a + sig_s, np.float64),
+                                 0.0)
+            m.sss_sigma_t = sigma_t.astype(np.float32)
+            m.sss_rho = (np.asarray(sig_s, np.float64)
+                         / np.maximum(sigma_t, 1e-12)).astype(np.float32)
             m.kd = np.clip(rho_eff, 0.0, 1.0).astype(np.float32)
             m.ks = (np.asarray(
                 self._spectrum_or_texture(ps, "Kr", 1.0)[0], np.float32)

@@ -111,6 +111,17 @@ class SceneData:
     # compile (materials/fourier.py bake_grid)
     fourier_grid: jnp.ndarray  # [F,NM,NM,NP,3]
     mat_fourier_id: jnp.ndarray  # [M] index into fourier_grid or -1
+    # tabulated BSSRDF diffusion profiles, one table per distinct
+    # (g, eta) (core/bssrdf.cpp ComputeBeamDiffusionBSSRDF); the rho /
+    # optical-radius grids are construction-time constants shared by
+    # every table
+    bssrdf_profile: jnp.ndarray   # [T,NR,NK] 2*pi*r-weighted profile
+    bssrdf_cdf: jnp.ndarray       # [T,NR,NK] per-rho-row radius CDF
+    bssrdf_rho: jnp.ndarray       # [NR]
+    bssrdf_radius: jnp.ndarray    # [NK]
+    mat_bssrdf_id: jnp.ndarray    # [M] table idx or -1
+    mat_sss_sigma_t: jnp.ndarray  # [M,31] extinction (world units)
+    mat_sss_rho: jnp.ndarray      # [M,31] single-scatter albedo
     # per-primitive MediumInterface (homogeneous media table; the
     # reference's MediumInterface nesting, api.cpp MediumInterface)
     prim_medium_in: jnp.ndarray   # [P] medium idx inside or -1
@@ -175,6 +186,7 @@ class SceneData:
     has_mix: bool = struct.field(pytree_node=False, default=False)
     has_hair: bool = struct.field(pytree_node=False, default=False)
     has_fourier: bool = struct.field(pytree_node=False, default=False)
+    has_sss: bool = struct.field(pytree_node=False, default=False)
     has_prim_media: bool = struct.field(pytree_node=False, default=False)
     camera_medium: int = struct.field(pytree_node=False, default=-1)
     clip_quadrics: bool = struct.field(pytree_node=False, default=False)
@@ -200,6 +212,10 @@ MAT_MIX = 12
 MAT_ROUGHGLASS = 13    # glass with nonzero roughness
 MAT_SUBSURFACE = 14
 MAT_KDSUBSURFACE = 15
+# internal lane tag (never in mat_type): the Sw Fresnel-transmission exit
+# lobe the path integrator installs at a probe ray's exit point pi
+# (reference SeparableBSSRDFAdapter, bssrdf.h:221-244)
+MAT_SSW = 16
 
 
 @dataclass
@@ -226,6 +242,10 @@ class MaterialSpec:
     mix_amt: float = 0.5
     disney: tuple = (0.0,) * 8
     fourier_id: int = -1
+    # subsurface: diffusion-profile table idx + per-channel medium
+    bssrdf_id: int = -1
+    sss_sigma_t: np.ndarray = None   # [31]
+    sss_rho: np.ndarray = None       # [31]
     name: str = ""
 
     def resolved(self):
@@ -261,6 +281,7 @@ class SceneBuilder:
         self.instance_names = {}
         self.material_names = {}
         self.fourier_grids = []   # baked [NM,NM,NP,3] measured BSDFs
+        self.bssrdf_tables = []   # [(key, table)] beam-diffusion profiles
         # per-primitive media (MediumInterface): homogeneous table +
         # the (inside, outside) register applied to subsequent shapes
         self.media_table = []     # list of (sigma_a[31], sigma_s[31], g)
@@ -281,6 +302,18 @@ class SceneBuilder:
         """Register a baked FourierBSDF lattice; returns its index."""
         self.fourier_grids.append(np.asarray(grid, np.float32))
         return len(self.fourier_grids) - 1
+
+    def add_bssrdf_table(self, table):
+        """Register a beam-diffusion profile table (materials/bssrdf.py
+        compute_beam_diffusion_bssrdf); returns its index.  Tables are
+        deduped by (g, eta) — the rho/radius grids are identical across
+        tables by construction."""
+        key = (round(float(table["g"]), 6), round(float(table["eta"]), 6))
+        for i, (k, _) in enumerate(self.bssrdf_tables):
+            if k == key:
+                return i
+        self.bssrdf_tables.append((key, table))
+        return len(self.bssrdf_tables) - 1
 
     @property
     def n_prims(self):
@@ -660,6 +693,30 @@ class SceneBuilder:
                 else np.zeros((1, 2, 2, 2, 3), np.float32)),
             mat_fourier_id=jnp.asarray([m.fourier_id for m in mats],
                                        jnp.int32),
+            bssrdf_profile=jnp.asarray(
+                np.stack([t["profile"] for _, t in self.bssrdf_tables])
+                if self.bssrdf_tables else np.zeros((1, 2, 2), np.float32)),
+            bssrdf_cdf=jnp.asarray(
+                np.stack([t["cdf"] for _, t in self.bssrdf_tables])
+                if self.bssrdf_tables else np.zeros((1, 2, 2), np.float32)),
+            bssrdf_rho=jnp.asarray(
+                self.bssrdf_tables[0][1]["rho"] if self.bssrdf_tables
+                else np.array([0.0, 1.0]), f32),
+            bssrdf_radius=jnp.asarray(
+                self.bssrdf_tables[0][1]["radius"] if self.bssrdf_tables
+                else np.array([0.0, 1.0]), f32),
+            mat_bssrdf_id=jnp.asarray([m.bssrdf_id for m in mats],
+                                      jnp.int32),
+            mat_sss_sigma_t=jnp.asarray(np.stack(
+                [np.ones(spec.N_SPECTRAL_SAMPLES, np.float32)
+                 if m.sss_sigma_t is None
+                 else np.asarray(m.sss_sigma_t, np.float32)
+                 for m in mats])),
+            mat_sss_rho=jnp.asarray(np.stack(
+                [np.zeros(spec.N_SPECTRAL_SAMPLES, np.float32)
+                 if m.sss_rho is None
+                 else np.asarray(m.sss_rho, np.float32) for m in mats])),
+            has_sss=bool(self.bssrdf_tables),
             prim_medium_in=jnp.asarray(
                 reorder("prim_medium_in", np.int32)),
             prim_medium_out=jnp.asarray(

@@ -75,8 +75,9 @@ def test_eval_sr_positive_and_decaying():
 
 
 def test_subsurface_material_parses_to_diffusion_albedo():
-    """subsurface/kdsubsurface produce physically-derived diffuse
-    response (far-field diffusion limit), not a flat matte."""
+    """subsurface/kdsubsurface carry the full TabulatedBSSRDF (profile
+    table + per-channel sigma_t/rho) and a physically-derived diffuse
+    fallback albedo."""
     from pbrt_tpu.parser.api import PbrtAPI
     from pbrt_tpu.core import spectrum as spec
     from pbrt_tpu.scene import ir
@@ -92,7 +93,13 @@ WorldEnd
     job = PbrtAPI().parse_string(base % '"subsurface" "string name" "Skin1"')
     s = job.scene
     mid = int(np.asarray(s.prim_material)[0])
-    assert int(np.asarray(s.mat_type)[mid]) == ir.MAT_PLASTIC
+    assert int(np.asarray(s.mat_type)[mid]) == ir.MAT_SUBSURFACE
+    assert s.has_sss
+    assert int(np.asarray(s.mat_bssrdf_id)[mid]) == 0
+    assert s.bssrdf_profile.shape[1:] == (100, 64)
+    sigt = np.asarray(s.mat_sss_sigma_t)[mid]
+    rho = np.asarray(s.mat_sss_rho)[mid]
+    assert (sigt > 0).all() and (rho > 0).all() and (rho < 1).all()
     kd = np.asarray(s.mat_kd)[mid]
     rgb = np.asarray(spec.to_rgb(jnp.asarray(kd)))
     assert rgb[0] > rgb[1] > rgb[2] > 0, rgb     # skin: R > G > B
@@ -105,3 +112,135 @@ WorldEnd
     rgb2 = np.asarray(spec.to_rgb(jnp.asarray(kd2)))
     assert rgb2[0] > rgb2[1] > rgb2[2], rgb2
     assert abs(rgb2[0] - 0.6) < 0.25, rgb2
+
+
+# ---------------------------------------------------------------------------
+# device-side (jnp) table queries — must agree with the numpy reference
+# implementations above (reference TabulatedBSSRDF::{Sr,Sample_Sr,Pdf_Sr})
+# ---------------------------------------------------------------------------
+
+def _device_args(t):
+    import jax.numpy as jnp
+    profile = jnp.asarray(t["profile"])[None]   # [1,NR,NK]
+    cdf = jnp.asarray(t["cdf"])[None]
+    return (profile, cdf, jnp.asarray(t["rho"], np.float32),
+            jnp.asarray(t["radius"], np.float32))
+
+
+def test_device_sr_eval_matches_numpy():
+    import jax.numpy as jnp
+    t = bssrdf.compute_beam_diffusion_bssrdf(g=0.0, eta=1.33,
+                                             n_rho=32, n_radius=48)
+    profile, cdf, rho_g, rad_g = _device_args(t)
+    rho = np.array([0.3, 0.7, 0.9, 0.99], np.float32)
+    r = np.array([0.01, 0.1, 0.5, 2.0], np.float32)
+    ref = bssrdf.eval_sr(t, rho, r)
+    dev = np.asarray(bssrdf.sr_eval_device(
+        profile, rho_g, rad_g, jnp.zeros(4, jnp.int32),
+        jnp.asarray(rho), jnp.asarray(r)))
+    assert np.allclose(dev, ref, rtol=2e-2, atol=1e-6), (dev, ref)
+
+
+def test_device_sr_sample_matches_numpy():
+    import jax.numpy as jnp
+    t = bssrdf.compute_beam_diffusion_bssrdf(g=0.0, eta=1.33,
+                                             n_rho=32, n_radius=48)
+    profile, cdf, rho_g, rad_g = _device_args(t)
+    u = (np.arange(64) + 0.5) / 64
+    rho = np.full_like(u, 0.8)
+    ref = bssrdf.sample_sr(t, rho, u)
+    dev = np.asarray(bssrdf.sr_sample_device(
+        cdf, rad_g, rho_g, jnp.zeros(64, jnp.int32),
+        jnp.asarray(rho, jnp.float32), jnp.asarray(u, jnp.float32)))
+    # numpy path interpolates the rho row; device uses nearest row —
+    # agreement within the row discretization
+    assert np.allclose(dev, ref, rtol=0.15, atol=1e-4), \
+        np.max(np.abs(dev - ref))
+
+
+def test_device_pdf_normalizes_and_matches_sampling():
+    """pdf integrates to ~1 over the optical disk, and the sampled-radius
+    histogram matches the pdf (sampling/pdf coupling, bssrdf.cpp:270)."""
+    import jax.numpy as jnp
+    t = bssrdf.compute_beam_diffusion_bssrdf(g=0.0, eta=1.33,
+                                             n_rho=32, n_radius=64)
+    profile, cdf, rho_g, rad_g = _device_args(t)
+    tid = jnp.zeros(1, jnp.int32)
+    rho = jnp.full((1,), 0.8, jnp.float32)
+    # integral of pdf * 2*pi*r dr over the table's radius range ~ 1
+    rr = np.linspace(1e-4, float(t["radius"][-1]) * 0.999, 20001)
+    pdf = np.asarray(bssrdf.sr_pdf_device(
+        profile, cdf, rho_g, rad_g, tid, rho,
+        jnp.asarray(rr, jnp.float32)[None]))[0]
+    integral = np.trapz(pdf * 2 * np.pi * rr, rr)
+    assert abs(integral - 1.0) < 0.05, integral
+
+    # histogram check: fraction of samples below the median radius
+    u = jnp.asarray((np.arange(4096) + 0.5) / 4096, jnp.float32)
+    r_s = np.asarray(bssrdf.sr_sample_device(
+        cdf, rad_g, rho_g, jnp.zeros(4096, jnp.int32),
+        jnp.full((4096,), 0.8, jnp.float32), u))
+    med = np.median(r_s)
+    cdf_at_med = np.trapz(pdf[rr <= med] * 2 * np.pi * rr[rr <= med],
+                          rr[rr <= med])
+    assert abs(cdf_at_med - 0.5) < 0.05, cdf_at_med
+
+
+def test_sw_lobe_white_furnace():
+    """The Sw exit lobe integrates to 1 over the cosine-weighted
+    hemisphere (the c factor's purpose, bssrdf.h:221)."""
+    import jax.numpy as jnp
+    from pbrt_tpu.materials import bsdf
+    from pbrt_tpu.scene import ir
+    eta = 1.33
+    c = 1.0 - 2.0 * float(bssrdf.fresnel_moment1(1.0 / eta))
+    n = 512
+    mu = (np.arange(n) + 0.5) / n          # cos theta
+    fr = np.asarray(bsdf.fresnel_dielectric(
+        jnp.asarray(mu, jnp.float32), 1.0, eta))
+    sw = (1.0 - fr) / (c * np.pi)
+    # integral over hemisphere: 2*pi * int sw * mu dmu
+    integral = 2 * np.pi * np.mean(sw * mu)
+    assert abs(integral - 1.0) < 2e-3, integral
+
+
+def test_subsurface_probe_render_end_to_end():
+    """Path-traced subsurface sphere: probe relocation produces finite,
+    non-black, energy-bounded radiance; bright medium reflects much
+    more than dark medium."""
+    from pbrt_tpu.parser.api import PbrtAPI
+    from pbrt_tpu.core import spectrum as spec
+    import jax.numpy as jnp
+
+    def render_mean(sa, ss_):
+        src = f"""
+Integrator "path" "integer maxdepth" [5]
+Sampler "sobol" "integer pixelsamples" [8]
+Film "image" "integer xresolution" [12] "integer yresolution" [12]
+LookAt 0 0 4  0 0 0  0 1 0
+Camera "perspective" "float fov" [40]
+WorldBegin
+AttributeBegin
+  Translate 0 4 4
+  LightSource "point" "color I" [60 60 60]
+AttributeEnd
+Material "subsurface" "color sigma_a" [{sa} {sa} {sa}]
+         "color sigma_s" [{ss_} {ss_} {ss_}] "float eta" [1.33]
+Shape "sphere" "float radius" [1]
+WorldEnd
+"""
+        from pbrt_tpu.tools.pbrt import run_job
+        from pbrt_tpu.film.film import develop_rgb
+        job = PbrtAPI().parse_string(src)
+        film, _ = run_job(job, quiet=True, progress=False)
+        arr = np.asarray(develop_rgb(film))
+        assert np.isfinite(arr).all()
+        assert (arr >= 0).all()
+        return float(arr.mean()), arr
+
+    bright, arr_b = render_mean(0.02, 8.0)    # high albedo: scatters out
+    dark, _ = render_mean(4.0, 0.5)           # absorbing: mostly black
+    assert bright > 0, "subsurface sphere rendered black"
+    assert bright > 4.0 * max(dark, 1e-6), (bright, dark)
+    # energy sanity: nothing blows up
+    assert arr_b.max() < 1e3
