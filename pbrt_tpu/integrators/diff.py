@@ -28,10 +28,33 @@ DIFFERENTIABLE_FIELDS = ("mat_kd", "mat_ks", "mat_kr", "mat_kt", "light_L",
                          "env_map")
 
 
+# packed-table spectral slots (ir.MPK_SPECTRA order) that shadow the
+# standalone mat_* arrays — gather_materials reads ONLY mat_packed, so
+# differentiable overrides must be written into both
+_PACKED_SLOT = {"mat_kd": 0, "mat_ks": 1, "mat_kr": 2, "mat_kt": 3}
+
+
 def apply_params(scene, params):
     """Override scene leaves with optimization parameters (softplus-free:
-    caller is responsible for positivity; see make_positive)."""
-    return scene.replace(**params)
+    caller is responsible for positivity; see make_positive).
+
+    Spectral material params are also spliced into the packed hi/lo
+    material table (the one the one-hot gather actually reads); the
+    bf16 hi + residual lo split keeps the gradient path intact (d(hi)/dv
+    is identity through the downcast, d(lo)/dv = 0, summed = 1)."""
+    scene = scene.replace(**params)
+    pk = scene.mat_packed
+    M = pk.shape[0] // 2
+    NS = scene.mat_kd.shape[1]
+    touched = False
+    for name, s in _PACKED_SLOT.items():
+        if name in params:
+            v = jnp.broadcast_to(params[name], (M, NS)).astype(jnp.float32)
+            hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+            pk = pk.at[:M, s * NS:(s + 1) * NS].set(hi)
+            pk = pk.at[M:, s * NS:(s + 1) * NS].set(v - hi)
+            touched = True
+    return scene.replace(mat_packed=pk) if touched else scene
 
 
 def render_samples(params, scene, camera, W, H, cfg: SamplerConfig,

@@ -14,6 +14,7 @@ returns (wi, f, pdf, flags).  All spectra are [...,31].
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -58,6 +59,14 @@ class MaterialParams:
     sss_tid: jnp.ndarray = None      # [B]
     sss_sigma_t: jnp.ndarray = None  # [B,31]
     sss_rho: jnp.ndarray = None      # [B,31]
+    # static tuple of MAT_* tags present in the scene (None = all); the
+    # dispatch below compiles only these lobe families
+    families: tuple = struct.field(pytree_node=False, default=None)
+
+
+def _present(families, *types):
+    """Static check: is any of these material families in the scene?"""
+    return families is None or any(t in families for t in types)
 
 
 def bump_shading_normal(scene: ir.SceneData, material_idx, hit):
@@ -152,26 +161,47 @@ def resolve_mix(scene: ir.SceneData, material_idx, u_mix=None, p=None):
 
 def gather_materials(scene: ir.SceneData, material_idx, uv=None,
                      p=None, u_mix=None) -> MaterialParams:
-    """Gather per-ray material params; evaluates texture-bound Kd/Ks at
-    the hit uv / world position when the scene has textures."""
+    """Fetch per-ray material records; evaluates texture-bound Kd/Ks at
+    the hit uv / world position when the scene has textures.
+
+    The whole record comes from ONE one-hot [B,2M] @ [2M,MPK_COLS]
+    matmul over the packed table: XLA's TPU gather lowers to a slow
+    per-row loop (~9 ms/pass at B=65k for the ~15 separate table
+    gathers this replaces) while the MXU fetches every column at full
+    speed.  The table rows are [bf16-hi; residual] so a DEFAULT
+    (single-pass bf16) matmul reconstructs the f32 values to ~2^-17
+    relative (bit-exact on CPU); each lane's one-hot selects BOTH its
+    hi and lo row.  Integer ids ride as small floats (exact in the hi
+    half) and are round()ed back."""
+    NS = scene.mat_kd.shape[1]
     material_idx = resolve_mix(scene, material_idx, u_mix, p)
-    m = jnp.clip(material_idx, 0, scene.mat_type.shape[0] - 1)
-    rough_u = scene.mat_rough_u[m]
-    rough_v = scene.mat_rough_v[m]
-    remap = scene.mat_remap_rough[m]
+    M = scene.mat_type.shape[0]
+    m = jnp.clip(material_idx, 0, M - 1)
+    idx2 = jnp.arange(2 * M, dtype=m.dtype) % M
+    oh = (m[:, None] == idx2[None, :]).astype(jnp.float32)
+    row = jax.lax.dot_general(oh, scene.mat_packed,
+                              (((1,), (0,)), ((), ())),
+                              precision=jax.lax.Precision.DEFAULT)
+    sp = {name: row[:, i * NS:(i + 1) * NS]
+          for i, name in enumerate(ir.MPK_SPECTRA)}
+    rough_u = row[:, ir.MPK_ROUGH_U]
+    rough_v = row[:, ir.MPK_ROUGH_V]
+    remap = row[:, ir.MPK_REMAP] > 0.5
     au = jnp.where(remap, roughness_to_alpha(rough_u), rough_u)
     av = jnp.where(remap, roughness_to_alpha(rough_v), rough_v)
     # rough==0 stays 0 (perfect specular marker)
     au = jnp.where(rough_u > 0, jnp.maximum(au, 1e-3), 0.0)
     av = jnp.where(rough_v > 0, jnp.maximum(av, 1e-3), 0.0)
-    kd = scene.mat_kd[m]
-    ks = scene.mat_ks[m]
+    mtype = jnp.round(row[:, ir.MPK_TYPE]).astype(jnp.int32)
+    kd = sp["kd"]
+    ks = sp["ks"]
     if uv is not None and scene.tex_type.shape[0] > 1:
         from pbrt_tpu.textures.textures import eval_texture
         from pbrt_tpu.core import spectrum as _spec
         pw = p if p is not None else jnp.zeros(uv.shape[:-1] + (3,))
-        for tex_idx, slot in ((scene.mat_kd_tex[m], "kd"),
-                              (scene.mat_ks_tex[m], "ks")):
+        kd_tex = jnp.round(row[:, ir.MPK_KD_TEX]).astype(jnp.int32)
+        ks_tex = jnp.round(row[:, ir.MPK_KS_TEX]).astype(jnp.int32)
+        for tex_idx, slot in ((kd_tex, "kd"), (ks_tex, "ks")):
             rgb = eval_texture(scene.tex_images, scene.tex_type,
                                scene.tex_params, scene.tex_c1, scene.tex_c2,
                                tex_idx, uv, pw)
@@ -182,32 +212,34 @@ def gather_materials(scene: ir.SceneData, material_idx, uv=None,
                 ks = jnp.where((tex_idx >= 0)[:, None], s, ks)
     # uber opacity scales every surface lobe (uber.cpp:40-58); opacity
     # defaults to 1 for all other materials so the multiply is a no-op
-    op = scene.mat_opacity[m]
+    op = sp["opacity"]
+    eta = row[:, ir.MPK_ETA]
     return MaterialParams(
-        type=jnp.where(material_idx >= 0, scene.mat_type[m], ir.MAT_NONE),
-        kd=kd * op, ks=ks * op, kr=scene.mat_kr[m] * op,
-        kt=scene.mat_kt[m] * op, rough_u=au, rough_v=av,
-        eta=scene.mat_eta[m], eta_spec=scene.mat_eta_spec[m],
-        k_spec=scene.mat_k_spec[m], sigma=scene.mat_sigma[m],
-        opacity=scene.mat_opacity[m],
-        disney=(scene.mat_disney[m]
+        type=jnp.where(material_idx >= 0, mtype, ir.MAT_NONE),
+        kd=kd * op, ks=ks * op, kr=sp["kr"] * op,
+        kt=sp["kt"] * op, rough_u=au, rough_v=av,
+        eta=eta, eta_spec=sp["eta_spec"],
+        k_spec=sp["k_spec"], sigma=row[:, ir.MPK_SIGMA],
+        opacity=op,
+        disney=(row[:, ir.MPK_DISNEY:ir.MPK_DISNEY + 8]
                 if getattr(scene, "has_disney", True) else None),
         hair_h=(jnp.clip(2.0 * uv[..., 1] - 1.0, -0.995, 0.995)
                 if getattr(scene, "has_hair", False) and uv is not None
                 else None),
         fourier_grid=(scene.fourier_grid
                       if getattr(scene, "has_fourier", False) else None),
-        fourier_id=(scene.mat_fourier_id[m]
+        fourier_id=(jnp.round(row[:, ir.MPK_FOURIER]).astype(jnp.int32)
                     if getattr(scene, "has_fourier", False) else None),
         sss_c=(jnp.maximum(1.0 - 2.0 * fresnel_moment1_jnp(
-            1.0 / jnp.maximum(scene.mat_eta[m], 1e-3)), 1e-4)
+            1.0 / jnp.maximum(eta, 1e-3)), 1e-4)
             if getattr(scene, "has_sss", False) else None),
-        sss_tid=(scene.mat_bssrdf_id[m]
+        sss_tid=(jnp.round(row[:, ir.MPK_BSSRDF]).astype(jnp.int32)
                  if getattr(scene, "has_sss", False) else None),
-        sss_sigma_t=(scene.mat_sss_sigma_t[m]
+        sss_sigma_t=(row[:, ir.MPK_SSS_SIGT:ir.MPK_SSS_SIGT + NS]
                      if getattr(scene, "has_sss", False) else None),
-        sss_rho=(scene.mat_sss_rho[m]
-                 if getattr(scene, "has_sss", False) else None))
+        sss_rho=(row[:, ir.MPK_SSS_RHO:ir.MPK_SSS_RHO + NS]
+                 if getattr(scene, "has_sss", False) else None),
+        families=getattr(scene, "mat_families", None))
 
 
 def fresnel_moment1_jnp(eta):
@@ -622,12 +654,16 @@ def eval_f(params: MaterialParams, wo, wi):
     valid = (co > 1e-6) & (ci > 1e-6) & ~is_delta & (t != ir.MAT_NONE)
     refl = same_hemisphere(wo, wi)
 
+    fam = params.families
     f = jnp.zeros_like(params.kd)
     # diffuse (lambert / oren-nayar)
-    f_lam = lambertian_f(params.kd)
-    f_diff = jnp.where((params.sigma > 1e-6)[..., None],
-                       oren_nayar_f(params.kd, params.sigma, wo, wi), f_lam)
-    f = f + jnp.where((has_diff & refl)[..., None], f_diff, 0.0)
+    if _present(fam, ir.MAT_MATTE, ir.MAT_PLASTIC, ir.MAT_UBER,
+                ir.MAT_RETRO, ir.MAT_SUBSURFACE, ir.MAT_KDSUBSURFACE):
+        f_lam = lambertian_f(params.kd)
+        f_diff = jnp.where((params.sigma > 1e-6)[..., None],
+                           oren_nayar_f(params.kd, params.sigma, wo, wi),
+                           f_lam)
+        f = f + jnp.where((has_diff & refl)[..., None], f_diff, 0.0)
 
     ax, ay = params.rough_u, params.rough_v
     wh_raw = wo + wi
@@ -635,32 +671,48 @@ def eval_f(params: MaterialParams, wo, wi):
     wh = geom.normalize(jnp.where(wh_ok[..., None], wh_raw,
                                   jnp.asarray([0.0, 0.0, 1.0])))
     # dielectric-coat microfacet (plastic/uber/roughglass reflection)
-    F_diel = fresnel_dielectric(geom.dot(wi, wh), 1.0, params.eta)[..., None]
-    f_spec_d = microfacet_reflection_f(params.ks, wo, wi, ax, ay, F_diel)
-    f = f + jnp.where((has_ggx_diel & (ax > 0))[..., None], f_spec_d, 0.0)
-    f_rg_refl = microfacet_reflection_f(params.kr, wo, wi, ax, ay, F_diel)
-    f = f + jnp.where((is_rglass & refl)[..., None], f_rg_refl, 0.0)
-    # rough-glass transmission
-    f_rg_t, _ = _rough_transmission(params, wo, wi)
-    f = f + jnp.where((is_rglass & ~refl)[..., None], f_rg_t, 0.0)
+    if _present(fam, ir.MAT_PLASTIC, ir.MAT_UBER, ir.MAT_ROUGHGLASS,
+                ir.MAT_SUBSURFACE, ir.MAT_KDSUBSURFACE, ir.MAT_DISNEY):
+        F_diel = fresnel_dielectric(geom.dot(wi, wh), 1.0,
+                                    params.eta)[..., None]
+    if _present(fam, ir.MAT_PLASTIC, ir.MAT_UBER, ir.MAT_SUBSURFACE,
+                ir.MAT_KDSUBSURFACE):
+        f_spec_d = microfacet_reflection_f(params.ks, wo, wi, ax, ay,
+                                           F_diel)
+        f = f + jnp.where((has_ggx_diel & (ax > 0))[..., None],
+                          f_spec_d, 0.0)
+    if _present(fam, ir.MAT_ROUGHGLASS):
+        f_rg_refl = microfacet_reflection_f(params.kr, wo, wi, ax, ay,
+                                            F_diel)
+        f = f + jnp.where((is_rglass & refl)[..., None], f_rg_refl, 0.0)
+    # rough-glass transmission (also the disney specTrans lobe)
+    if _present(fam, ir.MAT_ROUGHGLASS, ir.MAT_DISNEY):
+        f_rg_t, _ = _rough_transmission(params, wo, wi)
+        f = f + jnp.where((is_rglass & ~refl)[..., None], f_rg_t, 0.0)
     # conductor microfacet (metal) — ks holds the scale (1 by default)
-    F_cond = fresnel_conductor(geom.dot(wi, wh), params.eta_spec,
-                               params.k_spec)
-    f_metal = microfacet_reflection_f(params.ks, wo, wi, ax, ay, F_cond)
-    f = f + jnp.where((is_metal & (ax > 0))[..., None], f_metal, 0.0)
+    if _present(fam, ir.MAT_METAL):
+        F_cond = fresnel_conductor(geom.dot(wi, wh), params.eta_spec,
+                                   params.k_spec)
+        f_metal = microfacet_reflection_f(params.ks, wo, wi, ax, ay,
+                                          F_cond)
+        f = f + jnp.where((is_metal & (ax > 0))[..., None], f_metal, 0.0)
     # substrate
-    f_sub = fresnel_blend_f(params.kd, params.ks, wo, wi, ax, ay)
-    f = f + jnp.where(is_substrate[..., None], f_sub, 0.0)
+    if _present(fam, ir.MAT_SUBSTRATE):
+        f_sub = fresnel_blend_f(params.kd, params.ks, wo, wi, ax, ay)
+        f = f + jnp.where(is_substrate[..., None], f_sub, 0.0)
     # translucent: lambertian reflection + transmission scaled by kr/kt
     # (materials/translucent.cpp)
-    f_tr_r = params.kr * params.kd * INV_PI
-    f_tr_t = params.kt * params.kd * INV_PI
-    f = f + jnp.where((is_transl & refl)[..., None], f_tr_r, 0.0)
-    f = f + jnp.where((is_transl & ~refl)[..., None], f_tr_t, 0.0)
+    if _present(fam, ir.MAT_TRANSLUCENT):
+        f_tr_r = params.kr * params.kd * INV_PI
+        f_tr_t = params.kt * params.kd * INV_PI
+        f = f + jnp.where((is_transl & refl)[..., None], f_tr_r, 0.0)
+        f = f + jnp.where((is_transl & ~refl)[..., None], f_tr_t, 0.0)
     # fork retroreflective lobe: peaked at wi == wo
-    cos_r = geom.dot(wi, wo)
-    f_ret = params.ks * _retro_d(cos_r, jnp.maximum(ax, 1e-3))[..., None]
-    f = f + jnp.where((is_retro & refl)[..., None], f_ret, 0.0)
+    if _present(fam, ir.MAT_RETRO):
+        cos_r = geom.dot(wi, wo)
+        f_ret = params.ks * _retro_d(cos_r,
+                                     jnp.maximum(ax, 1e-3))[..., None]
+        f = f + jnp.where((is_retro & refl)[..., None], f_ret, 0.0)
     # disney principled lobes (fully custom path; statically skipped
     # for scenes with no disney materials — scene.has_disney)
     if params.disney is not None:
@@ -711,22 +763,32 @@ def pdf_f(params: MaterialParams, wo, wi):
     t = params.type
     (has_diff, has_ggx_diel, is_metal, is_substrate, _, _, is_delta,
      n_lobes, is_rglass, is_transl, is_retro) = _masks(t)
+    fam = params.families
     refl = same_hemisphere(wo, wi)
     pdf_diff = jnp.where(refl, abs_cos_theta(wi) * INV_PI, 0.0)
     ax, ay = params.rough_u, params.rough_v
-    pdf_ggx = microfacet_reflection_pdf(wo, wi, ax, ay)
-    _, pdf_rg_t = _rough_transmission(params, wo, wi)
-    pdf_transl = abs_cos_theta(wi) * INV_PI   # either hemisphere
-    cos_r = geom.dot(wi, wo)
-    pdf_retro = jnp.where(refl, _retro_d(cos_r, jnp.maximum(ax, 1e-3))
-                          * jnp.abs(cos_r), 0.0)
-    pdf = (jnp.where(has_diff, pdf_diff, 0.0)
-           + jnp.where((has_ggx_diel | is_metal) & (ax > 0), pdf_ggx, 0.0)
-           + jnp.where(is_substrate, 0.5 * (pdf_diff + pdf_ggx), 0.0)
-           + jnp.where(is_rglass, jnp.where(refl, pdf_ggx, 0.0)
-                       + pdf_rg_t, 0.0)
-           + jnp.where(is_transl, 2.0 * 0.5 * pdf_transl, 0.0)
-           + jnp.where(is_retro, pdf_retro, 0.0))
+    pdf = jnp.where(has_diff, pdf_diff, 0.0)
+    if _present(fam, ir.MAT_PLASTIC, ir.MAT_UBER, ir.MAT_METAL,
+                ir.MAT_SUBSTRATE, ir.MAT_ROUGHGLASS, ir.MAT_SUBSURFACE,
+                ir.MAT_KDSUBSURFACE):
+        pdf_ggx = microfacet_reflection_pdf(wo, wi, ax, ay)
+        pdf = pdf + jnp.where((has_ggx_diel | is_metal) & (ax > 0),
+                              pdf_ggx, 0.0)
+        pdf = pdf + jnp.where(is_substrate, 0.5 * (pdf_diff + pdf_ggx),
+                              0.0)
+    if _present(fam, ir.MAT_ROUGHGLASS):
+        _, pdf_rg_t = _rough_transmission(params, wo, wi)
+        pdf = pdf + jnp.where(is_rglass, jnp.where(refl, pdf_ggx, 0.0)
+                              + pdf_rg_t, 0.0)
+    if _present(fam, ir.MAT_TRANSLUCENT):
+        pdf_transl = abs_cos_theta(wi) * INV_PI   # either hemisphere
+        pdf = pdf + jnp.where(is_transl, 2.0 * 0.5 * pdf_transl, 0.0)
+    if _present(fam, ir.MAT_RETRO):
+        cos_r = geom.dot(wi, wo)
+        pdf_retro = jnp.where(refl,
+                              _retro_d(cos_r, jnp.maximum(ax, 1e-3))
+                              * jnp.abs(cos_r), 0.0)
+        pdf = pdf + jnp.where(is_retro, pdf_retro, 0.0)
     pdf = pdf / n_lobes
     # disney: self-normalized lobe mixture (outside the n_lobes scheme)
     if params.disney is not None:
@@ -749,8 +811,9 @@ def pdf_f(params: MaterialParams, wo, wi):
         # BxDF's default cosine sampling)
         pdf = jnp.where(t == ir.MAT_SSW, pdf_diff, pdf)
     # uber opacity: the surface lobes are only picked with prob 1-p_tr
-    transp = jnp.clip(1.0 - params.opacity, 0.0, 1.0).mean(-1)
-    pdf = jnp.where(t == ir.MAT_UBER, pdf * (1.0 - transp), pdf)
+    if _present(fam, ir.MAT_UBER):
+        transp = jnp.clip(1.0 - params.opacity, 0.0, 1.0).mean(-1)
+        pdf = jnp.where(t == ir.MAT_UBER, pdf * (1.0 - transp), pdf)
     return jnp.where(is_delta | (t == ir.MAT_NONE), 0.0, pdf)
 
 
@@ -764,6 +827,7 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2, u3=None):
     radiance correction, reference path.cpp:150-156).
     """
     t = params.type
+    fam = params.families
     (has_diff, has_ggx_diel, is_metal, is_substrate, is_mirror, is_glass,
      is_delta, n_lobes, is_rglass, is_transl, is_retro) = _masks(t)
     ax, ay = params.rough_u, params.rough_v
@@ -772,51 +836,66 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2, u3=None):
     # uber opacity: a specular eta=1 transmission lobe with T = 1-opacity
     # (uber.cpp:40-58), sampled stochastically so transparent uber surfaces
     # pass shadow-free rays straight through
-    transp = jnp.clip(1.0 - params.opacity, 0.0, 1.0)
-    p_tr = jnp.where(t == ir.MAT_UBER, transp.mean(-1), 0.0)
-    pick_pass = u_lobe < p_tr
-    u_lobe = jnp.where(
-        p_tr > 0,
-        jnp.clip((u_lobe - p_tr) / jnp.maximum(1.0 - p_tr, 1e-6),
-                 0.0, 1.0 - 1e-7),
-        u_lobe)
+    if _present(fam, ir.MAT_UBER):
+        transp = jnp.clip(1.0 - params.opacity, 0.0, 1.0)
+        p_tr = jnp.where(t == ir.MAT_UBER, transp.mean(-1), 0.0)
+        pick_pass = u_lobe < p_tr
+        u_lobe = jnp.where(
+            p_tr > 0,
+            jnp.clip((u_lobe - p_tr) / jnp.maximum(1.0 - p_tr, 1e-6),
+                     0.0, 1.0 - 1e-7),
+            u_lobe)
+    else:
+        pick_pass = jnp.zeros_like(u_lobe, bool)
 
     # lobe candidates
+    need_ggx = _present(fam, ir.MAT_PLASTIC, ir.MAT_UBER, ir.MAT_METAL,
+                        ir.MAT_SUBSTRATE, ir.MAT_ROUGHGLASS,
+                        ir.MAT_DISNEY, ir.MAT_SUBSURFACE,
+                        ir.MAT_KDSUBSURFACE)
+    need_rt = _present(fam, ir.MAT_ROUGHGLASS, ir.MAT_DISNEY)
     wi_diff = sampling.cosine_sample_hemisphere(u1, u2) * jnp.concatenate(
         [jnp.ones_like(sgn), jnp.ones_like(sgn), sgn], -1)
-    wh = ggx_sample_wh(wo, u1, u2, jnp.maximum(ax, 1e-4), jnp.maximum(ay, 1e-4))
-    wi_ggx = geom.reflect(wo, wh)
-    # rough-glass transmission: refract wo about sampled wh
-    eta_rg = jnp.where(cos_theta(wo) > 0, 1.0 / params.eta, params.eta)
-    can_rt, wi_rt = geom.refract(wo, jnp.where(
-        geom.dot(wo, wh)[..., None] >= 0, wh, -wh), eta_rg)
-    # retro lobe: GGX-shaped spread around +wo
-    a2 = jnp.maximum(ax, 1e-3) ** 2
-    cos_rr = jnp.sqrt(jnp.maximum(
-        (1.0 - u1) / jnp.maximum(u1 * (a2 - 1.0) + 1.0, 1e-9), 0.0))
-    sin_rr = jnp.sqrt(jnp.maximum(1.0 - cos_rr * cos_rr, 0.0))
-    phi_r = 2 * PI * u2
-    b1v, b2v = geom.coordinate_system(wo)
-    wi_retro = geom.normalize(
-        (sin_rr * jnp.cos(phi_r))[..., None] * b1v
-        + (sin_rr * jnp.sin(phi_r))[..., None] * b2v
-        + cos_rr[..., None] * wo)
-
-    # choose among lobes: uniform over present lobes (pbrt BSDF::Sample_f)
-    two_lobe = has_ggx_diel | is_substrate
-    pick_spec = (two_lobe & (u_lobe >= 0.5)) | is_metal
-    wi = jnp.where(pick_spec[..., None], wi_ggx, wi_diff)
-    # rough glass: reflect/transmit half-half
-    wi_rg = jnp.where((u_lobe < 0.5)[..., None], wi_ggx,
-                      jnp.where(can_rt[..., None], wi_rt, wi_ggx))
-    wi = jnp.where(is_rglass[..., None], wi_rg, wi)
-    # translucent: flip hemisphere for the transmission half
-    wi_tr = jnp.where((u_lobe < 0.5)[..., None], wi_diff,
-                      wi_diff * jnp.asarray([1.0, 1.0, -1.0]))
-    wi = jnp.where(is_transl[..., None], wi_tr, wi)
-    # retro: diffuse half / retro half
-    wi_re = jnp.where((u_lobe < 0.5)[..., None], wi_diff, wi_retro)
-    wi = jnp.where(is_retro[..., None], wi_re, wi)
+    wi = wi_diff
+    if need_ggx:
+        wh = ggx_sample_wh(wo, u1, u2, jnp.maximum(ax, 1e-4),
+                           jnp.maximum(ay, 1e-4))
+        wi_ggx = geom.reflect(wo, wh)
+        # choose among lobes: uniform over present lobes (BSDF::Sample_f)
+        two_lobe = has_ggx_diel | is_substrate
+        pick_spec = (two_lobe & (u_lobe >= 0.5)) | is_metal
+        wi = jnp.where(pick_spec[..., None], wi_ggx, wi_diff)
+    if need_rt:
+        # rough-glass transmission: refract wo about sampled wh
+        eta_rg = jnp.where(cos_theta(wo) > 0, 1.0 / params.eta,
+                           params.eta)
+        can_rt, wi_rt = geom.refract(wo, jnp.where(
+            geom.dot(wo, wh)[..., None] >= 0, wh, -wh), eta_rg)
+    if _present(fam, ir.MAT_ROUGHGLASS):
+        # rough glass: reflect/transmit half-half
+        wi_rg = jnp.where((u_lobe < 0.5)[..., None], wi_ggx,
+                          jnp.where(can_rt[..., None], wi_rt, wi_ggx))
+        wi = jnp.where(is_rglass[..., None], wi_rg, wi)
+    if _present(fam, ir.MAT_TRANSLUCENT):
+        # translucent: flip hemisphere for the transmission half
+        wi_tr = jnp.where((u_lobe < 0.5)[..., None], wi_diff,
+                          wi_diff * jnp.asarray([1.0, 1.0, -1.0]))
+        wi = jnp.where(is_transl[..., None], wi_tr, wi)
+    if _present(fam, ir.MAT_RETRO):
+        # retro lobe: GGX-shaped spread around +wo
+        a2 = jnp.maximum(ax, 1e-3) ** 2
+        cos_rr = jnp.sqrt(jnp.maximum(
+            (1.0 - u1) / jnp.maximum(u1 * (a2 - 1.0) + 1.0, 1e-9), 0.0))
+        sin_rr = jnp.sqrt(jnp.maximum(1.0 - cos_rr * cos_rr, 0.0))
+        phi_r = 2 * PI * u2
+        b1v, b2v = geom.coordinate_system(wo)
+        wi_retro = geom.normalize(
+            (sin_rr * jnp.cos(phi_r))[..., None] * b1v
+            + (sin_rr * jnp.sin(phi_r))[..., None] * b2v
+            + cos_rr[..., None] * wo)
+        # retro: diffuse half / retro half
+        wi_re = jnp.where((u_lobe < 0.5)[..., None], wi_diff, wi_retro)
+        wi = jnp.where(is_retro[..., None], wi_re, wi)
     # disney: mixture over (cosine, GGX spec, GTR1 clearcoat, specTrans)
     # with the same per-lane probabilities _disney_pdf integrates
     is_disney = t == ir.MAT_DISNEY
@@ -875,17 +954,25 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2, u3=None):
 
     # delta lobes
     is_none = t == ir.MAT_NONE
-    wi_mirror = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
-    # smooth glass: Fresnel-weighted reflect/transmit
-    F = fresnel_dielectric(cos_theta(wo), 1.0, params.eta)
     entering = cos_theta(wo) > 0
-    eta_ratio = jnp.where(entering, 1.0 / params.eta, params.eta)
-    n_up = jnp.concatenate([jnp.zeros_like(sgn), jnp.zeros_like(sgn), sgn], -1)
-    can_refract, wi_t = geom.refract(wo, n_up, eta_ratio)
-    do_reflect = (u_lobe < F) | ~can_refract
-    wi_glass = jnp.where(do_reflect[..., None], wi_mirror, wi_t)
-    wi = jnp.where(is_mirror[..., None], wi_mirror, wi)
-    wi = jnp.where(is_glass[..., None], wi_glass, wi)
+    has_mirror = _present(fam, ir.MAT_MIRROR, ir.MAT_GLASS,
+                          ir.MAT_SUBSURFACE, ir.MAT_KDSUBSURFACE)
+    has_glass = _present(fam, ir.MAT_GLASS)
+    if has_mirror:
+        wi_mirror = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+        wi = jnp.where(is_mirror[..., None], wi_mirror, wi)
+    if has_glass:
+        # smooth glass: Fresnel-weighted reflect/transmit
+        F = fresnel_dielectric(cos_theta(wo), 1.0, params.eta)
+        eta_ratio = jnp.where(entering, 1.0 / params.eta, params.eta)
+        n_up = jnp.concatenate([jnp.zeros_like(sgn), jnp.zeros_like(sgn),
+                                sgn], -1)
+        can_refract, wi_t = geom.refract(wo, n_up, eta_ratio)
+        do_reflect = (u_lobe < F) | ~can_refract
+        wi_glass = jnp.where(do_reflect[..., None], wi_mirror, wi_t)
+        wi = jnp.where(is_glass[..., None], wi_glass, wi)
+    else:
+        do_reflect = jnp.zeros_like(u_lobe, bool)
     # null "interface" material: pass straight through unchanged
     # (reference: nullptr material boundary skip, path.cpp:115-120)
     wi = jnp.where(is_none[..., None], -wo, wi)
@@ -897,27 +984,32 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2, u3=None):
 
     # delta overrides
     abs_ci = jnp.maximum(abs_cos_theta(wi), 1e-9)
-    f_mirror = params.kr / abs_ci[..., None]
-    f = jnp.where(is_mirror[..., None], f_mirror, f)
-    pdf = jnp.where(is_mirror, 1.0, pdf)
-    # glass: reflect part f = F kr/|cos|; transmit f = (1-F) kt eta_ratio^2 /|cos|
-    f_glass_r = (F / abs_ci)[..., None] * params.kr
-    f_glass_t = (((1.0 - F) * eta_ratio * eta_ratio) / abs_ci)[..., None] * params.kt
-    f_glass = jnp.where(do_reflect[..., None], f_glass_r, f_glass_t)
-    pdf_glass = jnp.where(do_reflect, jnp.where(can_refract, F, 1.0), 1.0 - F)
-    f = jnp.where(is_glass[..., None], f_glass, f)
-    pdf = jnp.where(is_glass, pdf_glass, pdf)
+    if has_mirror:
+        f_mirror = params.kr / abs_ci[..., None]
+        f = jnp.where(is_mirror[..., None], f_mirror, f)
+        pdf = jnp.where(is_mirror, 1.0, pdf)
+    if has_glass:
+        # glass: reflect f = F kr/|cos|; transmit (1-F) kt eta_ratio^2/|cos|
+        f_glass_r = (F / abs_ci)[..., None] * params.kr
+        f_glass_t = (((1.0 - F) * eta_ratio * eta_ratio)
+                     / abs_ci)[..., None] * params.kt
+        f_glass = jnp.where(do_reflect[..., None], f_glass_r, f_glass_t)
+        pdf_glass = jnp.where(do_reflect, jnp.where(can_refract, F, 1.0),
+                              1.0 - F)
+        f = jnp.where(is_glass[..., None], f_glass, f)
+        pdf = jnp.where(is_glass, pdf_glass, pdf)
     f = jnp.where(is_none[..., None], 1.0 / abs_ci[..., None], f)
     pdf = jnp.where(is_none, 1.0, pdf)
 
     # uber passthrough override (after every other lobe); the (1-p_tr)
     # lobe-selection factor for the surface lobes lives in pdf_f
-    wi = jnp.where(pick_pass[..., None], geom.normalize(-wo), wi)
-    abs_ci = jnp.maximum(abs_cos_theta(wi), 1e-9)
-    f = jnp.where(pick_pass[..., None],
-                  transp / (abs_ci[..., None]
-                            * jnp.maximum(p_tr, 1e-6)[..., None]), f)
-    pdf = jnp.where(pick_pass, 1.0, pdf)
+    if _present(fam, ir.MAT_UBER):
+        wi = jnp.where(pick_pass[..., None], geom.normalize(-wo), wi)
+        abs_ci = jnp.maximum(abs_cos_theta(wi), 1e-9)
+        f = jnp.where(pick_pass[..., None],
+                      transp / (abs_ci[..., None]
+                                * jnp.maximum(p_tr, 1e-6)[..., None]), f)
+        pdf = jnp.where(pick_pass, 1.0, pdf)
 
     transmitted = (is_glass & ~do_reflect) |         ((is_rglass | is_disney | is_hair | is_four)
          & ~same_hemisphere(wo, wi)) |         (is_transl & ~same_hemisphere(wo, wi)) | pick_pass

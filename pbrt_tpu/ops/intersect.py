@@ -301,6 +301,13 @@ def intersect(scene: SceneData, ray: geom.Ray, any_hit: bool = False,
     order, which is already tile-coherent).
     """
     import jax as _jax
+    # visibility is not differentiated (no edge-sampling / boundary
+    # reparameterization); without this the BVH while_loop becomes
+    # structurally reverse-mode-differentiable whenever sampled ray
+    # directions depend on material params (e.g. GGX alpha through the
+    # packed material table) and transposition fails.  Material/light
+    # gradients flow through shading, not through the hit search.
+    ray = _jax.tree.map(_jax.lax.stop_gradient, ray)
     if scene.use_dense and _jax.default_backend() != "cpu":
         return _intersect_dense(scene, ray, presorted=presorted)
     return _intersect_bvh(scene, ray, any_hit)

@@ -122,6 +122,15 @@ class SceneData:
     mat_bssrdf_id: jnp.ndarray    # [M] table idx or -1
     mat_sss_sigma_t: jnp.ndarray  # [M,31] extinction (world units)
     mat_sss_rho: jnp.ndarray      # [M,31] single-scatter albedo
+    # every per-material column packed into one [2M, MPK_COLS] table
+    # (layout: MPK_* constants below; rows = [bf16-hi(t); t - hi]).
+    # XLA's TPU gather lowers to a slow per-row loop (~9ms/pass for the
+    # ~15 separate gathers at B=65k); a one-hot [B,2M] @ [2M,C] matmul
+    # on the MXU fetches the whole record at full speed instead.  The
+    # hi/lo split keeps DEFAULT (1-pass bf16) matmul precision while
+    # reconstructing the f32 values to ~2^-17 relative (exactly on CPU,
+    # where f32 matmuls are true f32) — see bsdf.gather_materials
+    mat_packed: jnp.ndarray       # [2M, MPK_COLS] f32
     # per-primitive MediumInterface (homogeneous media table; the
     # reference's MediumInterface nesting, api.cpp MediumInterface)
     prim_medium_in: jnp.ndarray   # [P] medium idx inside or -1
@@ -187,11 +196,65 @@ class SceneData:
     has_hair: bool = struct.field(pytree_node=False, default=False)
     has_fourier: bool = struct.field(pytree_node=False, default=False)
     has_sss: bool = struct.field(pytree_node=False, default=False)
+    # sorted tuple of MAT_* tags present in the scene (None = unknown,
+    # keep every lobe family).  The BSDF dispatch compiles ONLY the
+    # families listed here — the wavefront otherwise evaluates every
+    # masked lobe on every lane, real VPU cost (e.g. a 31-wide
+    # fresnel_conductor for scenes with no metal)
+    mat_families: tuple = struct.field(pytree_node=False, default=None)
     has_prim_media: bool = struct.field(pytree_node=False, default=False)
     camera_medium: int = struct.field(pytree_node=False, default=-1)
     clip_quadrics: bool = struct.field(pytree_node=False, default=False)
     use_dense: bool = struct.field(pytree_node=False, default=False)
     dense_npad: int = struct.field(pytree_node=False, default=0)
+
+
+# packed material-table column layout (SceneData.mat_packed).  Integer
+# ids ride as exact small floats (|v| < 2^24) and are round()ed back.
+MPK_SPECTRA = ("kd", "ks", "kr", "kt", "eta_spec", "k_spec", "opacity")
+_NS = spec.N_SPECTRAL_SAMPLES
+MPK_ROUGH_U = 7 * _NS         # 217
+MPK_ROUGH_V = MPK_ROUGH_U + 1
+MPK_ETA = MPK_ROUGH_U + 2
+MPK_SIGMA = MPK_ROUGH_U + 3
+MPK_REMAP = MPK_ROUGH_U + 4
+MPK_TYPE = MPK_ROUGH_U + 5
+MPK_KD_TEX = MPK_ROUGH_U + 6
+MPK_KS_TEX = MPK_ROUGH_U + 7
+MPK_BUMP_TEX = MPK_ROUGH_U + 8
+MPK_DISNEY = MPK_ROUGH_U + 9          # 8 wide
+MPK_FOURIER = MPK_DISNEY + 8
+MPK_BSSRDF = MPK_DISNEY + 9
+MPK_SSS_SIGT = MPK_DISNEY + 10        # NS wide
+MPK_SSS_RHO = MPK_SSS_SIGT + _NS      # NS wide
+MPK_COLS = MPK_SSS_RHO + _NS
+
+
+def _pack_materials(mats):
+    """Pack every per-material column into one [M, MPK_COLS] f32 row."""
+    rows = []
+    for m in mats:
+        r = m.resolved()
+        rows.append(np.concatenate([
+            r["kd"], r["ks"], r["kr"], r["kt"], r["eta_spec"],
+            r["k_spec"], r["opacity"],
+            np.asarray([m.rough_u, m.rough_v, m.eta, m.sigma,
+                        float(bool(m.remap_roughness)), float(m.type),
+                        float(m.kd_tex), float(m.ks_tex),
+                        float(m.bump_tex)], np.float32),
+            np.asarray(m.disney, np.float32),
+            np.asarray([float(m.fourier_id), float(m.bssrdf_id)],
+                       np.float32),
+            (np.ones(spec.N_SPECTRAL_SAMPLES, np.float32)
+             if m.sss_sigma_t is None
+             else np.asarray(m.sss_sigma_t, np.float32)),
+            (np.zeros(spec.N_SPECTRAL_SAMPLES, np.float32)
+             if m.sss_rho is None
+             else np.asarray(m.sss_rho, np.float32)),
+        ]).astype(np.float32))
+    t = np.stack(rows)
+    hi = t.astype(jnp.bfloat16).astype(np.float32)
+    return np.concatenate([hi, t - hi], 0)        # [2M, C]
 
 
 # material type tags (reference dispatch: api.cpp:552-625)
@@ -716,6 +779,7 @@ class SceneBuilder:
                 [np.zeros(spec.N_SPECTRAL_SAMPLES, np.float32)
                  if m.sss_rho is None
                  else np.asarray(m.sss_rho, np.float32) for m in mats])),
+            mat_packed=jnp.asarray(_pack_materials(mats)),
             has_sss=bool(self.bssrdf_tables),
             prim_medium_in=jnp.asarray(
                 reorder("prim_medium_in", np.int32)),
@@ -735,6 +799,7 @@ class SceneBuilder:
             has_disney=any(m.type == MAT_DISNEY for m in mats),
             has_mix=any(m.type == MAT_MIX for m in mats),
             has_hair=any(m.type == MAT_HAIR for m in mats),
+            mat_families=tuple(sorted({m.type for m in mats})),
             has_fourier=bool(self.fourier_grids),
             light_type=jnp.asarray([l["type"] for l in lights], jnp.int32),
             light_L=jnp.asarray(np.stack([l["L"] for l in lights]), f32),
