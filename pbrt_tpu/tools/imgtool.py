@@ -126,37 +126,16 @@ def cmd_assemble(args):
 
 
 def cmd_makesky(args):
-    """Spectral sky dome (reference: Hosek-Wilkie via ArHosekSkyModel;
-    here an analytic clear-sky substitute: Rayleigh-ish gradient + sun)."""
-    from pbrt_tpu.core import spectrum as spec
-    res = args.resolution
-    H, W = res, 2 * res
-    theta = (np.arange(H) + 0.5) / H * np.pi
-    phi = (np.arange(W) + 0.5) / W * 2 * np.pi
-    T, P = np.meshgrid(theta, phi, indexing="ij")
-    elev = np.radians(args.elevation)
-    sun = np.array([np.cos(elev), 0, np.sin(elev)])
-    d = np.stack([np.sin(T) * np.cos(P), np.sin(T) * np.sin(P),
-                  np.cos(T)], -1)
-    cos_g = np.clip(d @ sun, -1, 1)
-    up = np.clip(np.cos(T), 0.02, 1.0)
-    # horizon brightening + sun glow + circumsolar disk
-    sky_lum = (1.0 + 2.0 * np.exp(-3.0 / up)) * \
-        (1.0 + 10 * np.exp(-((np.arccos(cos_g)) ** 2) / 0.05)
-         + 0.2 * cos_g ** 2)
-    sky_lum = np.where(np.cos(T) < 0, 0.05, sky_lum)
-    # spectral shape: blue-sky Rayleigh vs sun-white mix
-    lam = spec.BIN_CENTERS
-    rayleigh = (550.0 / lam) ** 4
-    rayleigh /= rayleigh.mean()
-    sunish = spec.blackbody_normalized(lam, 5800.0)
-    w_sun = np.clip(np.exp(-((np.arccos(cos_g)) ** 2) / 0.05), 0, 1)
-    s = (sky_lum[..., None] *
-         (w_sun[..., None] * sunish[None, None]
-          + (1 - w_sun[..., None]) * rayleigh[None, None])) * args.scale
-    rgb = spec.to_rgb_np(s.astype(np.float32))
+    """Hosek-Wilkie spectral sky + solar disc, lat-long env map
+    (reference imgtool.cpp:87-188 via ext/ArHosekSkyModel.c; model +
+    coefficient tables in pbrt_tpu/lights/hosek.py)."""
+    from pbrt_tpu.lights import hosek
+    rgb = hosek.make_sky_image(resolution=args.resolution,
+                               turbidity=args.turbidity,
+                               albedo=args.albedo,
+                               elevation_deg=args.elevation) * args.scale
     fio.write_image(args.output, np.maximum(rgb, 0))
-    print(f"wrote {args.output} ({W}x{H})")
+    print(f"wrote {args.output} ({rgb.shape[1]}x{rgb.shape[0]})")
     return 0
 
 
@@ -186,8 +165,9 @@ def main(argv=None):
     p.add_argument("output"); p.add_argument("inputs", nargs="+")
     p = sub.add_parser("makesky")
     p.add_argument("output")
-    p.add_argument("--elevation", type=float, default=30.0)
+    p.add_argument("--elevation", type=float, default=10.0)
     p.add_argument("--turbidity", type=float, default=3.0)
+    p.add_argument("--albedo", type=float, default=0.5)
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--scale", type=float, default=1.0)
     args = ap.parse_args(argv)
