@@ -209,7 +209,7 @@ def _sss_event(scene, hit, mat, beta, alive, ss, ts, pixel_id, sample_idx,
 def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
                 cfg: SamplerConfig, max_depth=5, rr_threshold=1.0,
                 wavelength_mask=None, light_strategy="uniform",
-                uniforms=None, count_rays=False):
+                uniforms=None, count_rays=False, tex_spread=0.0):
     """Estimate radiance for a batch of camera rays; returns L [B,31].
 
     wavelength_mask: optional [B,31] 0/1 mask restricting transport to a
@@ -286,8 +286,17 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
 
         # ---- shading frame (with bump perturbation when bound) -----------
         u_mix = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 7))
+        # mip-level footprint: camera pixel cone widened to a diffuse
+        # cone after the first bounce (stand-in for ray differentials;
+        # texture.cpp ComputeDifferentials / cone tracing heuristic).
+        # tex_spread == 0 (static) keeps the finest level, no extra cost
+        uv_w = None
+        if tex_spread > 0.0 and hit.uv_density is not None \
+                and scene.tex_type.shape[0] > 1:
+            spread_b = tex_spread if bounce == 0 else max(tex_spread, 0.2)
+            uv_w = hit.uv_density * hit.t * spread_b
         mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv, p=hit.p,
-                                    u_mix=u_mix)
+                                    u_mix=u_mix, uv_width=uv_w)
         hit = hit.replace(ns=bsdf.bump_shading_normal(scene, hit.material,
                                                       hit))
         ss, ts = geom.coordinate_system(hit.ns)
@@ -393,6 +402,24 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
 # render driver (reference: SamplerIntegrator::Render, integrator.cpp:228)
 # ---------------------------------------------------------------------------
 
+def camera_pixel_spread(camera):
+    """Angular size of one pixel at the image center (radians-ish), used
+    as the texture-footprint cone spread.  0 for cameras without a
+    raster_to_camera matrix (lens stacks -> finest mip level)."""
+    rtc = getattr(camera, "raster_to_camera", None)
+    if rtc is None:
+        return 0.0
+    rtc = np.asarray(rtc)
+
+    def proj(x, y):
+        p = rtc @ np.array([x, y, 0.0, 1.0])
+        return p[:3] / p[3] if abs(p[3]) > 1e-12 else p[:3]
+
+    p0, p1 = proj(0.0, 0.0), proj(1.0, 0.0)
+    return float(np.linalg.norm(p1 - p0)
+                 / max(np.linalg.norm(p0), 1e-6))
+
+
 def camera_rays_for_pixels(camera, W, H, cfg, pixel_id, sample_idx,
                            generate_rays):
     """Build camera rays for a chunk of pixel ids at one sample index."""
@@ -433,7 +460,13 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
         generate_rays = projective.generate_rays
     if trace_fn is None:
         trace_fn = trace_paths
-    trace_kwargs = trace_kwargs or {}
+    trace_kwargs = dict(trace_kwargs or {})
+    # per-pixel cone spread for mip-level selection (projective cameras
+    # only; lens cameras fall back to the finest level)
+    import inspect
+    if ("tex_spread" in inspect.signature(trace_fn).parameters
+            and "tex_spread" not in trace_kwargs):
+        trace_kwargs["tex_spread"] = camera_pixel_spread(camera)
 
     H, W = film.height, film.width
     if crop_window is not None and tuple(crop_window) != (0.0, 1.0, 0.0, 1.0):

@@ -46,6 +46,11 @@ class Hit:
     material: jnp.ndarray    # [B] materialId (fork: interaction.h:155)
     light: jnp.ndarray       # [B] area light idx or -1
     instance: jnp.ndarray    # [B] instanceId (fork: interaction.h:154)
+    # uv-per-world-unit at the hit (sqrt of uv-area / world-area for
+    # triangles): a ray cone of world radius r covers ~r*uv_density in
+    # texture space — the wavefront stand-in for the reference's
+    # dudx/dvdx ray differentials (interaction.cpp ComputeDifferentials)
+    uv_density: jnp.ndarray = None   # [B]
 
 
 # ---------------------------------------------------------------------------
@@ -510,11 +515,24 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
     ng = jnp.where(flip[..., None], -ng, ng)
     ns = jnp.where(flip[..., None], -ns, ns)
 
+    # uv footprint density (see Hit.uv_density): triangles from the
+    # uv-edge / world-edge area ratio; quadrics approximated from the
+    # parameterization scale (full [0,1]^2 over ~2*pi*r of surface)
+    uv_e1 = sf[:, 17:19] - sf[:, 15:17]
+    uv_e2 = sf[:, 19:21] - sf[:, 15:17]
+    uv_area = jnp.abs(uv_e1[:, 0] * uv_e2[:, 1] - uv_e1[:, 1] * uv_e2[:, 0])
+    w_area = geom.length(jnp.cross(e1, e2))
+    dens_tri = jnp.sqrt(uv_area / jnp.maximum(w_area, 1e-12))
+    r_quad = jnp.maximum(jnp.abs(scene.quad_params[qi][:, 0]), 1e-6)
+    dens_quad = 1.0 / (2.0 * jnp.pi * r_quad)
+    uv_density = jnp.where(is_tri, dens_tri, dens_quad)
+
     return Hit(valid=found, t=t, p=p, ng=ng, ns=ns, uv=uv,
                wo=-geom.normalize(ray.d), prim=pid,
                material=jnp.where(found, si[:, 2], -1),
                light=jnp.where(found, si[:, 3], -1),
-               instance=jnp.where(found, si[:, 4], -1))
+               instance=jnp.where(found, si[:, 4], -1),
+               uv_density=uv_density)
 
 
 def intersect_full(scene: SceneData, ray: geom.Ray,

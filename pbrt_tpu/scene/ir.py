@@ -165,7 +165,7 @@ class SceneData:
     env_to_light: jnp.ndarray    # [4,4]
 
     # --- texture table (textures/textures.py) ---
-    tex_images: jnp.ndarray      # [T,RES,RES,3]
+    tex_images: jnp.ndarray      # [T,2*RES,RES,3] mip canvases
     tex_type: jnp.ndarray        # [T]
     tex_params: jnp.ndarray      # [T,8]
     tex_c1: jnp.ndarray          # [T,3]

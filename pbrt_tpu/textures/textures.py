@@ -7,9 +7,16 @@ shading with the Smits bases so storage stays 3-channel), plus a typed
 parameter table for procedural textures.  Evaluation is a masked switch —
 the wavefront analog of Texture<T>::Evaluate virtual dispatch.
 
-Types: image (bilinear; trilinear mip later), checkerboard (2D),
+Types: image (trilinear over a mip pyramid; reference core/mipmap.h —
+EWA anisotropic filtering is a noted deviation), checkerboard (2D),
 uv, dots, fbm/wrinkled/marble/windy (Perlin family, core/texture.cpp),
 constant/scale/mix are folded at parse time.
+
+Mip layout: one [2*RES, RES] canvas per texture — level 0 in rows
+[0, RES); level l>=1 (size RES>>l) at row offset 2*RES - (2*RES >> l).
+The level is chosen per lane from the uv-space ray-cone footprint
+(Hit.uv_density * distance * spread), the wavefront stand-in for ray
+differentials.
 """
 
 from __future__ import annotations
@@ -29,6 +36,7 @@ TEX_WINDY = 6
 TEX_WRINKLED = 7
 
 RES = 256
+MAX_LEVEL = 8                  # RES >> 8 == 1x1 top of the pyramid
 
 
 # ---------------------------------------------------------------------------
@@ -101,13 +109,35 @@ def turbulence(p, octaves=6, omega=0.5):
 # device-side evaluation
 # ---------------------------------------------------------------------------
 
+def _bilinear_level(tex_images, ti, u, v, level):
+    """Bilinear fetch at integer mip `level` [B] from the pyramid canvas
+    (repeat wrap, imagemap.h default)."""
+    sz = jnp.right_shift(RES, level)                     # [B]
+    off = jnp.where(level == 0, 0,
+                    2 * RES - jnp.right_shift(2 * RES, level))
+    fu = (u % 1.0) * (sz - 1)
+    fv = (v % 1.0) * (sz - 1)
+    iu0 = fu.astype(jnp.int32)
+    iv0 = fv.astype(jnp.int32)
+    iu1 = jnp.minimum(iu0 + 1, sz - 1)
+    iv1 = jnp.minimum(iv0 + 1, sz - 1)
+    du = (fu - iu0)[:, None]
+    dv = (fv - iv0)[:, None]
+    return ((tex_images[ti, off + iv0, iu0] * (1 - du)
+             + tex_images[ti, off + iv0, iu1] * du) * (1 - dv)
+            + (tex_images[ti, off + iv1, iu0] * (1 - du)
+               + tex_images[ti, off + iv1, iu1] * du) * dv)
+
+
 def eval_texture(tex_images, tex_type, tex_params, tex_c1, tex_c2,
-                 tex_idx, uv, p_world):
+                 tex_idx, uv, p_world, uv_width=None):
     """Evaluate texture `tex_idx` [B] at uv [B,2] / world point [B,3].
 
-    tex_images [T,RES,RES,3]; returns RGB [B,3] (promote to spectrum at
-    the call site).  tex_idx<0 lanes return 1 (caller keeps constants).
-    """
+    tex_images [T,2*RES,RES,3] mip canvases; returns RGB [B,3] (promote
+    to spectrum at the call site).  tex_idx<0 lanes return 1 (caller
+    keeps constants).  uv_width: optional [B] uv-space footprint
+    diameter selecting the mip level (None = finest level, the
+    reference's behavior without ray differentials)."""
     B = uv.shape[0]
     ti = jnp.clip(tex_idx, 0, tex_type.shape[0] - 1)
     tt = tex_type[ti]
@@ -116,20 +146,21 @@ def eval_texture(tex_images, tex_type, tex_params, tex_c1, tex_c2,
     u = uv[:, 0] * us + pr[:, 2]
     v = uv[:, 1] * vs + pr[:, 3]
 
-    # image: bilinear, repeat wrap (imagemap.h wrap "repeat" default)
-    fu = (u % 1.0) * (RES - 1)
-    fv = (v % 1.0) * (RES - 1)
-    iu0 = fu.astype(jnp.int32)
-    iv0 = fv.astype(jnp.int32)
-    iu1 = jnp.minimum(iu0 + 1, RES - 1)
-    iv1 = jnp.minimum(iv0 + 1, RES - 1)
-    du = (fu - iu0)[:, None]
-    dv = (fv - iv0)[:, None]
-    # per-lane bilinear fetch: [B,3] gathers (no whole-image gather)
-    c_img = ((tex_images[ti, iv0, iu0] * (1 - du)
-              + tex_images[ti, iv0, iu1] * du) * (1 - dv)
-             + (tex_images[ti, iv1, iu0] * (1 - du)
-                + tex_images[ti, iv1, iu1] * du) * dv)
+    # image: trilinear between the two bracketing mip levels (mipmap.h
+    # MIPMap::Lookup trilinear path; footprint scaled by the uv scale)
+    if uv_width is None:
+        c_img = _bilinear_level(tex_images, ti, u, v,
+                                jnp.zeros(B, jnp.int32))
+    else:
+        w = uv_width * jnp.maximum(jnp.maximum(jnp.abs(us),
+                                               jnp.abs(vs)), 1e-12)
+        lvl = jnp.clip(jnp.log2(jnp.maximum(w * RES, 1e-9)),
+                       0.0, float(MAX_LEVEL))
+        l0 = lvl.astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, MAX_LEVEL)
+        fl = (lvl - l0)[:, None]
+        c_img = (_bilinear_level(tex_images, ti, u, v, l0) * (1 - fl)
+                 + _bilinear_level(tex_images, ti, u, v, l1) * fl)
 
     c1 = tex_c1[ti]            # [B,3]
     c2 = tex_c2[ti]
@@ -191,11 +222,26 @@ def _resize_bilinear(img, h, w):
     return top * (1 - fy) + bot * fy
 
 
+def build_pyramid(img):
+    """[RES,RES,3] -> [2*RES,RES,3] mip canvas (2x2 box downsample per
+    level, reference mipmap.h:77 pow-2 pyramid)."""
+    canvas = np.zeros((2 * RES, RES, 3), np.float32)
+    canvas[:RES, :RES] = img
+    prev = np.asarray(img, np.float32)
+    for lvl in range(1, MAX_LEVEL + 1):
+        prev = 0.25 * (prev[0::2, 0::2] + prev[1::2, 0::2]
+                       + prev[0::2, 1::2] + prev[1::2, 1::2])
+        off = 2 * RES - (2 * RES >> lvl)
+        sz = RES >> lvl
+        canvas[off:off + sz, :sz] = prev
+    return canvas
+
+
 class TextureTable:
     """Host-side texture registry built during parsing."""
 
     def __init__(self):
-        self.images = [np.ones((RES, RES, 3), np.float32)]
+        self.images = [build_pyramid(np.ones((RES, RES, 3), np.float32))]
         self.types = [TEX_IMAGE]
         self.params = [np.zeros(8, np.float32)]
         self.c1 = [np.ones(3, np.float32)]
@@ -209,9 +255,11 @@ class TextureTable:
                 img = read_image(image)          # EXR/PFM linear, LDR->2.2
             else:
                 img = np.asarray(image, np.float32)
-            self.images.append(_resize_bilinear(img, RES, RES))
+            self.images.append(build_pyramid(_resize_bilinear(img, RES,
+                                                              RES)))
         else:
-            self.images.append(np.ones((RES, RES, 3), np.float32))
+            self.images.append(
+                build_pyramid(np.ones((RES, RES, 3), np.float32)))
         self.types.append(ttype)
         self.params.append(np.asarray(
             [uscale, vscale, udelta, vdelta, wscale, 0, 0, 0], np.float32))

@@ -81,3 +81,64 @@ def test_constant_material_unaffected():
         jnp.asarray(c1), jnp.asarray(c2),
         jnp.full(3, -1, jnp.int32), jnp.zeros((3, 2)), jnp.zeros((3, 3))))
     assert np.allclose(out, 1.0)
+
+
+def test_mip_pyramid_and_trilinear():
+    """Mip canvas layout + footprint-driven level selection
+    (reference core/mipmap.h trilinear Lookup)."""
+    import jax.numpy as jnp
+    from pbrt_tpu.textures import textures as tex
+    R = tex.RES
+    # high-frequency checker image: level 0 alternates 0/1, coarse
+    # levels average to 0.5
+    img = np.zeros((R, R, 3), np.float32)
+    img[::2, :] = 1.0
+    canvas = tex.build_pyramid(img)
+    assert canvas.shape == (2 * R, R, 3)
+    # level 1 is the 2x2 box average = 0.5 everywhere
+    off1 = 2 * R - (2 * R >> 1)
+    assert np.allclose(canvas[off1:off1 + R // 2, :R // 2], 0.5)
+    # top of pyramid is the global mean
+    offL = 2 * R - (2 * R >> tex.MAX_LEVEL)
+    assert np.allclose(canvas[offL, 0], 0.5)
+
+    tt = tex.TextureTable()
+    tid = tt.add(tex.TEX_IMAGE, image=img)
+    imgs, types, params, c1, c2 = tt.arrays()
+    args = (jnp.asarray(imgs), jnp.asarray(types), jnp.asarray(params),
+            jnp.asarray(c1), jnp.asarray(c2))
+    uv = jnp.asarray(np.random.default_rng(0).uniform(0.1, 0.9, (64, 2)),
+                     jnp.float32)
+    ti = jnp.full((64,), tid, jnp.int32)
+    pw = jnp.zeros((64, 3))
+    # tiny footprint: fine level, values ~0 or ~1 (high variance)
+    fine = np.asarray(tex.eval_texture(*args, ti, uv, pw,
+                                       uv_width=jnp.full((64,), 1e-6)))
+    # huge footprint: coarse level, everything ~0.5
+    coarse = np.asarray(tex.eval_texture(*args, ti, uv, pw,
+                                         uv_width=jnp.full((64,), 1.0)))
+    assert fine.std() > 0.2, fine.std()
+    assert np.allclose(coarse, 0.5, atol=0.05), (coarse.min(), coarse.max())
+    # no-footprint call (None) matches a ~zero footprint
+    none = np.asarray(tex.eval_texture(*args, ti, uv, pw))
+    assert np.allclose(none, fine, atol=1e-5)
+
+
+def test_uv_density_on_hits():
+    """make_hit reports uv-per-world-unit for triangles."""
+    import jax.numpy as jnp
+    from pbrt_tpu.scene.ir import SceneBuilder, MaterialSpec, MAT_MATTE
+    from pbrt_tpu.ops import intersect as isect
+    from pbrt_tpu.core import geometry as geom
+    b = SceneBuilder()
+    m = b.add_material(MaterialSpec(type=MAT_MATTE))
+    # unit uv square over a 2x2 world quad: density = 1/2
+    pts = [[0, 0, 0], [2, 0, 0], [2, 2, 0], [0, 2, 0]]
+    b.add_triangle_mesh(pts, [[0, 1, 2], [2, 3, 0]], m,
+                        uvs=[[0, 0], [1, 0], [1, 1], [0, 1]])
+    scene = b.build()
+    ray = geom.Ray.make(jnp.asarray([[1.0, 1.0, -3.0]]),
+                        jnp.asarray([[0.0, 0.0, 1.0]]))
+    hit = isect.intersect_full(scene, ray)
+    assert bool(hit.valid[0])
+    assert abs(float(hit.uv_density[0]) - 0.5) < 1e-3
