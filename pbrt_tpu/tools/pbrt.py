@@ -92,10 +92,13 @@ def run_job(job, spp=None, max_depth=None, quiet=False,
 
 
 def write_outputs(job, film, outfile=None, quiet=False):
+    import jax
     from pbrt_tpu.film import film as filmmod
     from pbrt_tpu.film import io as fio
     out = outfile or job.film_filename
-    rgb = np.asarray(filmmod.develop_rgb(film)) * job.film_scale
+    # jit the develop: eager per-op dispatch over the axon tunnel costs
+    # tens of seconds for a 700x700x31 film
+    rgb = np.asarray(jax.jit(filmmod.develop_rgb)(film)) * job.film_scale
     rgb = np.maximum(rgb, 0.0)
     written = []
     try:
