@@ -51,6 +51,111 @@ def build_camera(job, width, height):
         shutter_close=cp["shutterclose"])
 
 
+_DIRECTIVES = {
+    "Identity", "Translate", "Scale", "Rotate", "LookAt", "Transform",
+    "ConcatTransform", "CoordinateSystem", "CoordSysTransform",
+    "ActiveTransform", "TransformTimes", "TransformBegin", "TransformEnd",
+    "Camera", "Film", "PixelFilter", "Sampler", "Integrator",
+    "Accelerator", "Include", "WorldBegin", "AttributeBegin",
+    "AttributeEnd", "ReverseOrientation", "ObjectBegin", "ObjectEnd",
+    "ObjectInstance", "MakeNamedMedium", "MediumInterface", "Texture",
+    "Material", "MakeNamedMaterial", "NamedMaterial", "LightSource",
+    "AreaLightSource", "Shape", "WorldEnd",
+}
+
+
+def cat_scene(path, out=None, toply=False):
+    """`--cat` / `--toply` pretty-printer (reference parser.cpp
+    `--cat/--toply`): re-emits the scene one directive per line with
+    normalized whitespace; --toply additionally spills inline
+    trianglemesh data to .ply sidecars and rewrites the Shape."""
+    from pbrt_tpu.parser.tokenizer import tokenize_file, unquote
+    toks = list(tokenize_file(path))
+    # group into directives (a bare known-directive atom starts a
+    # group), expanding Include inline like the reference parser
+    groups = []
+
+    def consume(tokens, scene_dir):
+        it = iter(tokens)
+        for t in it:
+            if not t.startswith('"') and t == "Include":
+                inc = os.path.join(scene_dir, unquote(next(it)))
+                consume(list(tokenize_file(inc)), os.path.dirname(inc))
+            elif not t.startswith('"') and t in _DIRECTIVES:
+                groups.append([t])
+            elif groups:
+                groups[-1].append(t)
+
+    consume(toks, os.path.dirname(os.path.abspath(path)))
+    lines = []
+    indent = 0
+    n_ply = 0
+    base = os.path.splitext(out or path)[0]
+    for g in groups:
+        name = g[0]
+        if toply and name == "Shape" and len(g) > 1 \
+                and unquote(g[1]) == "trianglemesh":
+            g, n_ply = _shape_to_ply(g, base, n_ply)
+        if name in ("AttributeEnd", "TransformEnd", "ObjectEnd",
+                    "WorldEnd"):
+            indent = max(indent - 1, 0)
+        body = " ".join(g)
+        lines.append("    " * indent + body)
+        if name in ("AttributeBegin", "TransformBegin", "ObjectBegin",
+                    "WorldBegin"):
+            indent += 1
+    text = "\n".join(lines) + "\n"
+    if out:
+        with open(out, "w") as f:
+            f.write(text)
+    else:
+        sys.stdout.write(text)
+    return 0
+
+
+def _shape_to_ply(g, base, n_ply):
+    """Extract P/indices/N/uv params from a trianglemesh directive group
+    and write them to a .ply (reference WritePlyFile, triangle.cpp:112)."""
+    from pbrt_tpu.shapes.ply import write_ply
+    from pbrt_tpu.parser.tokenizer import unquote
+    # parse "type name" [ values ] pairs
+    params = {}
+    rest = []
+    i = 1
+    while i < len(g):
+        if g[i].startswith('"') and i + 1 < len(g) and g[i + 1] == "[":
+            j = g.index("]", i + 1)
+            params[unquote(g[i])] = g[i + 2:j]
+            i = j + 1
+        else:
+            rest.append(g[i])
+            i += 1
+    pkey = next((k for k in params if k.split()[-1] == "P"), None)
+    ikey = next((k for k in params if k.split()[-1] == "indices"), None)
+    if pkey is None or ikey is None:
+        return g, n_ply
+    verts = np.asarray([float(x) for x in params.pop(pkey)],
+                       np.float32).reshape(-1, 3)
+    faces = np.asarray([int(float(x)) for x in params.pop(ikey)],
+                       np.int32).reshape(-1, 3)
+    norms = uvs = None
+    nkey = next((k for k in params if k.split()[-1] == "N"), None)
+    ukey = next((k for k in params if k.split()[-1] in ("uv", "st")), None)
+    if nkey:
+        norms = np.asarray([float(x) for x in params.pop(nkey)],
+                           np.float32).reshape(-1, 3)
+    if ukey:
+        uvs = np.asarray([float(x) for x in params.pop(ukey)],
+                         np.float32).reshape(-1, 2)
+    ply_path = f"{base}_mesh{n_ply:05d}.ply"
+    write_ply(ply_path, verts, faces, norms=norms, uvs=uvs)
+    ng = ["Shape", '"plymesh"', '"string filename"',
+          f'"{os.path.basename(ply_path)}"']
+    for k, v in params.items():
+        ng += [f'"{k}"', "["] + list(v) + ["]"]
+    return ng, n_ply + 1
+
+
 def run_job(job, spp=None, max_depth=None, quiet=False,
             max_rays_per_pass=1 << 18, progress=True,
             checkpoint_path=None, checkpoint_every=60.0):
@@ -145,7 +250,16 @@ def main(argv=None):
                          "reference writes film only at render end)")
     ap.add_argument("--checkpoint-interval", type=float, default=60.0,
                     metavar="SEC", help="seconds between checkpoints")
+    ap.add_argument("--cat", action="store_true",
+                    help="pretty-print the parsed scene and exit "
+                         "(reference parser --cat)")
+    ap.add_argument("--toply", action="store_true",
+                    help="like --cat but spill inline triangle meshes "
+                         "to .ply sidecars (reference parser --toply)")
     args = ap.parse_args(argv)
+
+    if args.cat or args.toply:
+        return cat_scene(args.scene, out=args.outfile, toply=args.toply)
 
     logging.basicConfig(level=logging.WARNING if args.quiet
                         else logging.INFO, format="%(message)s")

@@ -172,7 +172,7 @@ def test_device_pdf_normalizes_and_matches_sampling():
     pdf = np.asarray(bssrdf.sr_pdf_device(
         profile, cdf, rho_g, rad_g, tid, rho,
         jnp.asarray(rr, jnp.float32)[None]))[0]
-    integral = np.trapz(pdf * 2 * np.pi * rr, rr)
+    integral = np.trapezoid(pdf * 2 * np.pi * rr, rr)
     assert abs(integral - 1.0) < 0.05, integral
 
     # histogram check: fraction of samples below the median radius
@@ -181,7 +181,7 @@ def test_device_pdf_normalizes_and_matches_sampling():
         cdf, rad_g, rho_g, jnp.zeros(4096, jnp.int32),
         jnp.full((4096,), 0.8, jnp.float32), u))
     med = np.median(r_s)
-    cdf_at_med = np.trapz(pdf[rr <= med] * 2 * np.pi * rr[rr <= med],
+    cdf_at_med = np.trapezoid(pdf[rr <= med] * 2 * np.pi * rr[rr <= med],
                           rr[rr <= med])
     assert abs(cdf_at_med - 0.5) < 0.05, cdf_at_med
 

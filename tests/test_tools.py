@@ -89,3 +89,33 @@ def test_stats_report(capsys):
     out = capsys.readouterr().out
     assert "Camera rays traced" in out and "32,768" in out
     assert "Rendering" in out
+
+
+def test_cat_and_toply(tmp_path):
+    """--cat pretty-print + --toply mesh spill (reference parser.cpp
+    --cat/--toply flags)."""
+    from pbrt_tpu.tools import pbrt as cli
+    scene = tmp_path / "s.pbrt"
+    inc = tmp_path / "inc.pbrt"
+    inc.write_text('Shape "trianglemesh" "integer indices" [0 1 2]\n'
+                   '  "point P" [0 0 0  1 0 0  0 1 0]\n')
+    scene.write_text('Film "image" "integer xresolution" [4]\n'
+                     'WorldBegin\nAttributeBegin\n'
+                     'Material "matte" "color Kd" [.5 .5 .5]\n'
+                     'Include "inc.pbrt"\nAttributeEnd\nWorldEnd\n')
+    out = tmp_path / "cat.pbrt"
+    assert cli.main([str(scene), "--cat", "--outfile", str(out)]) == 0
+    txt = out.read_text()
+    assert "Include" not in txt              # expanded
+    assert "trianglemesh" in txt
+    assert txt.index("AttributeBegin") < txt.index("Material")
+    out2 = tmp_path / "ply.pbrt"
+    assert cli.main([str(scene), "--toply", "--outfile", str(out2)]) == 0
+    txt2 = out2.read_text()
+    assert "plymesh" in txt2 and "trianglemesh" not in txt2
+    plys = list(tmp_path.glob("*.ply"))
+    assert len(plys) == 1
+    # the spilled ply parses back to the same triangle
+    from pbrt_tpu.shapes.ply import read_ply
+    verts, faces, norms, uvs = read_ply(str(plys[0]))
+    assert verts.shape == (3, 3) and faces.shape == (1, 3)
