@@ -244,3 +244,48 @@ WorldEnd
     assert bright > 4.0 * max(dark, 1e-6), (bright, dark)
     # energy sanity: nothing blows up
     assert arr_b.max() < 1e3
+
+
+def test_probe_path_matches_diffusion_limit_on_flat_slab():
+    """On flat geometry the probe-ray BSSRDF must agree with the
+    far-field diffusion limit (effective-albedo plastic) — the same
+    equivalence the reference's SubsurfaceFromDiffuse inversion relies
+    on (bssrdf.cpp:400).  Renders a subsurface floor lit from above with
+    the path integrator (probe relocation) and with bdpt's fallback
+    (diffusion-limit BSDF) and compares mean brightness."""
+    from pbrt_tpu.parser.api import PbrtAPI
+    from pbrt_tpu.tools.pbrt import run_job
+    from pbrt_tpu.film.film import develop_rgb
+
+    base = """
+Integrator "%s" "integer maxdepth" [6]
+Sampler "sobol" "integer pixelsamples" [16]
+Film "image" "integer xresolution" [10] "integer yresolution" [10]
+LookAt 0 3 0  0 0 0  0 0 1
+Camera "perspective" "float fov" [35]
+WorldBegin
+AttributeBegin
+  Translate 0 8 0
+  LightSource "point" "color I" [100 100 100]
+AttributeEnd
+Material "subsurface" "color sigma_a" [0.05 0.05 0.05]
+         "color sigma_s" [12 12 12] "float eta" [1.33]
+Shape "trianglemesh" "integer indices" [0 1 2 2 3 0]
+  "point P" [-20 0 -20  -20 0 20  20 0 20  20 0 -20]
+WorldEnd
+"""
+
+    def render(kind):
+        job = PbrtAPI().parse_string(base % kind)
+        film, _ = run_job(job, quiet=True, progress=False)
+        img = np.asarray(develop_rgb(film))
+        assert np.isfinite(img).all()
+        return float(img[2:8, 2:8].mean())
+
+    probe = render("path")        # probe-ray Sample_S
+    limit = render("whitted")     # diffusion-limit plastic fallback
+    assert probe > 0 and limit > 0
+    # same physical reflectance model at the diffusion limit; the probe
+    # estimator adds near-field + single-scatter structure, so allow a
+    # generous band while catching factor-of-2 scale bugs
+    assert 0.5 < probe / limit < 2.0, (probe, limit)
