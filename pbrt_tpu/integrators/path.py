@@ -296,7 +296,8 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
             spread_b = tex_spread if bounce == 0 else max(tex_spread, 0.2)
             uv_w = hit.uv_density * hit.t * spread_b
         mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv, p=hit.p,
-                                    u_mix=u_mix, uv_width=uv_w)
+                                    u_mix=u_mix, uv_width=uv_w,
+                                    face=hit.face)
         hit = hit.replace(ns=bsdf.bump_shading_normal(scene, hit.material,
                                                       hit))
         ss, ts = geom.coordinate_system(hit.ns)

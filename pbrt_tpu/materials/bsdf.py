@@ -160,7 +160,8 @@ def resolve_mix(scene: ir.SceneData, material_idx, u_mix=None, p=None):
 
 
 def gather_materials(scene: ir.SceneData, material_idx, uv=None,
-                     p=None, u_mix=None, uv_width=None) -> MaterialParams:
+                     p=None, u_mix=None, uv_width=None,
+                     face=None) -> MaterialParams:
     """Fetch per-ray material records; evaluates texture-bound Kd/Ks at
     the hit uv / world position when the scene has textures.
 
@@ -204,7 +205,8 @@ def gather_materials(scene: ir.SceneData, material_idx, uv=None,
         for tex_idx, slot in ((kd_tex, "kd"), (ks_tex, "ks")):
             rgb = eval_texture(scene.tex_images, scene.tex_type,
                                scene.tex_params, scene.tex_c1, scene.tex_c2,
-                               tex_idx, uv, pw, uv_width=uv_width)
+                               tex_idx, uv, pw, uv_width=uv_width,
+                               face=face)
             s = _spec.from_rgb(rgb, "reflectance")
             if slot == "kd":
                 kd = jnp.where((tex_idx >= 0)[:, None], s, kd)

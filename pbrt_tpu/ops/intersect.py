@@ -51,6 +51,8 @@ class Hit:
     # texture space — the wavefront stand-in for the reference's
     # dudx/dvdx ray differentials (interaction.cpp ComputeDifferentials)
     uv_density: jnp.ndarray = None   # [B]
+    # per-mesh face index (fork faceIndex; drives ptex per-face lookup)
+    face: jnp.ndarray = None         # [B]
 
 
 # ---------------------------------------------------------------------------
@@ -532,7 +534,7 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
                material=jnp.where(found, si[:, 2], -1),
                light=jnp.where(found, si[:, 3], -1),
                instance=jnp.where(found, si[:, 4], -1),
-               uv_density=uv_density)
+               uv_density=uv_density, face=si[:, 6])
 
 
 def intersect_full(scene: SceneData, ray: geom.Ray,

@@ -449,6 +449,29 @@ class PbrtAPI:
                   "marble": texmod.TEX_MARBLE,
                   "windy": texmod.TEX_WINDY}[tclass]
             return ("tex", reg.add(tt, wscale=wscale))
+        if tclass == "ptex":
+            # per-face texture baked to a tile atlas (textures/ptex.py;
+            # reference textures/ptex.cpp uses faceIndex the same way)
+            from pbrt_tpu.textures import ptex as ptexmod
+            fname = ps.find_one_filename("filename", "")
+            try:
+                pt = ptexmod.read_ptex(fname)
+                atlas, tpr, tile = ptexmod.bake_atlas(pt["faces"])
+                if len(pt["faces"]) > tpr * tpr:
+                    log.warning("ptex %r: %d faces exceed the %dx%d "
+                                "atlas; extra faces clamp to the last "
+                                "tile", fname, len(pt["faces"]), tpr, tpr)
+                gamma = ps.find_one_float("gamma", 1.0)
+                scale = ps.find_one_float("scale", 1.0)
+                if gamma != 1.0:
+                    atlas = np.power(np.maximum(atlas, 0.0), gamma)
+                return ("tex", reg.add(texmod.TEX_PTEX,
+                                       image=atlas * scale,
+                                       p5=float(tpr), p6=float(tile)))
+            except Exception as e:
+                log.warning("ptex file %r unusable (%s) -> 0.5", fname, e)
+                return ("const", 0.5 if ttype == "float"
+                        else np.full(31, 0.5, np.float32))
         log.warning("texture class %r unsupported; using 0.5", tclass)
         return ("const", 0.5 if ttype == "float"
                 else np.full(31, 0.5, np.float32))

@@ -62,7 +62,7 @@ class SceneData:
     # make_hit's one-gather layouts (all per-prim surface data a winning
     # lane needs, so the hot path does 2 gathers instead of ~9)
     shade_f32: jnp.ndarray     # [P,24] e1,e2,ns0,ns1,ns2,uv0,uv1,uv2,pad
-    shade_i32: jnp.ndarray     # [P,8] type,quad_idx,material,light,instance,flip
+    shade_i32: jnp.ndarray     # [P,8] type,quad_idx,material,light,instance,flip,face
     tri_v0: jnp.ndarray        # [P,3]
     tri_e1: jnp.ndarray        # [P,3]
     tri_e2: jnp.ndarray        # [P,3]
@@ -393,6 +393,9 @@ class SceneBuilder:
             prim_light=np.full(F, light_id, np.int32),
             prim_instance=np.full(F, instance_id, np.int32),
             prim_flip=np.full(F, flip, bool),
+            # per-mesh face index (ptex faceIndex; quads/instances keep
+            # the triangle order within their Shape directive)
+            prim_face=np.arange(F, dtype=np.int32),
             prim_medium_in=np.full(F, self.current_medium[0], np.int32),
             prim_medium_out=np.full(F, self.current_medium[1],
                                     np.int32)))
@@ -519,7 +522,7 @@ class SceneBuilder:
         """Concatenate chunks into per-prim SoA arrays (vectorized)."""
         keys = ("tri_v", "tri_ns", "tri_uv", "prim_type", "quad_refs",
                 "prim_material", "prim_light", "prim_instance", "prim_flip",
-                "prim_medium_in", "prim_medium_out")
+                "prim_face", "prim_medium_in", "prim_medium_out")
         if not self._chunks:
             return {k: np.zeros((0, 3, 3) if k == "tri_v" or k == "tri_ns"
                                 else (0, 3, 2) if k == "tri_uv" else (0,),
@@ -696,6 +699,7 @@ class SceneBuilder:
         shade_i32[:, 3] = prim_light_arr
         shade_i32[:, 4] = reorder("prim_instance", np.int32)
         shade_i32[:, 5] = reorder("prim_flip", bool).astype(np.int32)
+        shade_i32[:, 6] = reorder("prim_face", np.int32)
         n_quadrics = len(self.quads)
         # only full spheres can skip the z/phi clip tests
         def _needs_clip(entry):

@@ -34,6 +34,7 @@ TEX_FBM = 4
 TEX_MARBLE = 5
 TEX_WINDY = 6
 TEX_WRINKLED = 7
+TEX_PTEX = 8       # per-face atlas (textures/ptex.py bake_atlas)
 
 RES = 256
 MAX_LEVEL = 8                  # RES >> 8 == 1x1 top of the pyramid
@@ -130,7 +131,7 @@ def _bilinear_level(tex_images, ti, u, v, level):
 
 
 def eval_texture(tex_images, tex_type, tex_params, tex_c1, tex_c2,
-                 tex_idx, uv, p_world, uv_width=None):
+                 tex_idx, uv, p_world, uv_width=None, face=None):
     """Evaluate texture `tex_idx` [B] at uv [B,2] / world point [B,3].
 
     tex_images [T,2*RES,RES,3] mip canvases; returns RGB [B,3] (promote
@@ -191,6 +192,28 @@ def eval_texture(tex_images, tex_type, tex_params, tex_c1, tex_c2,
         * jnp.ones((B, 3))
 
     out = c_img
+    # ptex per-face tiles: params[5]=tiles_per_row, params[6]=tile size;
+    # the hit's intra-face uv (barycentric for bare triangle meshes)
+    # indexes the face's atlas tile (level-0 rows of the mip canvas)
+    if face is not None:
+        tpr = jnp.maximum(pr[:, 5].astype(jnp.int32), 1)
+        tile = jnp.maximum(pr[:, 6].astype(jnp.int32), 1)
+        fidx = jnp.clip(face, 0, tpr * tpr - 1)
+        br = (fidx // tpr) * tile
+        bc = (fidx % tpr) * tile
+        pu = jnp.clip(uv[:, 0], 0.0, 1.0) * (tile - 1)
+        pv = jnp.clip(uv[:, 1], 0.0, 1.0) * (tile - 1)
+        pu0 = pu.astype(jnp.int32)
+        pv0 = pv.astype(jnp.int32)
+        pu1 = jnp.minimum(pu0 + 1, tile - 1)
+        pv1 = jnp.minimum(pv0 + 1, tile - 1)
+        pdu = (pu - pu0)[:, None]
+        pdv = (pv - pv0)[:, None]
+        c_ptex = ((tex_images[ti, br + pv0, bc + pu0] * (1 - pdu)
+                   + tex_images[ti, br + pv0, bc + pu1] * pdu) * (1 - pdv)
+                  + (tex_images[ti, br + pv1, bc + pu0] * (1 - pdu)
+                     + tex_images[ti, br + pv1, bc + pu1] * pdu) * pdv)
+        out = jnp.where((tt == TEX_PTEX)[:, None], c_ptex, out)
     out = jnp.where((tt == TEX_CHECKER)[:, None], c_check, out)
     out = jnp.where((tt == TEX_UV)[:, None], c_uv, out)
     out = jnp.where((tt == TEX_DOTS)[:, None], c_dots, out)
@@ -248,7 +271,8 @@ class TextureTable:
         self.c2 = [np.zeros(3, np.float32)]
 
     def add(self, ttype, image=None, uscale=1.0, vscale=1.0, udelta=0.0,
-            vdelta=0.0, wscale=1.0, c1=(1, 1, 1), c2=(0, 0, 0)):
+            vdelta=0.0, wscale=1.0, c1=(1, 1, 1), c2=(0, 0, 0),
+            p5=0.0, p6=0.0):
         if image is not None:
             if isinstance(image, str):
                 from pbrt_tpu.film.io import read_image
@@ -262,7 +286,8 @@ class TextureTable:
                 build_pyramid(np.ones((RES, RES, 3), np.float32)))
         self.types.append(ttype)
         self.params.append(np.asarray(
-            [uscale, vscale, udelta, vdelta, wscale, 0, 0, 0], np.float32))
+            [uscale, vscale, udelta, vdelta, wscale, p5, p6, 0],
+            np.float32))
         self.c1.append(np.asarray(c1, np.float32))
         self.c2.append(np.asarray(c2, np.float32))
         return len(self.types) - 1
