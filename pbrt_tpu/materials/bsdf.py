@@ -739,13 +739,15 @@ def eval_f(params: MaterialParams, wo, wi):
         f = jnp.where(is_hair[..., None], f_hair, f)
     # Sw exit lobe at a BSSRDF probe point pi: Fresnel transmission
     # scaled to unit albedo, cosine-shaped (SeparableBSSRDF::Sw,
-    # bssrdf.h:221; the eta^2 factor is the radiance-transport
-    # non-symmetry correction, SeparableBSSRDFAdapter::f)
+    # bssrdf.h:221).  The reference's radiance-mode eta^2 in the
+    # adapter exactly cancels the 1/eta^2 its FresnelSpecular entry
+    # transmission applied (path.cpp:155 + reflection.h:351); our
+    # interface event applies NO entry factor, so the pair is folded
+    # to its net value of 1 here.
     if params.sss_c is not None:
         is_ssw = t == ir.MAT_SSW
         fr_wi = fresnel_dielectric(cos_theta(wi), 1.0, params.eta)
-        f_ssw = ((1.0 - fr_wi) / (params.sss_c * PI)
-                 * params.eta * params.eta)
+        f_ssw = (1.0 - fr_wi) / (params.sss_c * PI)
         f = jnp.where((is_ssw & refl)[..., None], f_ssw[..., None], f)
     # fourier measured BSDF: trilinear lookup of the compile-time baked
     # lattice, one static unroll per registered grid (F is tiny)
