@@ -25,6 +25,10 @@ def _params(B, mtype, **kw):
         opacity=jnp.ones((B, 31)),
         disney=jnp.broadcast_to(jnp.asarray(
             kw.get("disney", [0.0] * 8), jnp.float32), (B, 8)))
+    if mtype == ir.MAT_SSW:
+        # the Sw exit lobe needs its normalization factor (bssrdf.h:221)
+        d["sss_c"] = jnp.maximum(1.0 - 2.0 * bsdf.fresnel_moment1_jnp(
+            1.0 / d["eta"]), 1e-4)
     return bsdf.MaterialParams(**d)
 
 
@@ -52,6 +56,7 @@ WO = WO / np.linalg.norm(WO)
     (ir.MAT_TRANSLUCENT, {}),
     (ir.MAT_RETRO, {}),
     (ir.MAT_ROUGHGLASS, {"rough": 0.3}),
+    (ir.MAT_SSW, {"eta": 1.33}),
     (ir.MAT_DISNEY, {}),
     (ir.MAT_DISNEY, {"disney": [1.0, 0.0, 0.0, 0.5, 0.0, 1.0, 0.0, 0.0]}),
     (ir.MAT_DISNEY, {"disney": [0.0, 0.5, 1.0, 0.5, 1.0, 0.8, 0.0, 0.0]}),
@@ -84,6 +89,9 @@ def test_sample_eval_pdf_consistency(mtype, kw):
     (ir.MAT_TRANSLUCENT, {"kd": 1.0, "kr": 0.5, "kt": 0.5}, 1.05),
     (ir.MAT_RETRO, {"kd": 0.5, "ks": 0.5}, 1.35),
     (ir.MAT_ROUGHGLASS, {"rough": 0.3}, 1.15),
+    # Sw integrates to exactly 1 over the cosine hemisphere (that's
+    # the c factor's purpose)
+    (ir.MAT_SSW, {"eta": 1.33}, 1.02),
     (ir.MAT_DISNEY, {"kd": 1.0}, 1.15),
     (ir.MAT_DISNEY, {"kd": 1.0,
                      "disney": [1.0, 0.0, 0.0, 0.5, 0.0, 1.0, 0.0, 0.0]},
