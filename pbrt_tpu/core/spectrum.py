@@ -17,8 +17,8 @@ Capability parity with the reference's spectrum layer
   Smits tables, the seven base spectra (white/cyan/magenta/yellow/red/green/blue)
   are solved at import time as smoothness-regularized least-squares problems
   constrained to reproduce the target RGB — the same construction Smits'
-  method approximates.  The Display flavor models LCD primaries with
-  Gaussian emission lines (reference uses measured Apple-LCD data).
+  method approximates.  The Display flavor uses the reference's measured
+  Apple-LCD primary spectra (data/lcd_apple.npz, bin-averaged).
 * Piecewise-linear SPD resampling into bins (reference: spectrum.h:301-320
   FromSampled / AverageSpectrumSamples) including the fork's
   ``ResampleLinearSpectrum`` point-resampler (spectrum.cpp:1259) and
@@ -193,18 +193,25 @@ _ILLUM_BASES = {k: v * _D65_BINS / np.mean(_D65_BINS)
                 for k, v in _build_bases(None).items()}
 
 
-def _lcd_primary(mu, sigma, mu2=None, sigma2=None, a2=0.0):
-    p = np.exp(-0.5 * ((BIN_CENTERS - mu) / sigma) ** 2)
-    if mu2 is not None:
-        p = p + a2 * np.exp(-0.5 * ((BIN_CENTERS - mu2) / sigma2) ** 2)
-    return p
+def _load_lcd_primaries():
+    """Measured Apple-LCD primary emission spectra (reference
+    spectrum.h:76-80 / spectrum.cpp lcdApple_* tables, 101 samples
+    380-780nm; data/lcd_apple.npz), bin-averaged onto our lattice with
+    FromSampled semantics (spectrum.h:301-320)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "lcd_apple.npz")
+    d = np.load(path)
+    lam = d["lam"]
+    out = np.zeros((3, N_SPECTRAL_SAMPLES))
+    for i, c in enumerate(BIN_CENTERS):
+        xs = np.linspace(c - BIN_WIDTH / 2, c + BIN_WIDTH / 2, 17)
+        for j, ch in enumerate(("r", "g", "b")):
+            out[j, i] = np.interp(xs, lam, d[ch]).mean()
+    return out
 
 
-# Display flavor: emission-line LCD primary model (reference uses measured
-# Apple LCD data, spectrum.h:76-80,386-399; here modeled as Gaussian lines)
-_DISPLAY_R = _lcd_primary(611.0, 12.0, 630.0, 8.0, 0.4)
-_DISPLAY_G = _lcd_primary(549.0, 16.0)
-_DISPLAY_B = _lcd_primary(464.0, 14.0)
+_DISPLAY_R, _DISPLAY_G, _DISPLAY_B = _load_lcd_primaries()
 
 
 def _normalize_display():
@@ -217,6 +224,7 @@ def _normalize_display():
     s = np.linalg.solve(M, white_xyz)
     return prim * s[:, None]
 
+# measured primaries re-balanced so equal drive hits the sRGB white
 _DISPLAY_PRIM = _normalize_display()  # [3, 31]
 
 
