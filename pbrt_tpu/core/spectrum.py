@@ -8,10 +8,10 @@ Capability parity with the reference's spectrum layer
   src/core/spectrum.h:48-50).  Here a spectrum is simply the trailing axis of
   size ``N_SPECTRAL_SAMPLES`` on any jnp array, so all arithmetic is ordinary
   broadcasting and fuses into surrounding XLA computations.
-* CIE XYZ conversion via binned standard-observer curves
-  (reference: spectrum.h:402-426, CIE tables in spectrum.cpp).  The observer
-  curves here are generated from the Wyman/Sloan/Shirley multi-lobe Gaussian
-  analytic fit of the CIE 1931 tables rather than copying the 471-entry table.
+* CIE XYZ conversion via binned standard-observer curves from the same
+  measured 471-entry CIE 1931 tables the reference embeds
+  (spectrum.h:402-426, tables in spectrum.cpp; here data/cie_1931.npz).
+  The Wyman/Sloan/Shirley analytic fit remains for off-lattice queries.
 * RGB -> spectrum promotion in Reflectance / Illuminant / Display flavors
   (reference: spectrum.h:68,386-399,491).  Instead of shipping precomputed
   Smits tables, the seven base spectra (white/cyan/magenta/yellow/red/green/blue)
@@ -86,7 +86,25 @@ def _bin_average(fn, n_sub=16):
             out[c, i] = np.trapezoid(vals[c], lam) / (hi - lo)
     return out
 
-_XYZ_BINS = _bin_average(cie_xyz_bar)
+def _load_cie_tables():
+    """The reference's 471-entry measured CIE 1931 tables
+    (spectrum.cpp:260-975; data/cie_1931.npz), bin-averaged with
+    FromSampled semantics.  cie_xyz_bar (the analytic fit) remains for
+    off-lattice wavelength queries."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "cie_1931.npz")
+    d = np.load(path)
+    lam = d["lam"]
+    out = np.zeros((3, N_SPECTRAL_SAMPLES))
+    for i in range(N_SPECTRAL_SAMPLES):
+        xs = np.linspace(_EDGES[i], _EDGES[i + 1], 17)
+        for c, ch in enumerate(("x", "y", "z")):
+            out[c, i] = np.interp(xs, lam, d[ch]).mean()
+    return out
+
+
+_XYZ_BINS = _load_cie_tables()
 #: binned observer curves, shape [31] each (averaged over each bin like
 #: the reference's FromSampled, spectrum.h:330-345)
 CIE_X = _XYZ_BINS[0]

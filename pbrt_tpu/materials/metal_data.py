@@ -1,13 +1,16 @@
 """Spectral complex IoR data for common conductors.
 
-The reference embeds measured eta/k tables for Cu/Au/Ag/Al
-(src/materials/metal.cpp, CRC / Johnson-Christy data).  Here the curves are
-reconstructed from coarse published values (Johnson & Christy 1972 for noble
-metals, Rakic for Al) linearly interpolated to the 31 spectral bins — a
-faithful-to-a-few-percent approximation, not a copy of the reference tables.
+Copper — the reference's only embedded conductor and the `metal`
+default (src/materials/metal.cpp:82-115) — uses the same measured
+56-sample CRC table (data/metal_cu.npz), resampled to the 31 bins.
+Other conductors (the reference loads those from scene .spd files)
+keep coarse published curves (Johnson & Christy 1972 for noble metals,
+Rakic for Al) linearly interpolated to the bins.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -32,8 +35,21 @@ _DATA = {
 }
 
 
+def _load_copper():
+    d = np.load(os.path.join(os.path.dirname(__file__), "..", "data",
+                             "metal_cu.npz"))
+    return d["lam"], d["n"], d["k"]
+
+
+_CU_LAM, _CU_N, _CU_K = _load_copper()
+
+
 def conductor_eta_k(name="Cu"):
     """Returns (eta[31], k[31]) float32 binned spectra."""
+    if name == "Cu":
+        eta = np.interp(spec.BIN_CENTERS, _CU_LAM, _CU_N)
+        kap = np.interp(spec.BIN_CENTERS, _CU_LAM, _CU_K)
+        return eta.astype(np.float32), kap.astype(np.float32)
     n, k = _DATA[name]
     eta = np.interp(spec.BIN_CENTERS, _LAM, n).astype(np.float32)
     kap = np.interp(spec.BIN_CENTERS, _LAM, k).astype(np.float32)
