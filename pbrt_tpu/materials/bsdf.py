@@ -206,7 +206,8 @@ def gather_materials(scene: ir.SceneData, material_idx, uv=None,
             rgb = eval_texture(scene.tex_images, scene.tex_type,
                                scene.tex_params, scene.tex_c1, scene.tex_c2,
                                tex_idx, uv, pw, uv_width=uv_width,
-                               face=face)
+                               face=(face if getattr(scene, "has_ptex",
+                                                     True) else None))
             s = _spec.from_rgb(rgb, "reflectance")
             if slot == "kd":
                 kd = jnp.where((tex_idx >= 0)[:, None], s, kd)

@@ -196,6 +196,7 @@ class SceneData:
     has_hair: bool = struct.field(pytree_node=False, default=False)
     has_fourier: bool = struct.field(pytree_node=False, default=False)
     has_sss: bool = struct.field(pytree_node=False, default=False)
+    has_ptex: bool = struct.field(pytree_node=False, default=False)
     # sorted tuple of MAT_* tags present in the scene (None = unknown,
     # keep every lobe family).  The BSDF dispatch compiles ONLY the
     # families listed here — the wavefront otherwise evaluates every
@@ -365,6 +366,10 @@ class SceneBuilder:
         """Register a baked FourierBSDF lattice; returns its index."""
         self.fourier_grids.append(np.asarray(grid, np.float32))
         return len(self.fourier_grids) - 1
+
+    def _has_ptex(self):
+        from pbrt_tpu.textures.textures import TEX_PTEX
+        return any(t == TEX_PTEX for t in self.textures.types)
 
     def add_bssrdf_table(self, table):
         """Register a beam-diffusion profile table (materials/bssrdf.py
@@ -799,6 +804,7 @@ class SceneBuilder:
                 np.asarray([m[2] for m in self.media_table], np.float32)
                 if self.media_table else np.zeros(1, np.float32)),
             has_prim_media=bool(self.media_table),
+            has_ptex=self._has_ptex(),
             camera_medium=int(self.camera_medium),
             has_disney=any(m.type == MAT_DISNEY for m in mats),
             has_mix=any(m.type == MAT_MIX for m in mats),
