@@ -142,3 +142,61 @@ def test_uv_density_on_hits():
     hit = isect.intersect_full(scene, ray)
     assert bool(hit.valid[0])
     assert abs(float(hit.uv_density[0]) - 0.5) < 1e-3
+
+
+def test_mip_selection_end_to_end(tmp_path):
+    """Ray-cone mip selection through the integrator: rays hitting a
+    striped floor up close resolve the stripes (fine level); the same
+    stripes hit from far away average to the texture mean (coarse
+    level).  Exercises Hit.uv_density * t * tex_spread -> level
+    (reference: MIPMap + ray differentials)."""
+    import jax.numpy as jnp
+    from pbrt_tpu.parser.api import PbrtAPI
+    from pbrt_tpu.core import geometry as geom
+    from pbrt_tpu.integrators import path as pathmod
+    from pbrt_tpu.samplers.samplers import SamplerConfig
+    from pbrt_tpu.film.io import write_pfm
+    from pbrt_tpu.textures.textures import RES
+
+    img = np.zeros((RES, RES, 3), np.float32)
+    img[:, ::2] = 1.0                   # stripes along u, mean 0.5
+    tex_path = str(tmp_path / "stripes.pfm")
+    write_pfm(tex_path, img)
+
+    src = f"""
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+WorldBegin
+AttributeBegin
+  LightSource "distant" "color L" [4 4 4] "point from" [0 0 1]
+              "point to" [0 0 0]
+AttributeEnd
+Texture "st" "color" "imagemap" "string filename" "{tex_path}"
+Material "matte" "texture Kd" "st"
+Shape "trianglemesh" "integer indices" [0 1 2 2 3 0]
+  "point P" [-50 -50 0  50 -50 0  50 50 0  -50 50 0]
+  "float uv" [0 0  1 0  1 1  0 1]
+WorldEnd
+"""
+    job = PbrtAPI().parse_string(src)
+    scene = job.scene
+    cfg = SamplerConfig(kind="sobol", seed=0, spp=1)
+    B = 64
+    # stripe period = 2 texels = (2/256)*100 world units; sweep x at
+    # half-period steps so adjacent rays land on opposite stripes
+    xs = (np.arange(B) * (100.0 / RES * 0.5) - 12.0).astype(np.float32)
+
+    def shade(dist):
+        o = np.stack([xs, np.zeros(B, np.float32),
+                      np.full(B, dist, np.float32)], -1)
+        d = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (B, 1))
+        ray = geom.Ray.make(jnp.asarray(o), jnp.asarray(d))
+        L = pathmod.trace_paths(scene, ray, jnp.arange(B, dtype=jnp.uint32),
+                                jnp.zeros(B, jnp.uint32), cfg,
+                                max_depth=1, tex_spread=0.01)
+        return np.asarray(L).mean(-1)
+
+    near = shade(2.0)       # footprint ~ level 0: stripes resolved
+    far = shade(400.0)      # footprint ~ level 3+: averaged to mean
+    assert near.std() > 5 * max(far.std(), 1e-6), (near.std(), far.std())
+    ratio = far.mean() / max(near.mean(), 1e-9)
+    assert 0.7 < ratio < 1.4, ratio
