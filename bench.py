@@ -73,5 +73,23 @@ def main():
     return 0
 
 
+def _watchdog(seconds=900):
+    """Fail fast instead of hanging forever if the device tunnel is
+    unreachable (a dead first-dispatch blocks indefinitely otherwise)."""
+    import os
+    import threading
+
+    def bail():
+        print("bench: no device response within watchdog window",
+              file=sys.stderr, flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, bail)
+    t.daemon = True
+    t.start()
+    return t
+
+
 if __name__ == "__main__":
+    _wd = _watchdog()
     sys.exit(main())
