@@ -469,14 +469,16 @@ def occluded(scene: SceneData, ray: geom.Ray, ignore_light=None):
 def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
     """Gather full surface-interaction data for the winning primitives.
 
-    All per-prim columns come from TWO packed gathers (shade_f32 [P,24],
-    shade_i32 [P,8]) — fine-grained gathers are serial on TPU, so the
-    one-row layout is ~2x faster than per-table lookups.
+    All per-prim columns come from ONE packed 32-wide gather
+    (shade_all: f32 columns + int columns bit-viewed as f32) —
+    fine-grained gathers are serial on TPU, so the one-row layout is
+    much faster than per-table lookups.
     """
     P = scene.prim_type.shape[0]
     pid = jnp.clip(prim, 0, P - 1)
-    sf = scene.shade_f32[pid]                      # [B,24]
-    si = scene.shade_i32[pid]                      # [B,8]
+    sa = scene.shade_all[pid]                      # [B,32]
+    sf = sa[:, 0:24]
+    si = jax.lax.bitcast_convert_type(sa[:, 24:32], jnp.int32)
     ptype = si[:, 0]
     is_tri = ptype == PRIM_TRIANGLE
 

@@ -59,10 +59,12 @@ class SceneData:
     # --- primitive SoA (BVH-leaf order) ---
     prim_type: jnp.ndarray     # [P]
     tri_packed: jnp.ndarray    # [P,12] v0,e1,e2,pad — one-gather layout
-    # make_hit's one-gather layouts (all per-prim surface data a winning
-    # lane needs, so the hot path does 2 gathers instead of ~9)
-    shade_f32: jnp.ndarray     # [P,24] e1,e2,ns0,ns1,ns2,uv0,uv1,uv2,pad
-    shade_i32: jnp.ndarray     # [P,8] type,quad_idx,material,light,instance,flip,face
+    # make_hit's one-gather layout (all per-prim surface data a winning
+    # lane needs in a single row, instead of ~9 per-table lookups):
+    # cols 0:24 f32 e1,e2,ns0,ns1,ns2,uv0,uv1,uv2,pad; cols 24:32 are
+    # int32 type,quad_idx,material,light,instance,flip,face bit-viewed
+    # as f32 so the whole record is ONE gather (bitcast back in make_hit)
+    shade_all: jnp.ndarray     # [P,32]
     tri_v0: jnp.ndarray        # [P,3]
     tri_e1: jnp.ndarray        # [P,3]
     tri_e2: jnp.ndarray        # [P,3]
@@ -705,6 +707,8 @@ class SceneBuilder:
         shade_i32[:, 4] = reorder("prim_instance", np.int32)
         shade_i32[:, 5] = reorder("prim_flip", bool).astype(np.int32)
         shade_i32[:, 6] = reorder("prim_face", np.int32)
+        shade_all = np.concatenate([shade_f32,
+                                    shade_i32.view(np.float32)], 1)
         n_quadrics = len(self.quads)
         # only full spheres can skip the z/phi clip tests
         def _needs_clip(entry):
@@ -726,8 +730,7 @@ class SceneBuilder:
             bvh_miss=jnp.asarray(bvh.miss_links),
             prim_type=jnp.asarray(reorder("prim_type", np.int32)),
             tri_packed=jnp.asarray(tri_packed),
-            shade_f32=jnp.asarray(shade_f32),
-            shade_i32=jnp.asarray(shade_i32),
+            shade_all=jnp.asarray(shade_all),
             tri_v0=jnp.asarray(tri_v0, f32), tri_e1=jnp.asarray(tri_e1, f32),
             tri_e2=jnp.asarray(tri_e2, f32),
             tri_ns=jnp.asarray(reorder("tri_ns")),
