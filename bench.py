@@ -38,8 +38,11 @@ def main():
 
     B = W * H  # rays per pass (one sample for every pixel)
 
+    # scene/camera as arguments (persistent device buffers), NOT
+    # jit-captured constants — the axon tunnel re-uploads captured
+    # constants on every dispatch
     @jax.jit
-    def one_pass(sample_idx):
+    def one_pass(scene, camera, sample_idx):
         pixel_ids = jnp.arange(B, dtype=jnp.uint32)
         ray, weight, pfilm, pid, sidx = pathmod.camera_rays_for_pixels(
             camera, W, H, cfg, pixel_ids, sample_idx,
@@ -49,14 +52,17 @@ def main():
                                         count_rays=True)
         return jnp.sum(L * weight[:, None]), n_rays
 
+    import jax as _jax
+    scene = _jax.device_put(scene)
+    camera = _jax.device_put(camera)
     # warmup / compile on a sample index the timed loop never uses
-    jax.block_until_ready(one_pass(jnp.uint32(SPP)))
+    jax.block_until_ready(one_pass(scene, camera, jnp.uint32(SPP)))
 
     # dispatch every pass asynchronously (distinct sample_idx per pass so
     # the tunnel's identical-execution cache can't serve any of them),
     # sync once: wall time then measures pipelined chip throughput
     t0 = time.time()
-    results = [one_pass(jnp.uint32(s)) for s in range(SPP)]
+    results = [one_pass(scene, camera, jnp.uint32(s)) for s in range(SPP)]
     jax.block_until_ready(results)
     dt = time.time() - t0
     total_rays = sum(float(n) for _, n in results)

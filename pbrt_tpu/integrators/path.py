@@ -484,8 +484,12 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
     chunk = min(n_pix, max_rays_per_pass)
     n_chunks = (n_pix + chunk - 1) // chunk
 
+    # scene and camera ride as ARGUMENTS, not jit-captured constants:
+    # the axon tunnel re-uploads captured constants on every dispatch
+    # (measured ~5.4ms per 4.7MB per call) and ships them inside the
+    # remote-compile payload; arguments are persistent device buffers
     @jax.jit
-    def one_pass(film, pixel_ids, sample_idx):
+    def one_pass(scene, camera, film, pixel_ids, sample_idx):
         ray, weight, pfilm, pid, sidx = camera_rays_for_pixels(
             camera, W, H, cfg, pixel_ids, sample_idx, generate_rays)
         L = trace_fn(scene, ray, pid, sidx, cfg, max_depth=max_depth,
@@ -521,7 +525,7 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
     total = spp * n_chunks
     for s in range(start_spp, spp):
         for ids in id_chunks:
-            film = one_pass(film, ids, jnp.uint32(s))
+            film = one_pass(scene, camera, film, ids, jnp.uint32(s))
             done += 1
             if progress is not None:
                 progress(done, total)
