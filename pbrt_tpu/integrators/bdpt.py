@@ -486,8 +486,10 @@ def render_bdpt(scene, camera, film, cfg, spp, max_depth=5,
     S = max_depth + 1
     max_path_verts = max_depth + 2
 
+    # scene/camera as jit arguments: the axon tunnel re-uploads
+    # captured constants on every dispatch
     @jax.jit
-    def one_pass(film, pixel_ids, sample_idx):
+    def one_pass(scene, camera, film, pixel_ids, sample_idx):
         ray, weight, pfilm, pid, sidx = pathint.camera_rays_for_pixels(
             camera, W, H, cfg, pixel_ids, sample_idx, generate_rays)
         cam_vs = generate_camera_subpath(scene, ray, pid, sidx, cfg, T,
@@ -514,7 +516,7 @@ def render_bdpt(scene, camera, film, cfg, spp, max_depth=5,
     for sidx in range(spp):
         for c in range(n_chunks):
             ids = jnp.asarray(all_ids[c * chunk:(c + 1) * chunk])
-            film = one_pass(film, ids, jnp.uint32(sidx))
+            film = one_pass(scene, camera, film, ids, jnp.uint32(sidx))
             done += 1
             if progress:
                 progress(done, total)

@@ -192,15 +192,16 @@ def render_lighttracer(scene, camera, film, cfg, spp, max_depth=5,
     B = photons_per_pass or (H * W)
     light_pass = make_trace_lighttracer(camera, W, H, scene.n_lights)
 
+    # scene as a jit argument (see path.render: tunnel constant cost)
     @jax.jit
-    def one(film, sample_idx):
+    def one(scene, film, sample_idx):
         pid = jnp.arange(B, dtype=jnp.uint32)
         return light_pass(scene, film, pid,
                           jnp.broadcast_to(sample_idx, (B,)), cfg,
                           max_depth)
 
     for s in range(spp):
-        film = one(film, jnp.uint32(s))
+        film = one(scene, film, jnp.uint32(s))
         if progress:
             progress(s + 1, spp)
     # splat scale: 1/(photons) * (pixels) so radiance units match the

@@ -214,8 +214,9 @@ def render_sppm(scene, camera, W, H, cfg, n_iterations=8,
     tau = jnp.zeros((V, NS))
     Ld_sum = jnp.zeros((V, NS))
 
+    # scene as a jit argument (see path.render: tunnel constant cost)
     @jax.jit
-    def one_iter(state, it):
+    def one_iter(scene, state, it):
         radius, N, tau, Ld_sum = state
         Ld, vp_p, vp_f, vp_valid, pfilm = _camera_pass(
             scene, camera, W, H, cfg, it, max_depth, generate_rays)
@@ -236,7 +237,7 @@ def render_sppm(scene, camera, W, H, cfg, n_iterations=8,
 
     state = (radius, N, tau, Ld_sum)
     for it in range(n_iterations):
-        state = one_iter(state, jnp.uint32(it))
+        state = one_iter(scene, state, jnp.uint32(it))
         if progress:
             progress(it + 1, n_iterations)
     radius, N, tau, Ld_sum = state
