@@ -95,14 +95,21 @@ def make_train_step(scene, camera, W, H, cfg, target, max_depth=4,
 
     loss_grad = jax.value_and_grad(render_loss)
 
+    # scene/camera/target as jit arguments: the axon tunnel re-uploads
+    # captured constants on every dispatch
     @jax.jit
-    def step(params, opt_state, pixel_ids, sample_idx):
+    def _step(scene, camera, target, params, opt_state, pixel_ids,
+              sample_idx):
         loss, g = loss_grad(params, scene, camera, W, H, cfg, pixel_ids,
                             (sample_idx,), target, max_depth)
         updates, opt_state = optimizer.update(g, opt_state, params)
         params = optax.apply_updates(params, updates)
         params = jax.tree.map(lambda x: jnp.maximum(x, 0.0), params)
         return params, opt_state, loss
+
+    def step(params, opt_state, pixel_ids, sample_idx):
+        return _step(scene, camera, target, params, opt_state,
+                     pixel_ids, sample_idx)
 
     def init(params):
         return optimizer.init(params)

@@ -80,6 +80,9 @@ def render_sharded(scene, camera, film, cfg: SamplerConfig, spp,
             raw=film.raw + jax.lax.psum(local.raw, axis),
             splat=film.splat + jax.lax.psum(local.splat, axis))
 
+    # scene/camera as explicit args would need shard_map re-plumbing;
+    # the mesh path dispatches once per (sample, chunk) with the same
+    # executable — acceptable until multi-chip hardware is available
     one_pass = jax.jit(one_pass_sharded)
     all_ids = np.arange(n_chunks * chunk, dtype=np.uint32)
     all_ids[n_pix:] = 0xFFFFFFFF
