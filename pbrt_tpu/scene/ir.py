@@ -153,6 +153,14 @@ class SceneData:
     light_tri_idx: jnp.ndarray   # [L,T] prim indices (post-BVH order), -1 pad
     light_tri_cdf: jnp.ndarray   # [L,T+1] area cdf
     light_area: jnp.ndarray      # [L] total area (or sphere area)
+    # mesh light-tri geometry flattened to one row per (light, tri) so
+    # NEE fetches v0,e1,e2,flip with ONE fused fetch (ops/fetch.py)
+    # instead of 4 gathers into the full triangle tables
+    light_tri_packed: jnp.ndarray  # [L*T, 10] v0|e1|e2|flip
+    # sphere area lights: world center/radius precomputed at build so
+    # cone sampling never gathers 4x4 quadric matrices per lane
+    light_sph_center: jnp.ndarray  # [L,3]
+    light_sph_radius: jnp.ndarray  # [L]
     # light-selection distributions (lights/distrib.py)
     light_power_cdf: jnp.ndarray   # [L+1]
     light_power_pmf: jnp.ndarray   # [L]
@@ -205,6 +213,13 @@ class SceneData:
     # masked lobe on every lane, real VPU cost (e.g. a 31-wide
     # fresnel_conductor for scenes with no metal)
     mat_families: tuple = struct.field(pytree_node=False, default=None)
+    # sorted tuple of LIGHT_* tags present (None = unknown, compile all
+    # branches).  sample_li otherwise evaluates EVERY light family per
+    # lane — including texture-mapped gonio/projection lookups and env
+    # CDF inversion — pure VPU+gather cost for scenes without them
+    light_kinds: tuple = struct.field(pytree_node=False, default=None)
+    has_mesh_lights: bool = struct.field(pytree_node=False, default=True)
+    has_sphere_lights: bool = struct.field(pytree_node=False, default=True)
     has_prim_media: bool = struct.field(pytree_node=False, default=False)
     camera_medium: int = struct.field(pytree_node=False, default=-1)
     clip_quadrics: bool = struct.field(pytree_node=False, default=False)
@@ -652,6 +667,34 @@ class SceneBuilder:
                     s = np.linalg.norm(self.quads[qi][0][:3, 0])
                     l_area[li] = 4 * np.pi * (r * s) ** 2
 
+        # flattened light-tri geometry rows + sphere-light world data
+        # (gather-free NEE fetch; see SceneData field comments)
+        flat_lt = lt_idx.reshape(-1)
+        lt_safe = np.clip(flat_lt, 0, max(P - 1, 0))
+        lt_valid = (flat_lt >= 0).astype(np.float32)[:, None]
+        prim_flip_ord = reorder("prim_flip", bool)
+        ltp = np.zeros((Lc * max_lt, 10), np.float32)
+        if P:
+            ltp[:, 0:3] = tri_v0[lt_safe] * lt_valid
+            ltp[:, 3:6] = tri_e1[lt_safe] * lt_valid
+            ltp[:, 6:9] = tri_e2[lt_safe] * lt_valid
+            ltp[:, 9] = (prim_flip_ord[lt_safe].astype(np.float32)
+                         * lt_valid[:, 0])
+        l_sphc = np.zeros((Lc, 3), np.float32)
+        l_sphr = np.zeros(Lc, np.float32)
+        for li in range(Lc):
+            qi = int(l_quad[li])
+            if qi >= 0:
+                o2w_q = np.asarray(self.quads[qi][0], np.float32)
+                s = float(np.linalg.norm(o2w_q[:3, 0]))
+                l_sphc[li] = o2w_q[:3, 3]
+                l_sphr[li] = float(self.quads[qi][2][0]) * s
+        light_kinds = tuple(sorted({int(l["type"]) for l in self.lights}))
+        has_mesh_lights = any(
+            l["type"] == LIGHT_AREA and l_quad[i] < 0
+            for i, l in enumerate(self.lights))
+        has_sphere_lights = bool((l_quad[:len(self.lights)] >= 0).any())
+
         # infinite light env data (v1: constant -> 1x1 map)
         has_inf = any(l["type"] == LIGHT_INFINITE for l in lights)
         env = np.zeros((1, 1, spec.N_SPECTRAL_SAMPLES), np.float32)
@@ -824,6 +867,12 @@ class SceneBuilder:
             light_tri_idx=jnp.asarray(lt_idx),
             light_tri_cdf=jnp.asarray(lt_cdf),
             light_area=jnp.asarray(l_area),
+            light_tri_packed=jnp.asarray(ltp),
+            light_sph_center=jnp.asarray(l_sphc),
+            light_sph_radius=jnp.asarray(l_sphr),
+            light_kinds=light_kinds,
+            has_mesh_lights=has_mesh_lights,
+            has_sphere_lights=has_sphere_lights,
             light_power_cdf=jnp.asarray(pw_cdf),
             light_power_pmf=jnp.asarray(pw_pmf),
             light_spatial_cdf=jnp.asarray(sp_cdf),
