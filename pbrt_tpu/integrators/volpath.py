@@ -59,11 +59,14 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
             # ---- medium free flight over the segment ----
             salt = 0x9000 + bounce * 256
             if per_prim:
+                from pbrt_tpu.ops import fetch
                 mk = jnp.clip(cur_med, 0, n_med - 1)
                 in_any = (cur_med >= 0)[:, None]
-                lane_sa = jnp.where(in_any, scene.med_sigma_a[mk], 0.0)
-                lane_ss = jnp.where(in_any, scene.med_sigma_s[mk], 0.0)
-                g_eff = jnp.where(cur_med >= 0, scene.med_g[mk], 0.0)
+                sa_k, ss_k, g_k = fetch.fetch_many(
+                    [scene.med_sigma_a, scene.med_sigma_s, scene.med_g], mk)
+                lane_sa = jnp.where(in_any, sa_k, 0.0)
+                lane_ss = jnp.where(in_any, ss_k, 0.0)
+                g_eff = jnp.where(cur_med >= 0, g_k, 0.0)
                 t_m, in_medium, w_med = med_mod.sample_distance_lanes(
                     lane_sa, lane_ss, t_seg, pixel_id, sample_idx, salt)
             else:
@@ -195,8 +198,10 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
                 pm = jnp.clip(hit.prim, 0,
                               scene.prim_medium_in.shape[0] - 1)
                 entering = geom.dot(wi_new, hit.ng) < 0
-                new_med = jnp.where(entering, scene.prim_medium_in[pm],
-                                    scene.prim_medium_out[pm])
+                # one fused [B,2] gather instead of two serial [B] ones
+                pmio = jnp.stack([scene.prim_medium_in,
+                                  scene.prim_medium_out], 1)[pm]
+                new_med = jnp.where(entering, pmio[:, 0], pmio[:, 1])
                 crossed = alive & ~in_medium & hit.valid & transmitted
                 cur_med = jnp.where(crossed, new_med, cur_med)
 

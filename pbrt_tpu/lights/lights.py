@@ -142,7 +142,8 @@ def _mapped_scale(scene, rec, lt, w_l):
     from pbrt_tpu.textures.textures import eval_texture
     map_rgb = eval_texture(scene.tex_images, scene.tex_type,
                            scene.tex_params, scene.tex_c1, scene.tex_c2,
-                           tex_id, uv_tex, w_l)
+                           tex_id, uv_tex, w_l,
+                           kinds=getattr(scene, "tex_kinds", None))
     map_scale = map_rgb.mean(-1)
     return jnp.where((lt == ir.LIGHT_PROJECTION) & ~inside_p,
                      0.0, map_scale)

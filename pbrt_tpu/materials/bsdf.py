@@ -73,10 +73,13 @@ def bump_shading_normal(scene: ir.SceneData, material_idx, hit):
     """Perturb the shading normal by the bump-map height gradient
     (reference: Material::Bump, material.cpp:50+).  Finite differences of
     the bound float texture in uv; tangents from the shading frame."""
-    m = jnp.clip(material_idx, 0, scene.mat_type.shape[0] - 1)
-    btex = scene.mat_bump_tex[m]
-    if scene.tex_type.shape[0] <= 1:
+    if (scene.tex_type.shape[0] <= 1
+            or not getattr(scene, "has_bump", True)):
         return hit.ns
+    from pbrt_tpu.ops import fetch
+    m = jnp.clip(material_idx, 0, scene.mat_type.shape[0] - 1)
+    btex = jnp.round(fetch.fetch_rows(
+        scene.mat_bump_tex, m)).astype(jnp.int32)
     from pbrt_tpu.textures.textures import eval_texture
     eps = 2e-3
     ss, ts = geom.coordinate_system(hit.ns)
@@ -87,7 +90,8 @@ def bump_shading_normal(scene: ir.SceneData, material_idx, hit):
     def h(uv, p):
         rgb = eval_texture(scene.tex_images, scene.tex_type,
                            scene.tex_params, scene.tex_c1, scene.tex_c2,
-                           btex, uv, p)
+                           btex, uv, p,
+                           kinds=getattr(scene, "tex_kinds", None))
         return rgb.mean(-1)
 
     h0 = h(hit.uv, hit.p)
@@ -207,7 +211,8 @@ def gather_materials(scene: ir.SceneData, material_idx, uv=None,
                                scene.tex_params, scene.tex_c1, scene.tex_c2,
                                tex_idx, uv, pw, uv_width=uv_width,
                                face=(face if getattr(scene, "has_ptex",
-                                                     True) else None))
+                                                     True) else None),
+                               kinds=getattr(scene, "tex_kinds", None))
             s = _spec.from_rgb(rgb, "reflectance")
             if slot == "kd":
                 kd = jnp.where((tex_idx >= 0)[:, None], s, kd)

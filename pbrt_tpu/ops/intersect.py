@@ -502,18 +502,23 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
     uv_tri = (b0 * sf[:, 15:17] + u[..., None] * sf[:, 17:19]
               + v[..., None] * sf[:, 19:21])
 
-    # quadric normal
-    qi = jnp.clip(si[:, 1], 0, scene.quad_params.shape[0] - 1)
-    w2o = scene.quad_w2o[qi]
-    o2w = scene.quad_o2w[qi]
-    ph = jnp.einsum('bij,bj->bi', w2o[:, :3, :3], p) + w2o[:, :3, 3]
-    n_obj = quadric_normal_obj(ptype, scene.quad_params[qi], ph)
-    ng_quad = geom.normalize(jnp.einsum('bji,bj->bi', w2o[:, :3, :3], n_obj))
-    uq, vq = quadric_uv(ptype, scene.quad_params[qi], ph)
+    if scene.n_quadrics > 0:
+        # quadric normal (one-hot fetch: Q is small, gathers are serial)
+        from pbrt_tpu.ops import fetch
+        qi = jnp.clip(si[:, 1], 0, scene.quad_params.shape[0] - 1)
+        w2o, qparams = fetch.fetch_many(
+            [scene.quad_w2o, scene.quad_params], qi)
+        ph = jnp.einsum('bij,bj->bi', w2o[:, :3, :3], p) + w2o[:, :3, 3]
+        n_obj = quadric_normal_obj(ptype, qparams, ph)
+        ng_quad = geom.normalize(
+            jnp.einsum('bji,bj->bi', w2o[:, :3, :3], n_obj))
+        uq, vq = quadric_uv(ptype, qparams, ph)
 
-    ng = jnp.where(is_tri[..., None], ng_tri, ng_quad)
-    ns = jnp.where(is_tri[..., None], ns_tri, ng_quad)
-    uv = jnp.where(is_tri[..., None], uv_tri, jnp.stack([uq, vq], -1))
+        ng = jnp.where(is_tri[..., None], ng_tri, ng_quad)
+        ns = jnp.where(is_tri[..., None], ns_tri, ng_quad)
+        uv = jnp.where(is_tri[..., None], uv_tri, jnp.stack([uq, vq], -1))
+    else:
+        ng, ns, uv = ng_tri, ns_tri, uv_tri
 
     flip = si[:, 5] != 0
     ng = jnp.where(flip[..., None], -ng, ng)
@@ -527,9 +532,12 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
     uv_area = jnp.abs(uv_e1[:, 0] * uv_e2[:, 1] - uv_e1[:, 1] * uv_e2[:, 0])
     w_area = geom.length(jnp.cross(e1, e2))
     dens_tri = jnp.sqrt(uv_area / jnp.maximum(w_area, 1e-12))
-    r_quad = jnp.maximum(jnp.abs(scene.quad_params[qi][:, 0]), 1e-6)
-    dens_quad = 1.0 / (2.0 * jnp.pi * r_quad)
-    uv_density = jnp.where(is_tri, dens_tri, dens_quad)
+    if scene.n_quadrics > 0:
+        r_quad = jnp.maximum(jnp.abs(qparams[:, 0]), 1e-6)
+        dens_quad = 1.0 / (2.0 * jnp.pi * r_quad)
+        uv_density = jnp.where(is_tri, dens_tri, dens_quad)
+    else:
+        uv_density = dens_tri
 
     return Hit(valid=found, t=t, p=p, ng=ng, ns=ns, uv=uv,
                wo=-geom.normalize(ray.d), prim=pid,

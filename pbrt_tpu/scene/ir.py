@@ -220,6 +220,10 @@ class SceneData:
     light_kinds: tuple = struct.field(pytree_node=False, default=None)
     has_mesh_lights: bool = struct.field(pytree_node=False, default=True)
     has_sphere_lights: bool = struct.field(pytree_node=False, default=True)
+    # static tuple of TEX_* families bound (None = unknown, compile all)
+    tex_kinds: tuple = struct.field(pytree_node=False, default=None)
+    # any material with a bump map (skips 3 texture evals/bounce if not)
+    has_bump: bool = struct.field(pytree_node=False, default=True)
     has_prim_media: bool = struct.field(pytree_node=False, default=False)
     camera_medium: int = struct.field(pytree_node=False, default=-1)
     clip_quadrics: bool = struct.field(pytree_node=False, default=False)
@@ -886,6 +890,8 @@ class SceneBuilder:
             tex_images=jnp.asarray(tex_imgs), tex_type=jnp.asarray(tex_t),
             tex_params=jnp.asarray(tex_p), tex_c1=jnp.asarray(tex_a),
             tex_c2=jnp.asarray(tex_b),
+            tex_kinds=tuple(sorted({int(t) for t in tex_t[1:]})),
+            has_bump=any(m.bump_tex >= 0 for m in mats),
             dense_w=jnp.asarray(dtab["W"]),
             dense_cb=jnp.asarray(dtab["chunk_bounds"]),
             dense_center=jnp.asarray(dtab["center"]),

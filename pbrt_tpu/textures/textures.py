@@ -44,14 +44,6 @@ MAX_LEVEL = 8                  # RES >> 8 == 1x1 top of the pyramid
 # Perlin noise (reference: core/texture.cpp Noise/FBm/Turbulence)
 # ---------------------------------------------------------------------------
 
-def _perm():
-    rs = np.random.RandomState(1234)
-    p = rs.permutation(256)
-    return np.concatenate([p, p]).astype(np.int32)
-
-_PERM = _perm()
-
-
 def _grad(h, x, y, z):
     h = h & 15
     u = jnp.where(h < 8, x, y)
@@ -60,15 +52,26 @@ def _grad(h, x, y, z):
 
 
 def perlin(p):
-    """Classic Perlin noise at [...,3] points; ~[-1,1]."""
-    perm = jnp.asarray(_PERM)
+    """Classic Perlin noise at [...,3] points; ~[-1,1].
+
+    The reference hashes lattice corners through a permutation table
+    (texture.cpp NoisePerm); three nested [B] table gathers per corner
+    are serial on TPU, so the corner hash here is a table-free integer
+    mix (murmur-style finalizer) — a different noise instance with the
+    same statistics (our permutation already differed from pbrt's)."""
     pi = jnp.floor(p).astype(jnp.int32) & 255
     pf = p - jnp.floor(p)
     w = pf * pf * pf * (pf * (pf * 6 - 15) + 10)
 
+    pu = pi.astype(jnp.uint32)
+
     def hash3(dx, dy, dz):
-        return perm[perm[perm[pi[..., 0] + dx] + pi[..., 1] + dy]
-                    + pi[..., 2] + dz]
+        h = ((pu[..., 0] + jnp.uint32(dx)) * jnp.uint32(0x9E3779B1)
+             ^ (pu[..., 1] + jnp.uint32(dy)) * jnp.uint32(0x85EBCA77)
+             ^ (pu[..., 2] + jnp.uint32(dz)) * jnp.uint32(0xC2B2AE3D))
+        h = h ^ (h >> 15)
+        h = h * jnp.uint32(0x27D4EB2F)
+        return ((h ^ (h >> 13)) & 255).astype(jnp.int32)
 
     def g(dx, dy, dz):
         return _grad(hash3(dx, dy, dz), pf[..., 0] - dx, pf[..., 1] - dy,
@@ -130,72 +133,62 @@ def _bilinear_level(tex_images, ti, u, v, level):
                + tex_images[ti, off + iv1, iu1] * du) * dv)
 
 
+_ALL_TEX = (TEX_IMAGE, TEX_CHECKER, TEX_UV, TEX_DOTS, TEX_FBM,
+            TEX_MARBLE, TEX_WINDY, TEX_WRINKLED, TEX_PTEX)
+
+
 def eval_texture(tex_images, tex_type, tex_params, tex_c1, tex_c2,
-                 tex_idx, uv, p_world, uv_width=None, face=None):
+                 tex_idx, uv, p_world, uv_width=None, face=None,
+                 kinds=None):
     """Evaluate texture `tex_idx` [B] at uv [B,2] / world point [B,3].
 
     tex_images [T,2*RES,RES,3] mip canvases; returns RGB [B,3] (promote
     to spectrum at the call site).  tex_idx<0 lanes return 1 (caller
     keeps constants).  uv_width: optional [B] uv-space footprint
     diameter selecting the mip level (None = finest level, the
-    reference's behavior without ray differentials)."""
+    reference's behavior without ray differentials).
+
+    kinds: static tuple of TEX_* families actually bound in the scene
+    (SceneData.tex_kinds); families not listed compile to nothing — the
+    wavefront otherwise evaluates EVERY family per lane (the Perlin
+    group alone is ~15 noise calls)."""
     B = uv.shape[0]
+    present = set(_ALL_TEX) if kinds is None else set(kinds)
+    from pbrt_tpu.ops import fetch
     ti = jnp.clip(tex_idx, 0, tex_type.shape[0] - 1)
-    tt = tex_type[ti]
-    pr = tex_params[ti]        # [B,8]: us, vs, du, dv, ...
+    tt_f, pr, c1, c2 = fetch.fetch_many(
+        [tex_type, tex_params, tex_c1, tex_c2], ti)
+    tt = jnp.round(tt_f).astype(jnp.int32)
     us, vs = pr[:, 0], pr[:, 1]
     u = uv[:, 0] * us + pr[:, 2]
     v = uv[:, 1] * vs + pr[:, 3]
 
-    # image: trilinear between the two bracketing mip levels (mipmap.h
-    # MIPMap::Lookup trilinear path; footprint scaled by the uv scale)
-    if uv_width is None:
-        c_img = _bilinear_level(tex_images, ti, u, v,
-                                jnp.zeros(B, jnp.int32))
-    else:
-        w = uv_width * jnp.maximum(jnp.maximum(jnp.abs(us),
-                                               jnp.abs(vs)), 1e-12)
-        lvl = jnp.clip(jnp.log2(jnp.maximum(w * RES, 1e-9)),
-                       0.0, float(MAX_LEVEL))
-        l0 = lvl.astype(jnp.int32)
-        l1 = jnp.minimum(l0 + 1, MAX_LEVEL)
-        fl = (lvl - l0)[:, None]
-        c_img = (_bilinear_level(tex_images, ti, u, v, l0) * (1 - fl)
-                 + _bilinear_level(tex_images, ti, u, v, l1) * fl)
+    # (mask, value) per present family; lanes with tex_idx<0 are
+    # overwritten by the final where, so the fold base is arbitrary
+    cases = []
 
-    c1 = tex_c1[ti]            # [B,3]
-    c2 = tex_c2[ti]
-    # checkerboard (textures/checkerboard.cpp, AA-free closed form)
-    check = ((jnp.floor(u) + jnp.floor(v)).astype(jnp.int32) % 2) == 0
-    c_check = jnp.where(check[:, None], c1, c2)
-    # uv debug texture
-    c_uv = jnp.stack([u % 1.0, v % 1.0, jnp.zeros(B)], -1)
-    # polka dots (textures/dots.cpp): hash cell center, radius .35
-    cu, cv = jnp.floor(u + 0.5), jnp.floor(v + 0.5)
-    h = perlin(jnp.stack([cu + 0.5, cv + 0.5, jnp.zeros(B)], -1))
-    has_dot = h > 0
-    # pseudo-random center offset via noise
-    cx = cu + 0.35 * perlin(jnp.stack([cu, cv, jnp.full(B, 1.5)], -1))
-    cy = cv + 0.35 * perlin(jnp.stack([cu, cv, jnp.full(B, 4.5)], -1))
-    inside = ((u - cx) ** 2 + (v - cy) ** 2) < 0.35 ** 2
-    c_dots = jnp.where((has_dot & inside)[:, None], c1, c2)
-    # noise family over world position
-    pw = p_world * pr[:, 4:5] + pr[:, 5:6]
-    n_fbm = fbm(pw)[:, None]
-    c_fbm = jnp.clip(0.5 + 0.5 * n_fbm, 0.0, 1.0) * jnp.ones((B, 3))
-    n_wri = turbulence(pw)[:, None]
-    c_wri = jnp.clip(n_wri, 0.0, 1.0) * jnp.ones((B, 3))
-    # marble (texture.cpp MarbleTexture): sin over fbm-perturbed axis
-    marb = jnp.sin(pw[:, 1] * 4.0 + 10.0 * fbm(pw, 3))[:, None]
-    c_marble = (0.6 + 0.4 * marb) * jnp.asarray([[0.9, 0.85, 0.8]])
-    c_windy = (jnp.abs(fbm(pw * 0.1, 3)) * turbulence(pw, 6))[:, None] \
-        * jnp.ones((B, 3))
+    if TEX_IMAGE in present:
+        # image: trilinear between the two bracketing mip levels
+        # (mipmap.h MIPMap::Lookup; footprint scaled by the uv scale)
+        if uv_width is None:
+            c_img = _bilinear_level(tex_images, ti, u, v,
+                                    jnp.zeros(B, jnp.int32))
+        else:
+            w = uv_width * jnp.maximum(jnp.maximum(jnp.abs(us),
+                                                   jnp.abs(vs)), 1e-12)
+            lvl = jnp.clip(jnp.log2(jnp.maximum(w * RES, 1e-9)),
+                           0.0, float(MAX_LEVEL))
+            l0 = lvl.astype(jnp.int32)
+            l1 = jnp.minimum(l0 + 1, MAX_LEVEL)
+            fl = (lvl - l0)[:, None]
+            c_img = (_bilinear_level(tex_images, ti, u, v, l0) * (1 - fl)
+                     + _bilinear_level(tex_images, ti, u, v, l1) * fl)
+        cases.append((tt == TEX_IMAGE, c_img))
 
-    out = c_img
-    # ptex per-face tiles: params[5]=tiles_per_row, params[6]=tile size;
-    # the hit's intra-face uv (barycentric for bare triangle meshes)
-    # indexes the face's atlas tile (level-0 rows of the mip canvas)
-    if face is not None:
+    if TEX_PTEX in present and face is not None:
+        # ptex per-face tiles: params[5]=tiles_per_row, params[6]=tile
+        # size; the hit's intra-face uv (barycentric for bare triangle
+        # meshes) indexes the face's atlas tile (level-0 canvas rows)
         tpr = jnp.maximum(pr[:, 5].astype(jnp.int32), 1)
         tile = jnp.maximum(pr[:, 6].astype(jnp.int32), 1)
         fidx = jnp.clip(face, 0, tpr * tpr - 1)
@@ -213,14 +206,56 @@ def eval_texture(tex_images, tex_type, tex_params, tex_c1, tex_c2,
                    + tex_images[ti, br + pv0, bc + pu1] * pdu) * (1 - pdv)
                   + (tex_images[ti, br + pv1, bc + pu0] * (1 - pdu)
                      + tex_images[ti, br + pv1, bc + pu1] * pdu) * pdv)
-        out = jnp.where((tt == TEX_PTEX)[:, None], c_ptex, out)
-    out = jnp.where((tt == TEX_CHECKER)[:, None], c_check, out)
-    out = jnp.where((tt == TEX_UV)[:, None], c_uv, out)
-    out = jnp.where((tt == TEX_DOTS)[:, None], c_dots, out)
-    out = jnp.where((tt == TEX_FBM)[:, None], c_fbm, out)
-    out = jnp.where((tt == TEX_MARBLE)[:, None], c_marble, out)
-    out = jnp.where((tt == TEX_WINDY)[:, None], c_windy, out)
-    out = jnp.where((tt == TEX_WRINKLED)[:, None], c_wri, out)
+        cases.append((tt == TEX_PTEX, c_ptex))
+
+    if TEX_CHECKER in present:
+        # checkerboard (textures/checkerboard.cpp, AA-free closed form)
+        check = ((jnp.floor(u) + jnp.floor(v)).astype(jnp.int32) % 2) == 0
+        cases.append((tt == TEX_CHECKER, jnp.where(check[:, None], c1, c2)))
+
+    if TEX_UV in present:
+        cases.append((tt == TEX_UV,
+                      jnp.stack([u % 1.0, v % 1.0, jnp.zeros(B)], -1)))
+
+    if TEX_DOTS in present:
+        # polka dots (textures/dots.cpp): hash cell center, radius .35
+        cu, cv = jnp.floor(u + 0.5), jnp.floor(v + 0.5)
+        h = perlin(jnp.stack([cu + 0.5, cv + 0.5, jnp.zeros(B)], -1))
+        has_dot = h > 0
+        # pseudo-random center offset via noise
+        cx = cu + 0.35 * perlin(jnp.stack([cu, cv, jnp.full(B, 1.5)], -1))
+        cy = cv + 0.35 * perlin(jnp.stack([cu, cv, jnp.full(B, 4.5)], -1))
+        inside = ((u - cx) ** 2 + (v - cy) ** 2) < 0.35 ** 2
+        cases.append((tt == TEX_DOTS,
+                      jnp.where((has_dot & inside)[:, None], c1, c2)))
+
+    if present & {TEX_FBM, TEX_MARBLE, TEX_WINDY, TEX_WRINKLED}:
+        # noise family over world position
+        pw = p_world * pr[:, 4:5] + pr[:, 5:6]
+    if TEX_FBM in present:
+        n_fbm = fbm(pw)[:, None]
+        cases.append((tt == TEX_FBM,
+                      jnp.clip(0.5 + 0.5 * n_fbm, 0.0, 1.0)
+                      * jnp.ones((B, 3))))
+    if TEX_MARBLE in present:
+        # marble (texture.cpp MarbleTexture): sin over fbm-perturbed axis
+        marb = jnp.sin(pw[:, 1] * 4.0 + 10.0 * fbm(pw, 3))[:, None]
+        cases.append((tt == TEX_MARBLE,
+                      (0.6 + 0.4 * marb) * jnp.asarray([[0.9, 0.85, 0.8]])))
+    if TEX_WINDY in present:
+        c_windy = (jnp.abs(fbm(pw * 0.1, 3))
+                   * turbulence(pw, 6))[:, None] * jnp.ones((B, 3))
+        cases.append((tt == TEX_WINDY, c_windy))
+    if TEX_WRINKLED in present:
+        n_wri = turbulence(pw)[:, None]
+        cases.append((tt == TEX_WRINKLED,
+                      jnp.clip(n_wri, 0.0, 1.0) * jnp.ones((B, 3))))
+
+    if not cases:
+        return jnp.ones((B, 3))
+    out = cases[0][1]
+    for mask, val in cases[1:]:
+        out = jnp.where(mask[:, None], val, out)
     return jnp.where((tex_idx >= 0)[:, None], out, 1.0)
 
 
