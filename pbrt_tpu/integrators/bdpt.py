@@ -200,10 +200,13 @@ def generate_light_subpath(scene, pixel_id, sample_idx, cfg, n_verts):
     u4 = sample_dim(cfg, pixel_id, sample_idx, _LIGHT_BASE + 4)
     o, d, Le, pdf, n_l = lt.sample_le(scene, l, u1, u2, u3, u4)
     sel_pdf = 1.0 / nl
-    lt_type = scene.light_type[l]
+    from pbrt_tpu.ops import fetch
+    lt_type_f, l_area_f, L_base = fetch.fetch_many(
+        [scene.light_type, scene.light_area, scene.light_L], l)
+    lt_type = jnp.round(lt_type_f).astype(jnp.int32)
     is_area = lt_type == ir.LIGHT_AREA
     pdf_pos = jnp.where(is_area,
-                        1.0 / jnp.maximum(scene.light_area[l], 1e-9), 1.0)
+                        1.0 / jnp.maximum(l_area_f, 1e-9), 1.0)
     pdf_dir = pdf / jnp.maximum(pdf_pos, 1e-12)
     # every finite-position emitter (sample_le folds spot/gonio/projection
     # directional factors into Le); distant/infinite stay s=0-only
@@ -214,7 +217,6 @@ def generate_light_subpath(scene, pixel_id, sample_idx, cfg, n_verts):
     # beta of the light vertex itself: L / (pdf_pos * selection); used by
     # the s=1 connection (position-measure NEE; directional factor applied
     # at connection time from the actual connection direction)
-    L_base = scene.light_L[l]
     beta0 = jnp.where(alive[:, None],
                       L_base / jnp.maximum(pdf_pos * sel_pdf,
                                            1e-12)[:, None], 0.0)
@@ -261,7 +263,9 @@ def _camera_pdf_dir(camera, width, height, w_world):
 def _light_emit_pdf_dir(scene, light_idx, n_l, w):
     """Directional emission density matching sample_le: cosine hemisphere
     for area lights, uniform sphere for delta emitters."""
-    lt_type = scene.light_type[light_idx]
+    from pbrt_tpu.ops import fetch
+    lt_type = jnp.round(fetch.fetch_rows(
+        scene.light_type, light_idx)).astype(jnp.int32)
     is_area = lt_type == ir.LIGHT_AREA
     return jnp.where(is_area, geom.absdot(n_l, w) * sampling.INV_PI,
                      sampling.INV_4PI)
@@ -297,7 +301,9 @@ def _mis_weight(scene, cam_vs, light_vs, s, t, camera, width, height):
                                       qs.p, pt.p, pt.ng, pt.is_surface)
     else:
         # PdfLightOrigin: position density of the light the path hit
-        lt_area = 1.0 / jnp.maximum(scene.light_area[pt.light], 1e-9)
+        from pbrt_tpu.ops import fetch
+        lt_area = 1.0 / jnp.maximum(fetch.fetch_rows(
+            scene.light_area, jnp.maximum(pt.light, 0)), 1e-9)
         pt_rev = jnp.where(pt.light >= 0, lt_area / nl, 0.0)
 
     # pt_minus.pdfRev
@@ -354,7 +360,11 @@ def _mis_weight(scene, cam_vs, light_vs, s, t, camera, width, height):
         if i > 0:
             d_prev = (zeros_b if i - 1 == s - 1 else light_vs[i - 1].delta)
         else:
-            d_prev = scene.light_type[light_vs[0].light] != ir.LIGHT_AREA
+            from pbrt_tpu.ops import fetch as _fetch
+            d_prev = jnp.round(_fetch.fetch_rows(
+                scene.light_type,
+                jnp.maximum(light_vs[0].light, 0))).astype(jnp.int32) \
+                != ir.LIGHT_AREA
         sum_ri = sum_ri + jnp.where(~d_i & ~d_prev, ri, 0.0)
     return 1.0 / (1.0 + sum_ri)
 

@@ -33,56 +33,93 @@ def sample_le(scene: ir.SceneData, l, u1, u2, u3, u4):
 
     Returns (ray_o, ray_d, Le [B,31], pdf_pos*pdf_dir [B], n_light [B,3]).
     Supports point, spot (cosine-cone), distant-lite, sphere + mesh area.
+    Like sample_li, per-light columns come from one fused fetch and
+    absent light families compile to nothing (scene.light_kinds).
     """
-    lt = scene.light_type[l]
-    L = scene.light_L[l]
-    lpos = scene.light_pos[l]
+    kinds = lmod._kinds(scene)
     B = u1.shape[0]
+    has_mesh = (ir.LIGHT_AREA in kinds
+                and getattr(scene, "has_mesh_lights", True))
+    has_sph = (ir.LIGHT_AREA in kinds
+               and getattr(scene, "has_sphere_lights", True))
+    has_area = has_mesh or has_sph
+    has_other = bool(kinds - {ir.LIGHT_AREA})
+    names = ["L"]
+    if has_other:
+        names.append("pos")
+    if has_area:
+        names.append("area")
+    if has_mesh:
+        names.append("tri_cdf")
+    if has_sph:
+        names += ["sph_center", "sph_radius"]
+    if has_mesh and has_sph:
+        names.append("quad")
+    if has_area and has_other:
+        names.append("type")
+    rec = lmod._fetch(scene, l, names)
+    L = rec["L"]
 
-    # point: uniform sphere direction (point.cpp Sample_Le)
-    d_pt = sampling.uniform_sample_sphere(u1, u2)
-    pdf_pt = jnp.full(B, sampling.INV_4PI)
+    if has_other:
+        # point-family: uniform sphere direction (point.cpp Sample_Le)
+        d_pt = sampling.uniform_sample_sphere(u1, u2)
+        pdf_pt = jnp.full(B, sampling.INV_4PI)
 
-    # area sphere: uniform point on sphere, cosine direction
-    center, radius = lmod._sphere_data(scene, l)
-    n_sph = sampling.uniform_sample_sphere(u1, u2)
-    p_sph = center + radius[:, None] * n_sph
-    pdf_pos_sph = 1.0 / jnp.maximum(scene.light_area[l], 1e-9)
+    if has_area:
+        inv_area = 1.0 / jnp.maximum(rec["area"], 1e-9)
+        if has_sph:
+            # area sphere: uniform point on sphere, cosine direction
+            n_sph = sampling.uniform_sample_sphere(u1, u2)
+            p_sph = rec["sph_center"] + rec["sph_radius"][:, None] * n_sph
+        if has_mesh:
+            # mesh area light: pick triangle by area CDF
+            T = scene.light_tri_idx.shape[1]
+            cdf = rec["tri_cdf"]
+            ti = jnp.clip(
+                jnp.sum((cdf <= u1[:, None]).astype(jnp.int32), -1) - 1,
+                0, T - 1)
+            from pbrt_tpu.ops import fetch
+            row = fetch.fetch_rows(scene.light_tri_packed, l * T + ti)
+            c0 = jnp.take_along_axis(cdf, ti[:, None], 1)[:, 0]
+            c1 = jnp.take_along_axis(cdf, ti[:, None] + 1, 1)[:, 0]
+            u1r = jnp.clip((u1 - c0) / jnp.maximum(c1 - c0, 1e-9),
+                           0.0, 0.999999)
+            bc = sampling.uniform_sample_triangle(u1r, u2)
+            p_tri = (row[:, 0:3] + bc[:, 0:1] * row[:, 3:6]
+                     + bc[:, 1:2] * row[:, 6:9])
+            n_tri = geom.normalize(jnp.cross(row[:, 3:6], row[:, 6:9]))
+            n_tri = jnp.where((row[:, 9] > 0.5)[:, None], -n_tri, n_tri)
+        if has_mesh and has_sph:
+            is_mesh = (rec["quad"] < 0)[:, None]
+            p_area = jnp.where(is_mesh, p_tri, p_sph)
+            n_area = jnp.where(is_mesh, n_tri, n_sph)
+        elif has_mesh:
+            p_area, n_area = p_tri, n_tri
+        else:
+            p_area, n_area = p_sph, n_sph
+        # cosine-weighted emission direction about the light normal
+        t1, t2 = geom.coordinate_system(n_area)
+        d_loc = sampling.cosine_sample_hemisphere(u3, u4)
+        d_area = geom.frame_to_world(t1, t2, n_area, d_loc)
+        pdf_dir_area = jnp.maximum(d_loc[:, 2], 1e-9) * sampling.INV_PI
+        pdf_area = inv_area * pdf_dir_area
 
-    # mesh area light: pick triangle by area CDF
-    T = scene.light_tri_idx.shape[1]
-    cdf = scene.light_tri_cdf[l]
-    ti = jnp.clip(jnp.sum((cdf <= u1[:, None]).astype(jnp.int32), -1) - 1,
-                  0, T - 1)
-    tri = jnp.clip(jnp.take_along_axis(scene.light_tri_idx[l],
-                                       ti[:, None], 1)[:, 0],
-                   0, scene.tri_v0.shape[0] - 1)
-    c0 = jnp.take_along_axis(cdf, ti[:, None], 1)[:, 0]
-    c1 = jnp.take_along_axis(cdf, ti[:, None] + 1, 1)[:, 0]
-    u1r = jnp.clip((u1 - c0) / jnp.maximum(c1 - c0, 1e-9), 0.0, 0.999999)
-    bc = sampling.uniform_sample_triangle(u1r, u2)
-    p_tri = (scene.tri_v0[tri] + bc[:, 0:1] * scene.tri_e1[tri]
-             + bc[:, 1:2] * scene.tri_e2[tri])
-    n_tri = geom.normalize(jnp.cross(scene.tri_e1[tri], scene.tri_e2[tri]))
-    n_tri = jnp.where(scene.prim_flip_normal[tri][:, None], -n_tri, n_tri)
-
-    is_mesh = scene.light_quad[l] < 0
-    p_area = jnp.where(is_mesh[:, None], p_tri, p_sph)
-    n_area = jnp.where(is_mesh[:, None], n_tri, n_sph)
-    # cosine-weighted emission direction about the light normal
-    t1, t2 = geom.coordinate_system(n_area)
-    d_loc = sampling.cosine_sample_hemisphere(u3, u4)
-    d_area = geom.frame_to_world(t1, t2, n_area, d_loc)
-    pdf_dir_area = jnp.maximum(d_loc[:, 2], 1e-9) * sampling.INV_PI
-    pdf_area = pdf_pos_sph * 0 + jnp.where(
-        is_mesh, 1.0 / jnp.maximum(scene.light_area[l], 1e-9),
-        pdf_pos_sph) * pdf_dir_area
-
-    is_area = lt == ir.LIGHT_AREA
-    o = jnp.where(is_area[:, None], p_area, lpos)
-    d = jnp.where(is_area[:, None], d_area, d_pt)
-    pdf = jnp.where(is_area, pdf_area, pdf_pt)
-    n_l = jnp.where(is_area[:, None], n_area, d)
+    if has_area and has_other:
+        is_area = rec["type"] == ir.LIGHT_AREA
+        o = jnp.where(is_area[:, None], p_area, rec["pos"])
+        d = jnp.where(is_area[:, None], d_area, d_pt)
+        pdf = jnp.where(is_area, pdf_area, pdf_pt)
+        n_l = jnp.where(is_area[:, None], n_area, d)
+    elif has_area:
+        o, d, pdf, n_l = p_area, d_area, pdf_area, n_area
+    elif has_other:
+        o, d, pdf = rec["pos"], d_pt, pdf_pt
+        n_l = d
+    else:
+        o = jnp.zeros((B, 3))
+        d = jnp.zeros((B, 3)).at[:, 2].set(1.0)
+        pdf = jnp.zeros(B)
+        n_l = d
     # spot cone falloff / gonio-projection map factors fold into Le so
     # uniform-sphere sampling of delta emitters stays unbiased
     L = L * lmod.delta_emit_scale(scene, l, d)[:, None]

@@ -284,6 +284,10 @@ def main(argv=None):
                                quiet=args.quiet,
                                checkpoint_path=args.checkpoint,
                                checkpoint_every=args.checkpoint_interval)
+        # drain async dispatches so the phase accounting is honest
+        # (otherwise the render work completes inside "Film output")
+        import jax
+        jax.block_until_ready(film.weighted)
     dt = stats.times["Rendering"]
     eff_spp = spp or job.spp
     eff_depth = max_depth or job.integrator_params["maxdepth"]
