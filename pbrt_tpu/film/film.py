@@ -104,16 +104,25 @@ def make_film(width, height, filter_name="box", radius=None, **filter_params):
         height=height, width=width, footprint=footprint)
 
 
-def add_samples(film: Film, pfilm, L, ray_weight=None):
+def add_samples(film: Film, pfilm, L, ray_weight=None, aligned_base=None):
     """Splat a batch of samples.
 
     pfilm: [B,2] continuous film coords (x, y); L: [B,31]; ray_weight [B].
     Discrete-continuous convention matches the reference (film.h:123-163):
     sample at continuous p affects pixels within `radius` of p - 0.5.
+
+    aligned_base: traced scalar pixel id of lane 0, promising lane i maps
+    to pixel aligned_base+i (the render driver's contiguous full chunks).
+    With a footprint-1 filter (radius <= 0.5, where a sample can only
+    affect its own pixel) the scatter-add — a serial per-row loop on
+    TPU — becomes a dynamic-slice add.
     """
     if ray_weight is None:
         ray_weight = jnp.ones(pfilm.shape[0])
     rx, ry = film.radius[0], film.radius[1]
+    if aligned_base is not None and film.footprint == 1:
+        return _add_samples_aligned(film, pfilm, L, ray_weight,
+                                    aligned_base)
     pd = pfilm - 0.5
     x0 = jnp.ceil(pd[:, 0] - rx).astype(jnp.int32)
     y0 = jnp.ceil(pd[:, 1] - ry).astype(jnp.int32)
@@ -144,6 +153,53 @@ def add_samples(film: Film, pfilm, L, ray_weight=None):
     by = jnp.clip(pfilm[:, 1].astype(jnp.int32), 0, H - 1)
     raw = film.raw.at[by, bx].add(Lw)
     return film.replace(weighted=weighted, weight=weight, raw=raw)
+
+
+def _add_samples_aligned(film: Film, pfilm, L, ray_weight, base):
+    """Footprint-1 contiguous-chunk splat: lane i -> pixel base+i, so the
+    update is a dynamic-slice add on the flattened film (see add_samples).
+    The filter weight is still evaluated exactly (a sample whose own
+    pixel center lies outside a radius<0.5 kernel gets fw=0, matching
+    the general path)."""
+    import jax
+    from pbrt_tpu.ops import fetch
+    B = pfilm.shape[0]
+    NS = L.shape[1]
+    rx, ry = film.radius[0], film.radius[1]
+    pd = pfilm - 0.5
+    # own-pixel tap: the lane's pixel index comes from its id, which the
+    # caller promises is base + lane
+    px = (jnp.asarray(base, jnp.int32)
+          + jnp.arange(B, dtype=jnp.int32)) % film.width
+    py = (jnp.asarray(base, jnp.int32)
+          + jnp.arange(B, dtype=jnp.int32)) // film.width
+    fx = jnp.abs(px.astype(jnp.float32) - pd[:, 0]) * \
+        (FILTER_TABLE_WIDTH / rx)
+    fy = jnp.abs(py.astype(jnp.float32) - pd[:, 1]) * \
+        (FILTER_TABLE_WIDTH / ry)
+    ix = jnp.minimum(fx.astype(jnp.int32), FILTER_TABLE_WIDTH - 1)
+    iy = jnp.minimum(fy.astype(jnp.int32), FILTER_TABLE_WIDTH - 1)
+    fw = fetch.fetch_rows(
+        film.filter_table.reshape(-1, 1),
+        iy * FILTER_TABLE_WIDTH + ix,
+        max_rows=FILTER_TABLE_WIDTH * FILTER_TABLE_WIDTH)[:, 0]
+    fw = jnp.where((fx < FILTER_TABLE_WIDTH) & (fy < FILTER_TABLE_WIDTH),
+                   fw, 0.0)
+    Lw = L * ray_weight[:, None]
+    b0 = jnp.asarray(base, jnp.int32)
+    HW = film.height * film.width
+
+    def sladd(canvas, upd):
+        flat = canvas.reshape((HW,) + canvas.shape[2:])
+        seg = jax.lax.dynamic_slice(
+            flat, (b0,) + (0,) * (upd.ndim - 1), upd.shape) + upd
+        return jax.lax.dynamic_update_slice(
+            flat, seg, (b0,) + (0,) * (upd.ndim - 1)).reshape(canvas.shape)
+
+    return film.replace(
+        weighted=sladd(film.weighted, Lw * fw[:, None]),
+        weight=sladd(film.weight, fw * ray_weight),
+        raw=sladd(film.raw, Lw))
 
 
 def add_splats(film: Film, pfilm, L):

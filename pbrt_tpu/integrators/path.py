@@ -489,7 +489,8 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
     # (measured ~5.4ms per 4.7MB per call) and ships them inside the
     # remote-compile payload; arguments are persistent device buffers
     @jax.jit
-    def one_pass(scene, camera, film, pixel_ids, sample_idx):
+    def one_pass(scene, camera, film, pixel_ids, sample_idx,
+                 aligned_base=None):
         ray, weight, pfilm, pid, sidx = camera_rays_for_pixels(
             camera, W, H, cfg, pixel_ids, sample_idx, generate_rays)
         L = trace_fn(scene, ray, pid, sidx, cfg, max_depth=max_depth,
@@ -503,13 +504,21 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
                               max_sample_luminance / jnp.maximum(y, 1e-9),
                               1.0)
             L = L * scale[:, None]
-        return filmmod.add_samples(film, pfilm, L, weight)
+        return filmmod.add_samples(film, pfilm, L, weight,
+                                   aligned_base=aligned_base)
 
     all_ids = np.empty(n_chunks * chunk, dtype=np.uint32)
     all_ids[:n_pix] = pix_list
     all_ids[n_pix:] = 0xFFFFFFFF
     id_chunks = [jnp.asarray(all_ids[i * chunk:(i + 1) * chunk])
                  for i in range(n_chunks)]
+    # chunks that are a full contiguous pixel range splat via the
+    # dynamic-slice fast path (see film.add_samples aligned_base)
+    contiguous = bool(np.all(pix_list == np.arange(n_pix,
+                                                   dtype=np.uint32)))
+    chunk_base = [jnp.uint32(i * chunk)
+                  if contiguous and (i + 1) * chunk <= n_pix else None
+                  for i in range(n_chunks)]
     start_spp = 0
     if checkpoint_path is not None:
         # resume is bit-identical to an uninterrupted render: samplers
@@ -524,8 +533,9 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
     done = start_spp * n_chunks
     total = spp * n_chunks
     for s in range(start_spp, spp):
-        for ids in id_chunks:
-            film = one_pass(scene, camera, film, ids, jnp.uint32(s))
+        for ids, base in zip(id_chunks, chunk_base):
+            film = one_pass(scene, camera, film, ids, jnp.uint32(s),
+                            aligned_base=base)
             done += 1
             if progress is not None:
                 progress(done, total)

@@ -27,14 +27,16 @@ import jax.numpy as jnp
 ONE_HOT_MAX_ROWS = 64
 
 
-def fetch_many(arrs, idx):
+def fetch_many(arrs, idx, max_rows=ONE_HOT_MAX_ROWS):
     """Fetch row `idx` [B] from each table in `arrs` (list of [N] or
     [N,...] arrays sharing leading dim N) with ONE fused fetch.
 
     Returns a list of f32 arrays shaped [B] / [B,...]; integer / bool
     columns come back as exact small floats (callers round / threshold).
     N == 1 broadcasts, small N uses the one-hot matmul, large N falls
-    back to a single gather of the fused row.
+    back to a single gather of the fused row.  max_rows raises the
+    one-hot cutoff (worth it for very narrow tables, where the matmul
+    is thin).
     """
     B = idx.shape[0]
     N = arrs[0].shape[0]
@@ -46,7 +48,7 @@ def fetch_many(arrs, idx):
 
     if N == 1:
         out = jnp.broadcast_to(table[0][None, :], (B, table.shape[1]))
-    elif N <= ONE_HOT_MAX_ROWS:
+    elif N <= max_rows:
         hi = table.astype(jnp.bfloat16).astype(jnp.float32)
         packed = jnp.concatenate([hi, table - hi], 0)      # [2N, C]
         m = jnp.clip(idx, 0, N - 1).astype(jnp.int32)
@@ -67,6 +69,6 @@ def fetch_many(arrs, idx):
     return res
 
 
-def fetch_rows(table, idx):
+def fetch_rows(table, idx, max_rows=ONE_HOT_MAX_ROWS):
     """Single-table convenience wrapper around fetch_many."""
-    return fetch_many([table], idx)[0]
+    return fetch_many([table], idx, max_rows=max_rows)[0]
