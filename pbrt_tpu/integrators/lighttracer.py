@@ -176,7 +176,7 @@ def make_trace_lighttracer(camera, width, height, n_lights):
             alive = alive & hit.valid
             mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv,
                                         p=hit.p)
-            ss, ts = geom.coordinate_system(hit.ns)
+            ss, ts = bsdf.shading_frame(scene, hit)
             wo_l = geom.world_to_frame(ss, ts, hit.ns, hit.wo)
 
             # connect vertex to camera

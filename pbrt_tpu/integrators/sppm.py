@@ -71,7 +71,7 @@ def _camera_pass(scene, camera, W, H, cfg, it, max_depth, generate_rays):
         if bounce == max_depth:
             break
         mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv, p=hit.p)
-        ss, ts = geom.coordinate_system(hit.ns)
+        ss, ts = bsdf.shading_frame(scene, hit)
         wo_l = geom.world_to_frame(ss, ts, hit.ns, hit.wo)
 
         is_diffuse = (mat.type == ir.MAT_MATTE) | \
@@ -170,7 +170,7 @@ def _photon_pass(scene, cfg, it, n_photons, max_depth, vp_p, vp_f,
             break
         mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv,
                                     p=hit.p)
-        ss, ts = geom.coordinate_system(hit.ns)
+        ss, ts = bsdf.shading_frame(scene, hit)
         wo_l = geom.world_to_frame(ss, ts, hit.ns, hit.wo)
         base = 8 + bounce * 4
         wi_l, f_s, pdf_s, _, _, _ = bsdf.sample_f(

@@ -108,7 +108,7 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
 
             # ---- NEE from the vertex (phase fn or BSDF) ----
             mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv, p=hit.p)
-            ss, ts = geom.coordinate_system(hit.ns)
+            ss, ts = bsdf.shading_frame(scene, hit)
             # BSSRDF probe relocation for surface lanes (path.py
             # _sss_event; volpath.cpp handles subsurface identically)
             if getattr(scene, "has_sss", False):
@@ -117,7 +117,7 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
                     ss, ts, pixel_id, sample_idx, cfg, sample_dim, bounce,
                     ray.wavelength, jnp.zeros((), jnp.float32), False)
                 alive = jnp.where(in_medium, alive, alive_s)
-                ss, ts = geom.coordinate_system(hit.ns)
+                ss, ts = bsdf.shading_frame(scene, hit)
                 p_vert = jnp.where(in_medium[:, None], p_med, hit.p)
             wo_l = geom.world_to_frame(ss, ts, hit.ns, hit.wo)
             if scene.n_lights > 0:

@@ -34,7 +34,7 @@ def make_trace_whitted():
             if bounce == max_depth:
                 break
             mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv, p=hit.p)
-            ss, ts = geom.coordinate_system(hit.ns)
+            ss, ts = bsdf.shading_frame(scene, hit)
             wo_l = geom.world_to_frame(ss, ts, hit.ns, hit.wo)
             if scene.n_lights > 0:
                 u_sel = sample_dim(cfg, pixel_id, sample_idx, _bdim(bounce, 0))

@@ -133,6 +133,18 @@ def hair_shading_frame(scene: ir.SceneData, hit, ss, ts):
     return jnp.where(use, tang, ss), jnp.where(use, ts2, ts)
 
 
+def shading_frame(scene: ir.SceneData, hit):
+    """(ss, ts) tangent frame about hit.ns, with the hair-fiber tangent
+    alignment applied on hair lanes (statically skipped otherwise).
+    Shared by every integrator so hair shades identically in all of
+    them (reference: each BSDF gets the dpdu-aligned frame via
+    SurfaceInteraction::ComputeScatteringFunctions)."""
+    ss, ts = geom.coordinate_system(hit.ns)
+    if getattr(scene, "has_hair", False):
+        ss, ts = hair_shading_frame(scene, hit, ss, ts)
+    return ss, ts
+
+
 def roughness_to_alpha(rough):
     """pbrt's RoughnessToAlpha (microfacet.h:83)."""
     x = jnp.log(jnp.maximum(rough, 1e-3))
