@@ -47,7 +47,16 @@ def read_ply(path):
                 elements[-1][2].append((parts[2], parts[1], None))
 
     verts = norms = uvs = None
-    faces = []
+    faces = []           # list of [n,3] int arrays (fast path) or rows
+
+    def _fan(idx):
+        """Vectorized fan triangulation of uniform n-gons [F,n], emitting
+        triangles in the same face-major order as the per-face loop."""
+        n = idx.shape[1]
+        tris = np.stack([np.stack([idx[:, 0], idx[:, k], idx[:, k + 1]], -1)
+                         for k in range(1, n - 1)], 1)      # [F, n-2, 3]
+        faces.append(tris.reshape(-1, 3).astype(np.int64))
+
     if fmt == "ascii":
         tokens = body.split()
         pos = 0
@@ -59,13 +68,27 @@ def read_ply(path):
                 pos += count * ncols
                 cols = {p[0]: i for i, p in enumerate(props)}
                 verts, norms, uvs = _extract(arr, cols)
-            elif name == "face":
-                for _ in range(count):
-                    n = int(tokens[pos]); pos += 1
-                    poly = [int(tokens[pos + k]) for k in range(n)]
-                    pos += n
-                    for k in range(1, n - 1):
-                        faces.append([poly[0], poly[k], poly[k + 1]])
+            elif name == "face" and count > 0:
+                # uniform n-gon fast path: one reshape instead of a
+                # per-face Python loop (killeroo-class meshes)
+                n0 = int(tokens[pos])
+                blk = tokens[pos:pos + count * (n0 + 1)]
+                done = False
+                if len(props) == 1 and len(blk) == count * (n0 + 1):
+                    mat = np.asarray(blk).reshape(count, n0 + 1)
+                    if (mat[:, 0] == tokens[pos]).all():
+                        _fan(mat[:, 1:].astype(np.int64))
+                        pos += count * (n0 + 1)
+                        done = True
+                if not done:
+                    rows = []
+                    for _ in range(count):
+                        n = int(tokens[pos]); pos += 1
+                        poly = [int(tokens[pos + k]) for k in range(n)]
+                        pos += n
+                        for k in range(1, n - 1):
+                            rows.append([poly[0], poly[k], poly[k + 1]])
+                    faces.append(np.asarray(rows, np.int64).reshape(-1, 3))
             else:
                 for _ in range(count):
                     for p in props:
@@ -84,17 +107,34 @@ def read_ply(path):
                 mat = np.stack([arr[p[0]].astype(np.float64)
                                 for p in props], -1)
                 verts, norms, uvs = _extract(mat, cols)
-            elif name == "face":
-                for _ in range(count):
-                    cnt_t, idx_t = props[0][2], props[0][1]
-                    cfmt, csz = _TYPES[cnt_t]
-                    ifmt, isz = _TYPES[idx_t]
-                    n = struct.unpack_from("<" + cfmt, body, off)[0]
-                    off += csz
-                    poly = struct.unpack_from("<" + ifmt * n, body, off)
-                    off += isz * n
-                    for k in range(1, n - 1):
-                        faces.append([poly[0], poly[k], poly[k + 1]])
+            elif name == "face" and count > 0:
+                cnt_t, idx_t = props[0][2], props[0][1]
+                cfmt, csz = _TYPES[cnt_t]
+                ifmt, isz = _TYPES[idx_t]
+                done = False
+                if len(props) == 1:
+                    # uniform n-gon fast path: ONE structured frombuffer
+                    # instead of a per-face struct.unpack loop
+                    n0 = int(np.frombuffer(body, "<" + cfmt, 1, off)[0])
+                    rec = np.dtype([("c", "<" + cfmt),
+                                    ("i", "<" + ifmt, (max(n0, 1),))])
+                    if (n0 >= 3
+                            and off + rec.itemsize * count <= len(body)):
+                        arr = np.frombuffer(body, rec, count, off)
+                        if (arr["c"] == n0).all():
+                            _fan(arr["i"].astype(np.int64))
+                            off += rec.itemsize * count
+                            done = True
+                if not done:
+                    rows = []
+                    for _ in range(count):
+                        n = struct.unpack_from("<" + cfmt, body, off)[0]
+                        off += csz
+                        poly = struct.unpack_from("<" + ifmt * n, body, off)
+                        off += isz * n
+                        for k in range(1, n - 1):
+                            rows.append([poly[0], poly[k], poly[k + 1]])
+                    faces.append(np.asarray(rows, np.int64).reshape(-1, 3))
             else:
                 for _ in range(count):
                     for p in props:
@@ -106,7 +146,9 @@ def read_ply(path):
                             off += _TYPES[p[1]][1]
     else:
         raise ValueError(f"{path}: unsupported PLY format {fmt}")
-    return (np.asarray(verts), np.asarray(faces, np.int64), norms, uvs)
+    faces_arr = (np.concatenate(faces, 0) if faces
+                 else np.zeros((0, 3), np.int64))
+    return (np.asarray(verts), faces_arr, norms, uvs)
 
 
 def _extract(arr, cols):
