@@ -51,6 +51,8 @@ class MaterialParams:
     # per-lane grid index (None => statically skipped)
     fourier_grid: jnp.ndarray = None
     fourier_id: jnp.ndarray = None
+    fourier_cdf_mu: jnp.ndarray = None
+    fourier_cdf_phi: jnp.ndarray = None
     # tabulated BSSRDF (None => scene has no subsurface materials and
     # every sss branch is statically skipped): Sw normalization factor
     # c = 1 - 2*FresnelMoment1(1/eta) (bssrdf.h:221), profile-table id
@@ -250,6 +252,10 @@ def gather_materials(scene: ir.SceneData, material_idx, uv=None,
                       if getattr(scene, "has_fourier", False) else None),
         fourier_id=(jnp.round(row[:, ir.MPK_FOURIER]).astype(jnp.int32)
                     if getattr(scene, "has_fourier", False) else None),
+        fourier_cdf_mu=(scene.fourier_cdf_mu
+                        if getattr(scene, "has_fourier", False) else None),
+        fourier_cdf_phi=(scene.fourier_cdf_phi
+                         if getattr(scene, "has_fourier", False) else None),
         sss_c=(jnp.maximum(1.0 - 2.0 * fresnel_moment1_jnp(
             1.0 / jnp.maximum(eta, 1e-3)), 1e-4)
             if getattr(scene, "has_sss", False) else None),
@@ -825,9 +831,18 @@ def pdf_f(params: MaterialParams, wo, wi):
             alpha=params.sigma * (PI / 180.0))
         pdf = jnp.where(is_hair, pdf_hair, pdf)
     if params.fourier_id is not None:
-        # two-sided cosine sampling (p=1/2 each hemisphere)
-        pdf = jnp.where(t == ir.MAT_FOURIER,
-                        0.5 * abs_cos_theta(wi) * INV_PI, pdf)
+        if params.fourier_cdf_mu is not None:
+            # density of the baked-CDF sampler (fourier.py sample_grid)
+            from pbrt_tpu.materials import fourier as fouriermod
+            for gi in range(params.fourier_grid.shape[0]):
+                pdf_g = fouriermod.pdf_grid(
+                    params.fourier_cdf_mu[gi], params.fourier_cdf_phi[gi],
+                    wo, wi)
+                pdf = jnp.where((t == ir.MAT_FOURIER)
+                                & (params.fourier_id == gi), pdf_g, pdf)
+        else:   # two-sided cosine fallback (p=1/2 each hemisphere)
+            pdf = jnp.where(t == ir.MAT_FOURIER,
+                            0.5 * abs_cos_theta(wi) * INV_PI, pdf)
     if params.sss_c is not None:
         # Sw exit lobe: one-sided cosine (SeparableBSSRDFAdapter keeps
         # BxDF's default cosine sampling)
@@ -964,12 +979,22 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2, u3=None):
         wi = jnp.where(is_hair[..., None], wi_hair, wi)
     else:
         is_hair = jnp.zeros_like(t, bool)
-    # fourier: two-sided cosine sampling (v1; the reference importance-
-    # samples the table — upgrade path noted in materials/fourier.py)
+    # fourier: invert the baked cell CDFs (FourierBSDF::Sample_f,
+    # reflection.cpp:491-573); the matching density lives in pdf_f
     if params.fourier_id is not None:
+        from pbrt_tpu.materials import fourier as fouriermod
         is_four = t == ir.MAT_FOURIER
-        wi_four = jnp.where((u_lobe < 0.5)[..., None], wi_diff,
-                            wi_diff * jnp.asarray([1.0, 1.0, -1.0]))
+        if params.fourier_cdf_mu is not None:
+            wi_four = wi_diff
+            for gi in range(params.fourier_grid.shape[0]):
+                wi_g = fouriermod.sample_grid(
+                    params.fourier_cdf_mu[gi], params.fourier_cdf_phi[gi],
+                    wo, u_lobe, u1, u2)
+                wi_four = jnp.where((params.fourier_id == gi)[..., None],
+                                    wi_g, wi_four)
+        else:   # no CDFs bound: two-sided cosine fallback
+            wi_four = jnp.where((u_lobe < 0.5)[..., None], wi_diff,
+                                wi_diff * jnp.asarray([1.0, 1.0, -1.0]))
         wi = jnp.where(is_four[..., None], wi_four, wi)
     else:
         is_four = jnp.zeros_like(t, bool)

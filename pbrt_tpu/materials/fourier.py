@@ -162,6 +162,101 @@ def bake_grid(tab, n_mu=64, n_phi=64):
     return np.maximum(grid, 0.0)
 
 
+def bake_sampling(grid):
+    """Compile-time bake of importance-sampling CDFs from the value
+    lattice (reference: FourierBSDF::Sample_f inverts precomputed
+    Catmull-Rom CDFs, reflection.cpp:491-573 + SampleFourier).
+
+    Cells live between lattice points: (NM-1) muI x (NM-1) muO x (NP-1)
+    dphi, weighted by corner-averaged luminance * |muI| (an f*cos
+    importance) plus a tiny floor so the pdf is nonzero wherever f is.
+    Returns (cdf_mu [NMo-1, NMi], cdf_phi [NMo-1, NMi-1, NP]) — each a
+    CDF with leading 0, i.e. sized cells+1 along the last axis."""
+    lum = grid.astype(np.float64) @ np.asarray([0.2126, 0.7152, 0.0722])
+    nm, _, npphi = lum.shape
+    mu_axis = np.linspace(-1.0, 1.0, nm)
+    # corner-average to cells, weight by |mu_i| at the cell center
+    c = 0.25 * (lum[:-1, :-1, :] + lum[1:, :-1, :]
+                + lum[:-1, 1:, :] + lum[1:, 1:, :])
+    c = 0.5 * (c[:, :, :-1] + c[:, :, 1:])          # [NMi-1, NMo-1, NPc]
+    mu_c = 0.5 * (mu_axis[:-1] + mu_axis[1:])
+    w = c * np.abs(mu_c)[:, None, None]
+    w = w + max(w.max(), 1e-9) * 1e-5               # coverage floor
+    w = np.transpose(w, (1, 0, 2))                  # [NMo-1, NMi-1, NPc]
+    m = w.sum(-1)                                   # [NMo-1, NMi-1]
+    cdf_mu = np.zeros((m.shape[0], m.shape[1] + 1))
+    cdf_mu[:, 1:] = np.cumsum(m, -1) / m.sum(-1, keepdims=True)
+    cdf_phi = np.zeros(w.shape[:2] + (w.shape[2] + 1,))
+    cdf_phi[..., 1:] = np.cumsum(w, -1) / w.sum(-1, keepdims=True)
+    return cdf_mu.astype(np.float32), cdf_phi.astype(np.float32)
+
+
+def _mu_cell(x, n_cells):
+    """Cell index of x in the uniform [-1,1] lattice with n_cells."""
+    t = (x + 1.0) * 0.5 * n_cells
+    return jnp.clip(t.astype(jnp.int32), 0, n_cells - 1)
+
+
+def sample_grid(cdf_mu, cdf_phi, wo, u_sign, u1, u2):
+    """Draw wi from the baked cell CDFs; pdf comes from pdf_grid (the
+    density is piecewise-constant per cell, so the pair is exactly
+    consistent).  u_sign picks the azimuth mirror side."""
+    n_mu = cdf_mu.shape[1] - 1                      # muI cells
+    n_phi = cdf_phi.shape[2] - 1
+    o = _mu_cell(wo[..., 2], cdf_mu.shape[0])
+    row_mu = cdf_mu[o]                              # [B, n_mu+1]
+    i = jnp.clip(jnp.sum((row_mu <= u1[..., None]).astype(jnp.int32), -1)
+                 - 1, 0, n_mu - 1)
+    c0 = jnp.take_along_axis(row_mu, i[..., None], 1)[..., 0]
+    c1 = jnp.take_along_axis(row_mu, i[..., None] + 1, 1)[..., 0]
+    fi = jnp.clip((u1 - c0) / jnp.maximum(c1 - c0, 1e-12), 0.0, 0.999999)
+    mu_i = -1.0 + (i.astype(u1.dtype) + fi) * (2.0 / n_mu)
+    row_phi = cdf_phi[o, i]                         # [B, n_phi+1]
+    p = jnp.clip(jnp.sum((row_phi <= u2[..., None]).astype(jnp.int32), -1)
+                 - 1, 0, n_phi - 1)
+    p0 = jnp.take_along_axis(row_phi, p[..., None], 1)[..., 0]
+    p1 = jnp.take_along_axis(row_phi, p[..., None] + 1, 1)[..., 0]
+    fp = jnp.clip((u2 - p0) / jnp.maximum(p1 - p0, 1e-12), 0.0, 0.999999)
+    dphi = (p.astype(u2.dtype) + fp) * (jnp.pi / n_phi)
+    sgn = jnp.where(u_sign < 0.5, 1.0, -1.0)
+    # mu_i parameterizes -wi (eval_grid convention)
+    phi_w = jnp.arctan2(wo[..., 1], wo[..., 0]) + sgn * dphi
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - mu_i * mu_i, 0.0))
+    neg_wi = jnp.stack([sin_i * jnp.cos(phi_w), sin_i * jnp.sin(phi_w),
+                        mu_i], -1)
+    return -neg_wi
+
+
+def pdf_grid(cdf_mu, cdf_phi, wo, wi):
+    """Solid-angle density of sample_grid at (wo, wi): cell probability
+    over the cell measure dmu*dphi (dw = dmu dphi exactly), halved for
+    the azimuth mirror choice."""
+    n_mu = cdf_mu.shape[1] - 1
+    n_phi = cdf_phi.shape[2] - 1
+    o = _mu_cell(wo[..., 2], cdf_mu.shape[0])
+    mu_i = -wi[..., 2]
+    i = _mu_cell(mu_i, n_mu)
+    xi, yi = -wi[..., 0], -wi[..., 1]
+    xo, yo = wo[..., 0], wo[..., 1]
+    li = jnp.sqrt(xi * xi + yi * yi)
+    lo = jnp.sqrt(xo * xo + yo * yo)
+    cos_dphi = jnp.where((li > 1e-9) & (lo > 1e-9),
+                         jnp.clip((xi * xo + yi * yo)
+                                  / jnp.maximum(li * lo, 1e-9), -1, 1),
+                         1.0)
+    dphi = jnp.arccos(cos_dphi)
+    p = jnp.clip((dphi / jnp.pi * n_phi).astype(jnp.int32), 0, n_phi - 1)
+    row_mu = cdf_mu[o]
+    pr_i = (jnp.take_along_axis(row_mu, i[..., None] + 1, 1)
+            - jnp.take_along_axis(row_mu, i[..., None], 1))[..., 0]
+    row_phi = cdf_phi[o, i]
+    pr_p = (jnp.take_along_axis(row_phi, p[..., None] + 1, 1)
+            - jnp.take_along_axis(row_phi, p[..., None], 1))[..., 0]
+    dmu = 2.0 / n_mu
+    dph = jnp.pi / n_phi
+    return 0.5 * pr_i * pr_p / (dmu * dph)
+
+
 def eval_grid(grid, wo, wi):
     """Trilinear lookup f(wo, wi) -> RGB [B,3] (jnp, batched).
 

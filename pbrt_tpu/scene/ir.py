@@ -113,6 +113,10 @@ class SceneData:
     # compile (materials/fourier.py bake_grid)
     fourier_grid: jnp.ndarray  # [F,NM,NM,NP,3]
     mat_fourier_id: jnp.ndarray  # [M] index into fourier_grid or -1
+    # importance-sampling cell CDFs baked from the lattice
+    # (materials/fourier.py bake_sampling)
+    fourier_cdf_mu: jnp.ndarray   # [F, NMo-1, NMi]
+    fourier_cdf_phi: jnp.ndarray  # [F, NMo-1, NMi-1, NP]
     # tabulated BSSRDF diffusion profiles, one table per distinct
     # (g, eta) (core/bssrdf.cpp ComputeBeamDiffusionBSSRDF); the rho /
     # optical-radius grids are construction-time constants shared by
@@ -723,6 +727,16 @@ class SceneBuilder:
         marg = np.zeros(He + 1, np.float32)
         marg[1:] = np.cumsum(cond_int) / max(cond_int.sum(), 1e-20)
 
+        # fourier importance-sampling CDFs (materials/fourier.py)
+        if self.fourier_grids:
+            from pbrt_tpu.materials.fourier import bake_sampling
+            _cdfs = [bake_sampling(g) for g in self.fourier_grids]
+            f_cdf_mu = np.stack([c[0] for c in _cdfs])
+            f_cdf_phi = np.stack([c[1] for c in _cdfs])
+        else:
+            f_cdf_mu = np.zeros((1, 1, 2), np.float32)
+            f_cdf_phi = np.zeros((1, 1, 1, 2), np.float32)
+
         tex_imgs, tex_t, tex_p, tex_a, tex_b = self.textures.arrays()
         world_lo = lo.min(0) if P else np.zeros(3)
         world_hi = hi.max(0) if P else np.ones(3)
@@ -815,6 +829,8 @@ class SceneBuilder:
                 else np.zeros((1, 2, 2, 2, 3), np.float32)),
             mat_fourier_id=jnp.asarray([m.fourier_id for m in mats],
                                        jnp.int32),
+            fourier_cdf_mu=jnp.asarray(f_cdf_mu),
+            fourier_cdf_phi=jnp.asarray(f_cdf_phi),
             bssrdf_profile=jnp.asarray(
                 np.stack([t["profile"] for _, t in self.bssrdf_tables])
                 if self.bssrdf_tables else np.zeros((1, 2, 2), np.float32)),

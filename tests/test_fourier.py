@@ -113,3 +113,67 @@ WorldEnd
     ca = a[8:16, 8:16].mean()
     cb = b[8:16, 8:16].mean()
     assert abs(ca - cb) < 0.15 * max(cb, 1e-6), (ca, cb)
+
+
+def test_sampler_pdf_consistency_and_albedo(tmp_path):
+    """sample_grid draws must carry exactly the density pdf_grid reports,
+    and the importance-sampled reflectance estimate must hit RHO."""
+    tab = fourier.read_bsdf(_lambertian_table(tmp_path))
+    grid_np = fourier.bake_grid(tab, n_mu=48, n_phi=16)
+    grid = jnp.asarray(grid_np)
+    cdf_mu, cdf_phi = (jnp.asarray(a) for a in fourier.bake_sampling(grid_np))
+    B = 200_000
+    rs = np.random.RandomState(1)
+    wo = jnp.broadcast_to(jnp.asarray([0.25, 0.0, 0.968]), (B, 3))
+    us = jnp.asarray(rs.rand(B).astype(np.float32))
+    u1 = jnp.asarray(rs.rand(B).astype(np.float32))
+    u2 = jnp.asarray(rs.rand(B).astype(np.float32))
+    wi = fourier.sample_grid(cdf_mu, cdf_phi, wo, us, u1, u2)
+    assert np.allclose(np.linalg.norm(np.asarray(wi), axis=-1), 1.0,
+                       atol=1e-5)
+    pdf = np.asarray(fourier.pdf_grid(cdf_mu, cdf_phi, wo, wi))
+    assert (pdf > 0).all()
+    f = np.asarray(fourier.eval_grid(grid, wo, wi))[:, 0]
+    cos_i = np.abs(np.asarray(wi)[:, 2])
+    albedo = (f * cos_i / pdf).mean()
+    assert abs(albedo - RHO) < 0.05, albedo
+    # the sampler should concentrate where f*cos is: reflection side
+    assert (np.asarray(wi)[:, 2] > 0).mean() > 0.95
+
+
+def test_sample_f_dispatch_uses_cdfs(tmp_path):
+    """Through bsdf.sample_f, fourier lanes must return (f, pdf) that
+    match eval_f/pdf_f (MIS consistency) and land a RHO-ish albedo."""
+    from pbrt_tpu.materials import bsdf
+    from pbrt_tpu.scene import ir as irmod
+    tab = fourier.read_bsdf(_lambertian_table(tmp_path))
+    grid_np = fourier.bake_grid(tab, n_mu=48, n_phi=16)
+    cdf_mu, cdf_phi = fourier.bake_sampling(grid_np)
+    B = 65536
+    rs = np.random.RandomState(2)
+    z31 = jnp.zeros((B, 31))
+    p = bsdf.MaterialParams(
+        type=jnp.full(B, irmod.MAT_FOURIER, jnp.int32),
+        kd=z31, ks=z31, kr=z31, kt=z31,
+        rough_u=jnp.zeros(B), rough_v=jnp.zeros(B),
+        eta=jnp.ones(B), eta_spec=z31 + 1.0, k_spec=z31,
+        sigma=jnp.zeros(B), opacity=z31 + 1.0,
+        fourier_grid=jnp.asarray(grid_np)[None],
+        fourier_id=jnp.zeros(B, jnp.int32),
+        fourier_cdf_mu=jnp.asarray(cdf_mu)[None],
+        fourier_cdf_phi=jnp.asarray(cdf_phi)[None],
+        families=(irmod.MAT_FOURIER,))
+    wo = jnp.broadcast_to(jnp.asarray([0.25, 0.0, 0.968]), (B, 3))
+    us = jnp.asarray(rs.rand(B).astype(np.float32))
+    u1 = jnp.asarray(rs.rand(B).astype(np.float32))
+    u2 = jnp.asarray(rs.rand(B).astype(np.float32))
+    wi, f, pdf, is_spec, trans, eta_fac = bsdf.sample_f(p, wo, us, u1, u2)
+    ok = np.asarray(pdf) > 1e-9
+    assert ok.mean() > 0.95
+    f2 = np.asarray(bsdf.eval_f(p, wo, wi))
+    pdf2 = np.asarray(bsdf.pdf_f(p, wo, wi))
+    assert np.allclose(np.asarray(f)[ok], f2[ok], rtol=1e-4, atol=1e-6)
+    assert np.allclose(np.asarray(pdf)[ok], pdf2[ok], rtol=1e-4, atol=1e-6)
+    est = (np.asarray(f)[:, 0] * np.abs(np.asarray(wi)[:, 2])
+           / np.maximum(np.asarray(pdf), 1e-12))[ok].mean()
+    assert abs(est - RHO) < 0.05, est
