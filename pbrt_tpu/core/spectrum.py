@@ -204,11 +204,36 @@ def _build_bases(illuminant=None):
             for k, v in targets.items()}
 
 
-_REFL_BASES = _build_bases(None)
-# illuminant flavor: spectra shaped by D65 so emitters look like daylight-ish
-# sources for the same RGB (reference's RGBIllum2Spect tables play this role)
-_ILLUM_BASES = {k: v * _D65_BINS / np.mean(_D65_BINS)
-                for k, v in _build_bases(None).items()}
+def _load_rgb2spect():
+    """Smits basis tables resampled from the published pbrt-v3 data
+    (data/rgb2spect.npz, regenerated by scripts/gen_rgb2spect.py from
+    spectrum.cpp:1061+ exactly as SampledSpectrum::Init bins them) —
+    using the same tables makes our spectral renders match the
+    reference band-for-band.  The FromRGB trailing scales
+    (spectrum.cpp:138 *= .94, :172 *= .86445) are folded into the
+    bases.  Falls back to the NNLS-solved bases if the file is absent.
+    """
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "rgb2spect.npz")
+    if not os.path.exists(path):
+        return None, None
+    d = np.load(path)
+    names = ("white", "cyan", "magenta", "yellow", "red", "green", "blue")
+    refl = {k: d[f"refl_{k}"].astype(np.float64) * float(d["refl_scale"])
+            for k in names}
+    illum = {k: d[f"illum_{k}"].astype(np.float64) * float(d["illum_scale"])
+             for k in names}
+    return refl, illum
+
+
+_REFL_BASES, _ILLUM_BASES = _load_rgb2spect()
+if _REFL_BASES is None:
+    _REFL_BASES = _build_bases(None)
+    # illuminant flavor: spectra shaped by D65 so emitters look like
+    # daylight-ish sources for the same RGB
+    _ILLUM_BASES = {k: v * _D65_BINS / np.mean(_D65_BINS)
+                    for k, v in _build_bases(None).items()}
 
 
 def _load_lcd_primaries():

@@ -515,7 +515,10 @@ class PbrtAPI:
         self.graphics.material_id = mid
         self.graphics.material_name = name
 
-    def _spectrum_or_texture(self, ps, name, default, kind="reflectance"):
+    def _spectrum_or_texture(self, ps, name, default, kind="illuminant"):
+        # kind follows the reference parser: rgb/color params — even
+        # reflectances — convert with SpectrumType::Illuminant
+        # (paramset.cpp:116 + spectrum.h:429 default argument)
         """Returns (spectrum [31], tex_id) — tex_id -1 for constants."""
         tex = ps.find_texture(name)
         if tex is not None:

@@ -95,11 +95,19 @@ class ParamSet:
             return str(it[1][0])
         return None
 
-    def find_one_spectrum(self, name, default, kind="reflectance"):
+    def find_one_spectrum(self, name, default, kind="illuminant"):
         """Returns a [31] numpy spectrum.  default: scalar or [31] array.
 
         Handles rgb/color, xyz, blackbody [T scale]..., spectrum inline
         [l v l v ...] and "file.spd" (reference paramset.cpp:110-187).
+
+        kind defaults to "illuminant" because the reference's parser
+        converts EVERY rgb/color parameter — including reflectances —
+        with SpectrumType::Illuminant (AddRGBSpectrum at
+        paramset.cpp:110-120 calls Spectrum::FromRGB with its default
+        argument, spectrum.h:428-429); matching that quirk is required
+        for band-level radiance parity with PBRT_SAMPLED_SPECTRUM
+        builds.
         """
         it = self._get(name)
         if not it:

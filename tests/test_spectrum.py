@@ -20,12 +20,20 @@ def test_cie_y_peak():
 
 
 def test_rgb_spectrum_roundtrip():
+    """from_rgb -> to_rgb must reproduce the REFERENCE's own roundtrip:
+    pbrt's Smits tables do not invert exactly (their FromRGB->ToRGB of
+    white is (1.200, 0.947, 0.905)); these expectations were printed by
+    the reference binary itself (SampledSpectrum::FromRGB + ToRGB,
+    spectrum.cpp:97-176, PBRT_SAMPLED_SPECTRUM build)."""
     rgbs = np.array([[1, 1, 1], [0.5, 0.5, 0.5], [0.9, 0.1, 0.1],
                      [0.1, 0.8, 0.3], [0.2, 0.3, 0.9], [0.0, 0.0, 0.0]],
                     dtype=np.float32)
+    ref = np.array([[1.2002, 0.9472, 0.9050], [0.6001, 0.4736, 0.4525],
+                    [1.0487, 0.0904, 0.0889], [0.1504, 0.7607, 0.2780],
+                    [0.2441, 0.2846, 0.8094], [0.0, 0.0, 0.0]])
     s = spec.from_rgb(jnp.asarray(rgbs), "reflectance")
     back = np.asarray(spec.to_rgb(s))
-    assert np.allclose(back, rgbs, atol=0.05), back
+    assert np.allclose(back, ref, atol=2e-3), back
 
 
 def test_white_is_flat_ish():
