@@ -49,3 +49,35 @@ def test_killeroo_crop_matches_reference(tmp_path):
     spec_o = bo[sel].reshape(-1, 31)[mask.ravel()].mean(0)
     ratio = spec_o / np.maximum(spec_r, 1e-9)
     assert np.abs(ratio / ratio.mean() - 1.0).max() < 0.06, ratio
+
+
+CORNELL = os.path.join(os.path.dirname(__file__), "..", "scenes",
+                       "cornell_bench.pbrt")
+CORNELL_FIXTURE = os.path.join(os.path.dirname(__file__), "data",
+                               "ref_cornell_blocks.npz")
+
+
+def test_cornell_bench_matches_reference():
+    """The bench scene's .pbrt twin (scripts/gen_cornell_pbrt.py) renders
+    to the reference's radiance: 16x16-block luminance means within noise
+    and a flat per-band ratio (glass/mirror/plastic + area light NEE)."""
+    from pbrt_tpu.parser.api import parse_scene
+    from pbrt_tpu.tools.pbrt import run_job
+
+    d = np.load(CORNELL_FIXTURE)
+    ref_blocks = d["blocks"]            # [16,16,31] per-sample means
+    k = int(d["block"])
+    job = parse_scene(CORNELL)
+    spp = 2
+    film, _ = run_job(job, spp=spp, quiet=True, progress=False)
+    ours = np.asarray(film.raw) / spp
+    bo = ours.reshape(16, k, 16, k, 31).mean((1, 3))
+    lum_r = ref_blocks.sum(-1)
+    lum_o = bo.sum(-1)
+    mask = lum_r > lum_r.mean() * 0.05
+    rel = np.abs(lum_o - lum_r)[mask] / lum_r[mask]
+    assert np.median(rel) < 0.08, (np.median(rel), rel.max())
+    spec_r = ref_blocks.reshape(-1, 31)[mask.ravel()].mean(0)
+    spec_o = bo.reshape(-1, 31)[mask.ravel()].mean(0)
+    ratio = spec_o / np.maximum(spec_r, 1e-9)
+    assert np.abs(ratio / ratio.mean() - 1.0).max() < 0.05, ratio
