@@ -51,6 +51,41 @@ def test_killeroo_crop_matches_reference(tmp_path):
     assert np.abs(ratio / ratio.mean() - 1.0).max() < 0.06, ratio
 
 
+VOLPATH = os.path.join(os.path.dirname(__file__), "..", "scenes",
+                       "volpath_bench.pbrt")
+VOLPATH_FIXTURE = os.path.join(os.path.dirname(__file__), "data",
+                               "ref_volpath_blocks.npz")
+
+
+def test_volpath_bench_matches_reference():
+    """Volumetric parity (BASELINE config #4): a box of homogeneous
+    scattering fog (camera inside the medium via a pre-Camera
+    MediumInterface) rendered with volpath matches the reference
+    binary's radiance: 16x16-block luminance within volumetric noise,
+    overall energy within 3%, and a flat per-band ratio (medium
+    transmittance + in-scatter NEE + HG phase)."""
+    from pbrt_tpu.parser.api import parse_scene
+    from pbrt_tpu.tools.pbrt import run_job
+
+    d = np.load(VOLPATH_FIXTURE)
+    ref_blocks = d["blocks"]            # [16,16,31] per-sample means
+    k = int(d["block"])
+    job = parse_scene(VOLPATH)
+    spp = 32
+    film, _ = run_job(job, spp=spp, quiet=True, progress=False)
+    ours = np.asarray(film.raw) / spp
+    bo = ours.reshape(16, k, 16, k, 31).mean((1, 3))
+    lum_r = ref_blocks.sum(-1)
+    lum_o = bo.sum(-1)
+    assert abs(lum_o.sum() / lum_r.sum() - 1.0) < 0.03
+    rel = np.abs(lum_o - lum_r) / lum_r
+    assert np.median(rel) < 0.10, (np.median(rel), rel.max())
+    spec_r = ref_blocks.reshape(-1, 31).mean(0)
+    spec_o = bo.reshape(-1, 31).mean(0)
+    ratio = spec_o / np.maximum(spec_r, 1e-9)
+    assert np.abs(ratio / ratio.mean() - 1.0).max() < 0.02, ratio
+
+
 CORNELL = os.path.join(os.path.dirname(__file__), "..", "scenes",
                        "cornell_bench.pbrt")
 CORNELL_FIXTURE = os.path.join(os.path.dirname(__file__), "data",
