@@ -297,7 +297,7 @@ def _leaf_test(scene: SceneData, o, d, offs, count, t_best, leaf_mask):
 
 
 def intersect(scene: SceneData, ray: geom.Ray, any_hit: bool = False,
-              presorted: bool = False):
+              presorted: bool = False, anyhit_mask=None):
     """Closest-hit (or any-hit) query.
 
     Dispatches to the dense MXU Pluecker kernel (ops/pallas_intersect.py)
@@ -306,6 +306,9 @@ def intersect(scene: SceneData, ray: geom.Ray, any_hit: bool = False,
     `make_hit` to build the full surface-interaction record.
     presorted: skip the coherence sort (camera batches arrive in scanline
     order, which is already tile-coherent).
+    anyhit_mask: optional [B] bool — flagged lanes (shadow rays) stop at
+    their first accepted hit in the dense kernel (IntersectP semantics,
+    scene.h:59); their returned t is meaningless, only `found`/prim count.
     """
     import jax as _jax
     # visibility is not differentiated (no edge-sampling / boundary
@@ -316,7 +319,10 @@ def intersect(scene: SceneData, ray: geom.Ray, any_hit: bool = False,
     # gradients flow through shading, not through the hit search.
     ray = _jax.tree.map(_jax.lax.stop_gradient, ray)
     if scene.use_dense and _jax.default_backend() != "cpu":
-        return _intersect_dense(scene, ray, presorted=presorted)
+        if anyhit_mask is None and any_hit:
+            anyhit_mask = jnp.ones(ray.o.shape[0], bool)
+        return _intersect_dense(scene, ray, presorted=presorted,
+                                anyhit_mask=anyhit_mask)
     return _intersect_bvh(scene, ray, any_hit)
 
 
@@ -346,7 +352,8 @@ def _coherence_order(scene: SceneData, o, d, tmax):
     return jnp.argsort(key.astype(jnp.int32)).astype(jnp.int32)
 
 
-def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False):
+def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False,
+                     anyhit_mask=None):
     from pbrt_tpu.ops import pallas_intersect as pdense
     o, d = ray.o, ray.d
     t_init = ray.tmax.astype(jnp.float32)
@@ -355,7 +362,7 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False):
         tq, qprim, qhit = all_quadrics_test(scene, o, d, t_init)
         t_init = jnp.where(qhit, tq, t_init)
         prim_init = jnp.where(qhit, qprim, prim_init)
-    r16 = pdense.ray_vectors(o, d, scene.dense_center)
+    r16 = pdense.ray_vectors(o, d, scene.dense_center, anyhit=anyhit_mask)
     if presorted:
         t, prim = pdense.dense_intersect(r16, t_init, scene.dense_w,
                                          scene.dense_cb, scene.dense_npad)
@@ -454,11 +461,17 @@ def occluded(scene: SceneData, ray: geom.Ray, ignore_light=None):
     occlude (the reference reaches the same effect by spawning the shadow
     ray to just under the sampled light surface with error-bound offsets,
     interaction.h SpawnRayTo; with fp32 cone-sampled sphere distances that
-    epsilon dance causes banding, so we exclude the light explicitly)."""
+    epsilon dance causes banding, so we exclude the light explicitly).
+    Sphere lights resolve via the fp32 quadric pre-test outside the dense
+    kernel, so triangle lanes always run with first-hit early-out there;
+    mesh-light self-hits are excluded by id on whatever hit is reported
+    (the queue is front-to-back per tile, so the first accepted triangle
+    is the nearest one in practice)."""
     # closest-hit semantics are required when ignoring a light: any real
     # blocker along the segment is closer than the light surface itself
-    _, prim, _, _, found = intersect(scene, ray,
-                                     any_hit=ignore_light is None)
+    _, prim, _, _, found = intersect(
+        scene, ray, any_hit=ignore_light is None,
+        anyhit_mask=jnp.ones(ray.o.shape[0], bool))
     if ignore_light is not None:
         P = scene.prim_type.shape[0]
         hit_light = scene.prim_light[jnp.clip(prim, 0, P - 1)]
@@ -566,7 +579,9 @@ def trace_pair(scene: SceneData, nray: geom.Ray, sray, ignore_light=None):
         return intersect_full(scene, nray), None
     B = nray.o.shape[0]
     both = jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0), nray, sray)
-    t, prim, u, v, found = intersect(scene, both)
+    # shadow half runs with first-hit early-out in the dense kernel
+    amask = jnp.concatenate([jnp.zeros(B, bool), jnp.ones(B, bool)])
+    t, prim, u, v, found = intersect(scene, both, anyhit_mask=amask)
     hit = make_hit(scene, nray, t[:B], prim[:B], u[:B], v[:B], found[:B])
     occ = found[B:]
     if ignore_light is not None:

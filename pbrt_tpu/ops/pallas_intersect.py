@@ -41,6 +41,15 @@ RAY_TILE = 512
 CHUNK = 1024          # triangles per streamed chunk (4 x 128 lanes)
 LANE_BITS = (CHUNK - 1).bit_length()   # low mantissa bits holding the lane
 LANE_MASK = (1 << LANE_BITS) - 1
+# NOTE(perf, measured on v5e): two finer-culling variants of this kernel
+# were tried and both LOST to the single chunk-level AABB + one big dot:
+# (a) four gated 256-tri sub-dots per chunk (97ms vs 76ms/pass on the
+# cornell bench — the serialized small dots + per-sub epilogues cost more
+# than the skipped work), and (b) one dot gated by the OR of four
+# sub-chunk slab tests (85ms — 4x the lane-3-shaped [T,3] slab math per
+# step).  Per-step cost splits ~2.3us machinery+MXU / ~2.4us epilogue
+# (scripts/ablate_kernel_step.py), so step COUNT, not per-step width, is
+# the lever that matters.
 F32_MAX = 3.4e38     # python float: jnp scalars would be captured kernel consts
 
 
@@ -132,7 +141,7 @@ def build_dense_tables(v0, e1, e2):
                 center=center.astype(np.float32), n_pad=Pp)
 
 
-def ray_vectors(o, d, center):
+def ray_vectors(o, d, center, anyhit=None):
     """r16 rows for the dense kernel: [B,16] = [d, (o-c)xd, o-c, 1/d, pad, 1].
 
     Lane 15 is the constant 1 that pairs with the nv0 row baked into the
@@ -140,12 +149,21 @@ def ray_vectors(o, d, center):
     the in-kernel chunk AABB slab test (W rows 9:15 are zero, so the extra
     lanes never perturb the dots) — computing it here once replaces a
     [T,3] divide in every grid step.
+
+    anyhit: optional [B] bool — lanes flagged here (shadow rays) stop at
+    their FIRST accepted triangle: the kernel writes t=-1, which kills the
+    lane's per-sub-chunk box test for the rest of its tile's queue.  This
+    matches the reference's IntersectP semantics (scene.h:59).  Rides in
+    lane 12 (a zero row of W, so it never perturbs the dots).
     """
     oc = o - center
     m = jnp.cross(oc, d)
     B = o.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
-    return jnp.concatenate([d, m, oc, inv_d, jnp.zeros((B, 3), o.dtype),
+    flag = (jnp.zeros((B, 1), o.dtype) if anyhit is None
+            else anyhit.astype(o.dtype)[:, None])
+    return jnp.concatenate([d, m, oc, inv_d, flag,
+                            jnp.zeros((B, 2), o.dtype),
                             jnp.ones((B, 1), o.dtype)], -1)
 
 
@@ -178,6 +196,7 @@ def _kernel(wq_tile_ref, wq_chunk_ref, wq_flag_ref, r16_ref, tmax_ref,
     # ---- per-ray chunk AABB refinement against the shrinking t_best ----
     oc = r[:, 6:9]
     inv_d = r[:, 9:12]
+    anyhit = r[:, 12] > 0.5
     lo = cb_ref[c, 0:3]
     hi = cb_ref[c, 4:7]
     t0 = (lo[None, :] - oc) * inv_d
@@ -206,9 +225,9 @@ def _kernel(wq_tile_ref, wq_chunk_ref, wq_flag_ref, r16_ref, tmax_ref,
         #  - t = num * rcp(nd) with IEEE semantics doing the guarding:
         #    padding/degenerate columns give 0*inf=NaN or inf, both of
         #    which fail the ordered t-range compares
-        #  - winner lane packed into the low 9 mantissa bits of t so ONE
+        #  - winner lane packed into the low 10 mantissa bits of t so ONE
         #    int-min reduction yields both the min-t and its lane (t is
-        #    quantized to ~6e-5 relative; the caller re-derives the
+        #    quantized to ~1e-4 relative; the caller re-derives the
         #    winner's exact t with one fp32 MT test afterwards)
         s1 = out[:, 0 * CHUNK:1 * CHUNK]
         s2 = out[:, 1 * CHUNK:2 * CHUNK]
@@ -219,7 +238,7 @@ def _kernel(wq_tile_ref, wq_chunk_ref, wq_flag_ref, r16_ref, tmax_ref,
         i1 = s1.view(jnp.int32)
         i2 = s2.view(jnp.int32)
         inside = ((i0 ^ i1) | (i0 ^ i2)) >= 0
-        # approx reciprocal (~12-bit) is fine: t is quantized to 9 lane
+        # approx reciprocal (~12-bit) is fine: t is quantized to 10 lane
         # bits below anyway and the caller re-derives the winner's exact t
         t = num * pl.reciprocal(nd, approx=True)
         tb = jnp.where(box_hit, t_best, -F32_MAX)
@@ -231,6 +250,10 @@ def _kernel(wq_tile_ref, wq_chunk_ref, wq_flag_ref, r16_ref, tmax_ref,
         upd = kmin < BIG
         t_new = (kmin & jnp.int32(~LANE_MASK)).view(jnp.float32)
         k = kmin & jnp.int32(LANE_MASK)
+        # any-hit lanes park at t=-1 on their first accepted hit:
+        # box_hit needs t_best>0, so the lane goes dead for every later
+        # chunk of its tile (IntersectP semantics, scene.h:59)
+        t_new = jnp.where(anyhit, -1.0, t_new)
         t_ref[0, 0, :] = jnp.where(upd, t_new, t_best)
         prim_ref[0, 0, :] = jnp.where(upd, c.astype(jnp.int32) * CHUNK + k,
                                       prim_ref[0, 0, :])
@@ -355,7 +378,7 @@ def dense_intersect(r16, tmax, W, chunk_bounds, n_pad):
                                  lambda k, wt, wc, wf: (wt[k], 0, 0)),
                     pl.BlockSpec((48, 4 * CHUNK),
                                  lambda k, wt, wc, wf: (0, wc[k])),
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # chunk_bounds
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # sub_bounds
                 ],
                 out_specs=[
                     pl.BlockSpec((1, 1, RAY_TILE),
