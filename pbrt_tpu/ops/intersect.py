@@ -376,19 +376,13 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False,
     # kernel only reports triangle wins; keep the quadric prehit otherwise
     prim = jnp.where(prim >= 0, prim, prim_init)
     found = prim >= 0
-    # barycentrics + exact-t refinement for the winning triangle via one
-    # fp32 MT test (the kernel's bf16x2 t is ~1e-4-relative; the winner's
-    # t is recomputed exactly here)
-    P = scene.prim_type.shape[0]
-    pid = jnp.clip(prim, 0, P - 1)
-    tp = scene.tri_packed[pid][:, None, :]
-    t_mt, b1, b2, hit_mt = ray_triangle(o, d, tp[..., 0:3], tp[..., 3:6],
-                                        tp[..., 6:9], t_init * 1.001)
-    u = jnp.clip(b1[:, 0], 0.0, 1.0)
-    v = jnp.clip(b2[:, 0], 0.0, 1.0)
-    is_tri_win = found & (scene.quad_idx[pid] < 0)
-    t = jnp.where(is_tri_win & hit_mt[:, 0], t_mt[:, 0], t)
-    return t, prim, u, v, found
+    # the kernel's t is bf16x2-quantized (~1e-4 relative) and u,v are not
+    # computed at all: make_hit re-derives the winner's exact t/u/v with
+    # one fp32 MT solve from its single packed gather (v0,e1,e2 ride in
+    # shade_all cols 21:24/0:6), so no extra [B]-row gather happens here —
+    # TPU gathers are row-serial, and shadow lanes never need them
+    zero = jnp.zeros_like(t)
+    return t, prim, zero, zero, found
 
 
 def _intersect_bvh(scene: SceneData, ray: geom.Ray, any_hit: bool = False):
@@ -498,10 +492,26 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
     # missed lanes carry t=F32_MAX; clamp so masked-out geometry math stays
     # finite (inf*0 => NaN would poison reverse-mode grads via where)
     t = jnp.where(found, t, 1.0)
-    p = ray.at(t)
-    # triangle geometric normal
     e1 = sf[:, 0:3]
     e2 = sf[:, 3:6]
+    # exact t/u/v for triangle winners via one fp32 MT solve (the dense
+    # kernel reports a bf16x2-quantized t and no barycentrics; recovering
+    # them here rides the SAME packed gather — v0 in cols 21:24 — instead
+    # of a second row-serial [B,12] gather per trace call)
+    v0 = sf[:, 21:24]
+    pvec = jnp.cross(ray.d, e2)
+    det = jnp.sum(e1 * pvec, -1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = ray.o - v0
+    b1 = jnp.sum(tvec * pvec, -1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    b2 = jnp.sum(ray.d * qvec, -1) * inv_det
+    t_mt = jnp.sum(e2 * qvec, -1) * inv_det
+    refine = found & is_tri & (jnp.abs(det) > 1e-12) & (t_mt > 0)
+    t = jnp.where(refine, t_mt, t)
+    u = jnp.where(refine, jnp.clip(b1, 0.0, 1.0), u)
+    v = jnp.where(refine, jnp.clip(b2, 0.0, 1.0), v)
+    p = ray.at(t)
     ng_tri = geom.normalize(jnp.cross(e1, e2))
     # triangle shading normal: barycentric interp; fall back to geometric
     b0 = (1.0 - u - v)[..., None]

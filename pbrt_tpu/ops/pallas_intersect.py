@@ -268,26 +268,29 @@ def _tile_chunk_lists(r16_t, tmax_t, chunk_bounds):
     entry (shrinks t_best fastest), then the last active index repeated
     so inactive grid steps re-fetch nothing.
     """
-    d = r16_t[..., 0:3]
-    oc = r16_t[..., 6:9]
-    inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+    # slab test vectorized over chunks with the ray axis LAST
+    # ([n_tiles, C, T], 512-lane minor dim) — a lax.map over chunks with
+    # [.., T, 3] math re-read the whole ray table per chunk and ran
+    # lane-3-shaped ops; this fuses into a few well-shaped passes
     ray_ok = tmax_t > 0
-
-    def per_chunk(cbrow):
-        lo = cbrow[0:3]
-        hi = cbrow[4:7]
-        t0 = (lo - oc) * inv_d
-        t1 = (hi - oc) * inv_d
-        tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        hit = (tnear <= tfar * 1.0001 + 1e-5) & (tfar > 0) \
-            & (tnear < tmax_t) & ray_ok
-        near = jnp.where(hit, jnp.maximum(tnear, 0.0), F32_MAX)
-        return hit.any(-1), near.min(-1)            # [n_tiles] each
-
-    hits, nears = jax.lax.map(per_chunk, chunk_bounds)
-    hits = hits.T                                   # [n_tiles, C]
-    nears = nears.T
+    tnear = jnp.full(tmax_t.shape[:1] + (chunk_bounds.shape[0],
+                                         tmax_t.shape[1]), -F32_MAX)
+    tfar = jnp.full_like(tnear, F32_MAX)
+    for ax in range(3):
+        da = r16_t[..., ax]
+        inva = 1.0 / jnp.where(jnp.abs(da) > 1e-20, da, 1e-20)
+        oca = r16_t[..., 6 + ax][:, None, :]        # [n_tiles, 1, T]
+        inva = inva[:, None, :]
+        lo = chunk_bounds[None, :, ax, None]        # [1, C, 1]
+        hi = chunk_bounds[None, :, 4 + ax, None]
+        t0 = (lo - oca) * inva
+        t1 = (hi - oca) * inva
+        tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+        tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
+    hit = (tnear <= tfar * 1.0001 + 1e-5) & (tfar > 0) \
+        & (tnear < tmax_t[:, None, :]) & ray_ok[:, None, :]
+    hits = hit.any(-1)                              # [n_tiles, C]
+    nears = jnp.min(jnp.where(hit, jnp.maximum(tnear, 0.0), F32_MAX), -1)
     C = chunk_bounds.shape[0]
     order = jnp.argsort(jnp.where(hits, nears, F32_MAX),
                         axis=1).astype(jnp.int32)

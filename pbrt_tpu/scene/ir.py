@@ -760,6 +760,7 @@ class SceneBuilder:
         shade_f32[:, 3:6] = tri_e2
         shade_f32[:, 6:15] = _tns.reshape(Pp, 9)
         shade_f32[:, 15:21] = _tuv.reshape(Pp, 6)
+        shade_f32[:, 21:24] = tri_v0   # lets make_hit re-derive exact t/u/v
         shade_i32 = np.zeros((Pp, 8), np.int32)
         shade_i32[:, 0] = reorder("prim_type", np.int32)
         shade_i32[:, 1] = reorder("quad_refs", np.int32)
