@@ -412,7 +412,8 @@ def connect_strategies(scene, camera, width, height, cam_vs, light_vs,
                 & ~spec.is_black(f_pt)
             sray = isect.spawn_ray(pt.p, pt.ng, w_pl, wavelength,
                                    tmax=jnp.where(cand, dist * 0.999, -1.0))
-            occ = isect.occluded(scene, sray, ignore_light=lv0.light)
+            occ = isect.occluded(scene, sray,
+                                  ignore_light=isect.nee_ignore_light(scene, lv0.light))
             w1 = _mis_weight(scene, cam_vs, light_vs, 1, t, camera,
                              width, height)
             contrib = pt.beta * f_pt * lv0.beta * g_l[:, None]

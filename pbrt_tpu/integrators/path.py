@@ -151,7 +151,12 @@ def _sss_event(scene, hit, mat, beta, alive, ss, ts, pixel_id, sample_idx,
                   jnp.where(accept, uu, picked[2]),
                   jnp.where(accept, vv, picked[3]))
         if k + 1 < SSS_PROBE_PASSES:
-            step = tt + eps
+            # tt from the dense path is the bf16x2-quantized kernel t
+            # (truncated downward by up to ~1.2e-4 relative): scale the
+            # march epsilon with t so the next pass can't re-hit the
+            # same triangle when the quantization deficit exceeds the
+            # absolute eps
+            step = tt * (1.0 + 2e-4) + eps
             dist0 = dist0 + jnp.where(found, step, 0.0)
             cur_o = cur_o + jnp.where(found, step, 0.0)[:, None] * pdir
             remaining = jnp.where(found, remaining - step, -1.0)
@@ -387,7 +392,9 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
         # ---- combined trace: next closest-hit + this bounce's shadow -----
         if count_rays:
             n_rays = n_rays + jnp.sum((ray.tmax > 0).astype(jnp.float32))
-        hit, occ = isect.trace_pair(scene, ray, sray, ignore_light=l)
+        hit, occ = isect.trace_pair(scene, ray, sray,
+                                    ignore_light=isect.nee_ignore_light(
+                                        scene, l))
         if scene.n_lights > 0:
             L = L + jnp.where((cand & ~occ)[:, None], contrib, 0.0)
 

@@ -100,7 +100,8 @@ def _camera_pass(scene, camera, W, H, cfg, it, max_depth, generate_rays):
                 & ~spec.is_black(f)
             sray = isect.spawn_ray(hit.p, hit.ng, wi, ray.wavelength,
                                    tmax=jnp.where(cand, dist * 0.999, -1.0))
-            occ = isect.occluded(scene, sray, ignore_light=l)
+            occ = isect.occluded(scene, sray,
+                                  ignore_light=isect.nee_ignore_light(scene, l))
             Ld = Ld + jnp.where(
                 (cand & ~occ)[:, None],
                 beta * f * li / jnp.maximum(pdf_l, 1e-12)[:, None]

@@ -147,7 +147,8 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
                 sray = isect.spawn_ray(sp_org, sp_n, wi, ray.wavelength,
                                        tmax=jnp.where(cand, dist * 0.999,
                                                       -1.0))
-                occ = isect.occluded(scene, sray, ignore_light=l)
+                occ = isect.occluded(scene, sray,
+                                      ignore_light=isect.nee_ignore_light(scene, l))
                 # transmittance along the unoccluded shadow path (per-
                 # prim: the vertex's own medium attenuates the whole
                 # segment — boundary changes mid-segment are ignored)

@@ -52,7 +52,8 @@ def make_trace_whitted():
                 sray = isect.spawn_ray(hit.p, hit.ng, wi, ray.wavelength,
                                        tmax=jnp.where(cand, dist * 0.999,
                                                       -1.0))
-                occ = isect.occluded(scene, sray, ignore_light=l)
+                occ = isect.occluded(scene, sray,
+                                      ignore_light=isect.nee_ignore_light(scene, l))
                 L = L + jnp.where(
                     (cand & ~occ)[:, None],
                     beta * f * li / pdf_l[:, None] * n_lights, 0.0)

@@ -448,24 +448,49 @@ def _f32_bits_to_i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
+def nee_ignore_light(scene: SceneData, l):
+    """Restrict a sampled-light exclusion to sphere-area lights.
+
+    Mesh-area and delta lights have an exactly-known sample distance, so
+    the caller's tmax = 0.999*dist shave already keeps the light's own
+    geometry out of the shadow segment — the reference's SpawnRayTo
+    1-ShadowEpsilon semantics (interaction.h) — and occluding faces of
+    the light's own mesh DO occlude, as in the reference.  Only sphere
+    lights (cone-sampled, distance approximate in fp32) keep the
+    explicit id exclusion; those resolve via the quadric pre-test, so
+    the dense kernel's triangle first-hit early-out stays safe.
+    """
+    if l is None or not getattr(scene, "has_sphere_lights", True):
+        return None
+    L = scene.light_quad.shape[0]
+    lq = scene.light_quad[jnp.clip(l, 0, L - 1)]
+    return jnp.where((l >= 0) & (lq >= 0), l, -1)
+
+
+def _shadow_anyhit(scene: SceneData, ignore_light, B):
+    """Early-out mask for shadow lanes.  Sphere-light exclusions resolve
+    via the fp32 quadric pre-test (a first accepted TRIANGLE closer than
+    the pre-test t is always a genuine blocker), so they keep the
+    first-hit early-out; a MESH-light exclusion needs closest-hit — the
+    first accepted triangle could be a same-light face, parking the lane
+    before a real blocker in a later chunk is tested (light leak)."""
+    if ignore_light is None:
+        return jnp.ones(B, bool)
+    if not getattr(scene, "has_mesh_lights", True):
+        return jnp.ones(B, bool)
+    L = scene.light_quad.shape[0]
+    lq = scene.light_quad[jnp.clip(ignore_light, 0, L - 1)]
+    return ~((ignore_light >= 0) & (lq < 0))
+
+
 def occluded(scene: SceneData, ray: geom.Ray, ignore_light=None):
     """Shadow-ray IntersectP (reference scene.h:59).
 
     ignore_light: optional [B] light index whose own geometry does not
-    occlude (the reference reaches the same effect by spawning the shadow
-    ray to just under the sampled light surface with error-bound offsets,
-    interaction.h SpawnRayTo; with fp32 cone-sampled sphere distances that
-    epsilon dance causes banding, so we exclude the light explicitly).
-    Sphere lights resolve via the fp32 quadric pre-test outside the dense
-    kernel, so triangle lanes always run with first-hit early-out there;
-    mesh-light self-hits are excluded by id on whatever hit is reported
-    (the queue is front-to-back per tile, so the first accepted triangle
-    is the nearest one in practice)."""
-    # closest-hit semantics are required when ignoring a light: any real
-    # blocker along the segment is closer than the light surface itself
-    _, prim, _, _, found = intersect(
-        scene, ray, any_hit=ignore_light is None,
-        anyhit_mask=jnp.ones(ray.o.shape[0], bool))
+    occlude (see nee_ignore_light; callers should pass its result so
+    only sphere lights carry the exclusion)."""
+    amask = _shadow_anyhit(scene, ignore_light, ray.o.shape[0])
+    _, prim, _, _, found = intersect(scene, ray, anyhit_mask=amask)
     if ignore_light is not None:
         P = scene.prim_type.shape[0]
         hit_light = scene.prim_light[jnp.clip(prim, 0, P - 1)]
@@ -507,10 +532,19 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
     qvec = jnp.cross(tvec, e1)
     b2 = jnp.sum(ray.d * qvec, -1) * inv_det
     t_mt = jnp.sum(e2 * qvec, -1) * inv_det
-    refine = found & is_tri & (jnp.abs(det) > 1e-12) & (t_mt > 0)
+    # the kernel t is bf16x2-quantized (truncated by up to ~1.2e-4 rel);
+    # accept the exact MT solve only when it stays within that margin of
+    # the kernel t (so it can't exceed ray.tmax) and its barycentrics are
+    # a valid simplex point — otherwise keep the kernel t and clamp the
+    # barycentrics so b0 = 1-u-v stays non-negative
+    refine = (found & is_tri & (jnp.abs(det) > 1e-12) & (t_mt > 0)
+              & (t_mt < t * 1.01)
+              & (b1 >= 0) & (b2 >= 0) & (b1 + b2 <= 1.0 + 1e-4))
+    b1c = jnp.clip(b1, 0.0, 1.0)
+    b2c = jnp.clip(b2, 0.0, 1.0 - b1c)
     t = jnp.where(refine, t_mt, t)
-    u = jnp.where(refine, jnp.clip(b1, 0.0, 1.0), u)
-    v = jnp.where(refine, jnp.clip(b2, 0.0, 1.0), v)
+    u = jnp.where(found & is_tri, jnp.where(refine, b1, b1c), u)
+    v = jnp.where(found & is_tri, jnp.where(refine, b2, b2c), v)
     p = ray.at(t)
     ng_tri = geom.normalize(jnp.cross(e1, e2))
     # triangle shading normal: barycentric interp; fall back to geometric
@@ -589,8 +623,15 @@ def trace_pair(scene: SceneData, nray: geom.Ray, sray, ignore_light=None):
         return intersect_full(scene, nray), None
     B = nray.o.shape[0]
     both = jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0), nray, sray)
-    # shadow half runs with first-hit early-out in the dense kernel
-    amask = jnp.concatenate([jnp.zeros(B, bool), jnp.ones(B, bool)])
+    # shadow half runs with first-hit early-out in the dense kernel,
+    # EXCEPT lanes that must ignore a light's own geometry: those need
+    # closest-hit (the first accepted triangle could be the light itself,
+    # parking the lane before a real blocker is tested)
+    if ignore_light is None:
+        sh_any = jnp.ones(B, bool)
+    else:
+        sh_any = ignore_light < 0
+    amask = jnp.concatenate([jnp.zeros(B, bool), sh_any])
     t, prim, u, v, found = intersect(scene, both, anyhit_mask=amask)
     hit = make_hit(scene, nray, t[:B], prim[:B], u[:B], v[:B], found[:B])
     occ = found[B:]

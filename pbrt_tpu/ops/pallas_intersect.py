@@ -381,7 +381,7 @@ def dense_intersect(r16, tmax, W, chunk_bounds, n_pad):
                                  lambda k, wt, wc, wf: (wt[k], 0, 0)),
                     pl.BlockSpec((48, 4 * CHUNK),
                                  lambda k, wt, wc, wf: (0, wc[k])),
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # sub_bounds
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # chunk_bounds
                 ],
                 out_specs=[
                     pl.BlockSpec((1, 1, RAY_TILE),

@@ -34,7 +34,6 @@ v0, e1, e2 = base, rs.randn(ncl * per, 3) * 0.1, rs.randn(ncl * per, 3) * 0.1
 tab = pdense.build_dense_tables(v0, e1, e2)
 Wt = jnp.asarray(tab["W"])
 cb = jnp.asarray(tab["chunk_bounds"])
-cbsub = jnp.asarray(tab["sub_bounds"])
 center = jnp.asarray(tab["center"])
 n_pad = tab["n_pad"]
 
