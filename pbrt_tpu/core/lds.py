@@ -126,3 +126,143 @@ def sample_02(index, scramble_x, scramble_y):
     inv = jnp.float32(2.3283064365386963e-10)
     return (jnp.minimum(x_bits.astype(jnp.float32) * inv, _rng.ONE_MINUS_EPS),
             jnp.minimum(y_bits.astype(jnp.float32) * inv, _rng.ONE_MINUS_EPS))
+
+
+# ---------------------------------------------------------------------------
+# Reference-exact GlobalSampler Sobol' index remapping
+# (reference: lowdiscrepancy.h:229 SobolIntervalToIndex +
+#  samplers/sobol.cpp:42-58 GetIndexForSample/SampleDimension)
+# ---------------------------------------------------------------------------
+#
+# pbrt's SobolSampler enumerates, for each pixel p of a 2^m x 2^m raster,
+# the indices i of the global Sobol' sequence whose first two dimensions
+# land in p; the sampleNum-th such index is i = (sampleNum << 2m) | q with
+# q < 2^(2m) the unique solution of a GF(2) linear system (the first two
+# Sobol' dimensions form a (0,2)-net, so the map q -> top-m-bits of
+# (x(i), y(i)) is invertible).  pbrt bakes the solve into VdCSobolMatrices
+# tables; here the same mapping is derived at setup time by inverting the
+# system with numpy bit-ops — no reference tables involved.
+
+_GLOBAL_TABLES = {}
+
+
+def _bit(x, k):
+    return (x >> k) & 1
+
+
+def sobol_global_tables(m, n_frame_bits=None):
+    """Per-resolution tables for the pbrt GlobalSampler index map.
+
+    Returns dict with uint32 arrays gx [m], gy [m], gf [n_frame_bits]:
+      q = XOR_k(px bit k ? gx[k]) ^ XOR_k(py bit k ? gy[k])
+          ^ XOR_l(frame bit l ? gf[l])
+      index = (frame << 2m) | q
+    Requires 2m + n_frame_bits <= 30 (our Sobol' table is 30 columns).
+    """
+    if n_frame_bits is None:
+        n_frame_bits = SOBOL_BITS - 2 * m   # max spp = 2^this
+    key = (m, n_frame_bits)
+    if key in _GLOBAL_TABLES:
+        return _GLOBAL_TABLES[key]
+    if m == 0:
+        t = dict(gx=np.zeros(1, np.uint32), gy=np.zeros(1, np.uint32),
+                 gf=np.zeros(n_frame_bits, np.uint32), m=0)
+        _GLOBAL_TABLES[key] = t
+        return t
+    nbits = 2 * m + n_frame_bits
+    if nbits > SOBOL_BITS:
+        raise ValueError(
+            f"sobol_global_tables: 2*{m}+{n_frame_bits} > {SOBOL_BITS} "
+            "index bits (raise SOBOL_BITS or lower spp/resolution)")
+    # 32-bit columns of dims 0/1 (table rows are v_k << (SOBOL_BITS-1-k))
+    cx = (_SOBOL_NP[0].astype(np.uint64) << 2)
+    cy = (_SOBOL_NP[1].astype(np.uint64) << 2)
+
+    def top_bits(col):
+        # bit k (k=0 LSB) of the m-bit pixel coordinate = bit 32-m+k of col
+        return [(int(col) >> (32 - m + k)) & 1 for k in range(m)]
+
+    # M: rows = 2m equations (m for x, m for y), cols = 2m unknown q bits
+    M = np.zeros((2 * m, 2 * m), np.uint8)
+    for j in range(2 * m):
+        tx = top_bits(cx[j])
+        ty = top_bits(cy[j])
+        for k in range(m):
+            M[k, j] = tx[k]
+            M[m + k, j] = ty[k]
+    # invert M over GF(2)
+    A = np.concatenate([M, np.eye(2 * m, dtype=np.uint8)], 1)
+    for col in range(2 * m):
+        piv = next(r for r in range(col, 2 * m) if A[r, col])
+        A[[col, piv]] = A[[piv, col]]
+        for r in range(2 * m):
+            if r != col and A[r, col]:
+                A[r] ^= A[col]
+    Minv = A[:, 2 * m:]                      # [2m, 2m]
+
+    def apply_minv(rhs_bits):
+        q = 0
+        for r in range(2 * m):
+            if rhs_bits[r]:
+                # q bit j gets Minv[.., r]? solve q = Minv @ rhs
+                pass
+        return q
+
+    # q_j = XOR_r Minv[j, r] * rhs_r  ->  packed column tables
+    col_for_rhs = np.zeros(2 * m, np.uint32)     # q pattern per rhs bit
+    for r in range(2 * m):
+        q = 0
+        for j in range(2 * m):
+            if Minv[j, r]:
+                q |= 1 << j
+        col_for_rhs[r] = q
+    # rhs for px bit k is e_k (rows 0..m-1); for py bit k is e_{m+k}
+    gx = col_for_rhs[:m].astype(np.uint32)
+    gy = col_for_rhs[m:2 * m].astype(np.uint32)
+    # frame bit l (index bit 2m+l) contributes top-bit pattern of its
+    # columns to the rhs: rhs_r = bit r of F contribution
+    gf = np.zeros(n_frame_bits, np.uint32)
+    for l in range(n_frame_bits):
+        j = 2 * m + l
+        tx = top_bits(cx[j])
+        ty = top_bits(cy[j])
+        q = 0
+        for r in range(m):
+            if tx[r]:
+                q ^= int(col_for_rhs[r])
+        for r in range(m):
+            if ty[r]:
+                q ^= int(col_for_rhs[m + r])
+        gf[l] = q
+    t = dict(gx=gx, gy=gy, gf=gf, m=m)
+    _GLOBAL_TABLES[key] = t
+    return t
+
+
+def sobol_global_index(frame, px, py, m):
+    """uint32 Sobol' index of pixel-sample `frame` at pixel (px,py) on a
+    2^m raster — vectorized SobolIntervalToIndex twin (derived tables)."""
+    if m == 0:
+        return jnp.asarray(frame).astype(_U32)
+    tabs = sobol_global_tables(m)
+    gx = jnp.asarray(tabs["gx"])
+    gy = jnp.asarray(tabs["gy"])
+    gf = jnp.asarray(tabs["gf"])
+    frame = jnp.asarray(frame).astype(_U32)
+    px = jnp.asarray(px).astype(_U32)
+    py = jnp.asarray(py).astype(_U32)
+    q = jnp.zeros(jnp.broadcast_shapes(frame.shape, px.shape), _U32)
+    for k in range(m):
+        q = q ^ jnp.where((px >> _U32(k)) & _U32(1), gx[k], _U32(0))
+        q = q ^ jnp.where((py >> _U32(k)) & _U32(1), gy[k], _U32(0))
+    for l in range(int(gf.shape[0])):
+        q = q ^ jnp.where((frame >> _U32(l)) & _U32(1), gf[l], _U32(0))
+    return (frame << _U32(2 * m)) | q
+
+
+def sobol_sample_pbrt(index, dim):
+    """Plain (unscrambled) Sobol' float exactly as the reference's
+    SobolSample(index, dim) (lowdiscrepancy.h:259, scramble=0)."""
+    x = sobol_u32(index, dim) << _U32(32 - SOBOL_BITS)
+    f = x.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+    return jnp.minimum(f, _rng.ONE_MINUS_EPS)

@@ -410,8 +410,8 @@ def connect_strategies(scene, camera, width, height, cam_vs, light_vs,
                    * emit_scale) / jnp.maximum(dist * dist, 1e-12)
             cand = pt.connectible & lv0.valid & emit_ok \
                 & ~spec.is_black(f_pt)
-            sray = isect.spawn_ray(pt.p, pt.ng, w_pl, wavelength,
-                                   tmax=jnp.where(cand, dist * 0.999, -1.0))
+            sray = isect.spawn_shadow_ray(pt.p, pt.ng, w_pl, dist, cand,
+                                          wavelength)
             occ = isect.occluded(scene, sray,
                                   ignore_light=isect.nee_ignore_light(scene, lv0.light))
             w1 = _mis_weight(scene, cam_vs, light_vs, 1, t, camera,
@@ -432,8 +432,8 @@ def connect_strategies(scene, camera, width, height, cam_vs, light_vs,
             f_pt = pt.f_world(scene, -w_qp)
             cand = qs.connectible & pt.connectible \
                 & ~spec.is_black(f_qs) & ~spec.is_black(f_pt)
-            sray = isect.spawn_ray(qs.p, qs.ng, w_qp, wavelength,
-                                   tmax=jnp.where(cand, dist * 0.999, -1.0))
+            sray = isect.spawn_shadow_ray(qs.p, qs.ng, w_qp, dist, cand,
+                                          wavelength)
             occ = isect.occluded(scene, sray)
             w = _mis_weight(scene, cam_vs, light_vs, s, t, camera,
                             width, height)
@@ -452,8 +452,8 @@ def connect_strategies(scene, camera, width, height, cam_vs, light_vs,
                                                qs.p, -w_qc, dist)
         f_qs = qs.f_world(scene, w_qc) * geom.absdot(w_qc, qs.ns)[:, None]
         cand = qs.connectible & cam_ok & ~spec.is_black(f_qs)
-        sray = isect.spawn_ray(qs.p, qs.ng, w_qc, wavelength,
-                               tmax=jnp.where(cand, dist * 0.999, -1.0))
+        sray = isect.spawn_shadow_ray(qs.p, qs.ng, w_qc, dist, cand,
+                                      wavelength)
         occ = isect.occluded(scene, sray)
         w = _mis_weight(scene, [cam0], light_vs, s, 1, camera,
                         width, height)

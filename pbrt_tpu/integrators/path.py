@@ -339,8 +339,8 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
             cand = alive & (pdf_l > 1e-12) & ~spec.is_black(li) \
                 & ~spec.is_black(f)
             # shadow ray; dead lanes get tmax<=0 so traversal skips them
-            sray = isect.spawn_ray(hit.p, hit.ng, wi, ray.wavelength,
-                                   tmax=jnp.where(cand, dist * 0.999, -1.0))
+            sray = isect.spawn_shadow_ray(hit.p, hit.ng, wi, dist, cand,
+                                          ray.wavelength)
             if count_rays:
                 n_rays = n_rays + jnp.sum(cand.astype(jnp.float32))
             pdf_b = bsdf.pdf_f(mat, wo_l, wi_l)

@@ -144,9 +144,8 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
                     & ~spec.is_black(f)
                 sp_org = jnp.where(in_medium[:, None], p_med, hit.p)
                 sp_n = jnp.where(in_medium[:, None], wi, hit.ng)
-                sray = isect.spawn_ray(sp_org, sp_n, wi, ray.wavelength,
-                                       tmax=jnp.where(cand, dist * 0.999,
-                                                      -1.0))
+                sray = isect.spawn_shadow_ray(sp_org, sp_n, wi, dist,
+                                              cand, ray.wavelength)
                 occ = isect.occluded(scene, sray,
                                       ignore_light=isect.nee_ignore_light(scene, l))
                 # transmittance along the unoccluded shadow path (per-

@@ -49,9 +49,8 @@ def make_trace_whitted():
                     geom.absdot(wi, hit.ns)[:, None]
                 cand = alive & (pdf_l > 1e-12) & ~spec.is_black(li) \
                     & ~spec.is_black(f)
-                sray = isect.spawn_ray(hit.p, hit.ng, wi, ray.wavelength,
-                                       tmax=jnp.where(cand, dist * 0.999,
-                                                      -1.0))
+                sray = isect.spawn_shadow_ray(hit.p, hit.ng, wi, dist,
+                                              cand, ray.wavelength)
                 occ = isect.occluded(scene, sray,
                                       ignore_light=isect.nee_ignore_light(scene, l))
                 L = L + jnp.where(

@@ -649,3 +649,23 @@ def spawn_ray(p, ng, direction, wavelength, time=None, tmax=None):
     off = jnp.where(geom.dot(direction, ng)[..., None] >= 0, eps, -eps) * ng
     return geom.Ray.make(p + off, direction, tmax=tmax,
                          wavelength=wavelength, time=time)
+
+
+def spawn_shadow_ray(p, ng, wi, dist, cand, wavelength, time=None):
+    """Shadow ray toward a light sample at distance `dist` along unit wi.
+
+    Matches the reference's SpawnRayTo parametric semantics
+    (interaction.h: origin offset by error bounds, tMax = 1-ShadowEpsilon
+    of the OFFSET-to-target segment): the shave is applied to the
+    distance measured from the offset origin, so a sample point close to
+    the light can never reach the light's own surface no matter how the
+    origin offset tilts the segment.  cand: [B] bool — dead lanes get
+    tmax=-1 so they drop out of the intersect queue.
+    """
+    scale = jnp.maximum(jnp.max(jnp.abs(p), -1), 1.0)
+    eps = (1e-4 * scale)[..., None]
+    off = jnp.where(geom.dot(wi, ng)[..., None] >= 0, eps, -eps) * ng
+    d_eff = dist - geom.dot(off, wi)
+    return geom.Ray.make(p + off, wi,
+                         tmax=jnp.where(cand, d_eff * 0.999, -1.0),
+                         wavelength=wavelength, time=time)

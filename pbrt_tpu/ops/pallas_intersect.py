@@ -259,6 +259,151 @@ def _kernel(wq_tile_ref, wq_chunk_ref, wq_flag_ref, r16_ref, tmax_ref,
                                       prim_ref[0, 0, :])
 
 
+def _kernel_loop(cl_ref, na_ref, r16_ref, tmax_ref, w_hbm, cb_ref,
+                 t_ref, prim_ref, wbuf, sems):
+    """Chunk-loop kernel: ONE grid step per ray tile; the tile's active
+    chunks (front-to-back) are visited by an in-kernel fori_loop with
+    double-buffered DMA of the W slabs from HBM.
+
+    vs the flat (tile,chunk) work-queue grid this removes the per-step
+    grid machinery entirely: r48 is built once per tile (not per step),
+    t_best/prim live in the loop carry (outputs stored once), dead
+    chunks skip the MXU dot via lax.cond, and there are no padding
+    steps or queue-cap switch branches (one static grid = one compile).
+    """
+    i = pl.program_id(0)
+    na = na_ref[i]
+    r = r16_ref[0]                       # [T,16]
+    # bf16x2 split once per tile: [r_hi | r_lo | r_hi] (see build_dense_tables)
+    r_hi = r.astype(jnp.bfloat16)
+    r_lo = (r - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    r48 = jnp.concatenate([r_hi, r_lo, r_hi], axis=1)
+    # all per-ray state rides as [1, T] rows (Mosaic wants >=2D vectors
+    # in loop carries / cond operands)
+    oc0 = r[:, 6][None, :]
+    oc1 = r[:, 7][None, :]
+    oc2 = r[:, 8][None, :]
+    iv0 = r[:, 9][None, :]
+    iv1 = r[:, 10][None, :]
+    iv2 = r[:, 11][None, :]
+    anyhit = r[:, 12][None, :] > 0.5
+
+    def dma(slot, j):
+        c = cl_ref[i, j]
+        return pltpu.make_async_copy(
+            w_hbm.at[:, pl.ds(c * (4 * CHUNK), 4 * CHUNK)],
+            wbuf.at[slot], sems.at[slot])
+
+    @pl.when(na > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(j, carry):
+        t_best, prim = carry                     # [1,T] each
+        c = cl_ref[i, j]
+
+        @pl.when(j + 1 < na)
+        def _():
+            dma((j + 1) % 2, j + 1).start()
+        dma(j % 2, j).wait()
+
+        ta0 = (cb_ref[c, 0] - oc0) * iv0
+        tb0 = (cb_ref[c, 4] - oc0) * iv0
+        ta1 = (cb_ref[c, 1] - oc1) * iv1
+        tb1 = (cb_ref[c, 5] - oc1) * iv1
+        ta2 = (cb_ref[c, 2] - oc2) * iv2
+        tb2 = (cb_ref[c, 6] - oc2) * iv2
+        tnear = jnp.maximum(jnp.maximum(jnp.minimum(ta0, tb0),
+                                        jnp.minimum(ta1, tb1)),
+                            jnp.minimum(ta2, tb2))
+        tfar = jnp.minimum(jnp.minimum(jnp.maximum(ta0, tb0),
+                                       jnp.maximum(ta1, tb1)),
+                           jnp.maximum(ta2, tb2))
+        box_hit = (tnear <= tfar * 1.0001 + 1e-5) & (tnear < t_best) & \
+                  (tfar > 0) & (t_best > 0)
+
+        def do_dot(args):
+            t_best, prim = args
+            w = wbuf[j % 2]
+            dn = (((1,), (0,)), ((), ()))
+            out = jax.lax.dot_general(r48, w, dn,
+                                      preferred_element_type=jnp.float32)
+            s1 = out[:, 0 * CHUNK:1 * CHUNK]
+            s2 = out[:, 1 * CHUNK:2 * CHUNK]
+            num = out[:, 2 * CHUNK:3 * CHUNK]
+            nd = out[:, 3 * CHUNK:4 * CHUNK]
+            s0 = nd - s1 - s2
+            i0 = s0.view(jnp.int32)
+            i1 = s1.view(jnp.int32)
+            i2 = s2.view(jnp.int32)
+            inside = ((i0 ^ i1) | (i0 ^ i2)) >= 0
+            t = num * pl.reciprocal(nd, approx=True)
+            tb = jnp.where(box_hit, t_best, -F32_MAX)   # [1,T]
+            hit = inside & (t > 1e-4) & (t < tb[0][:, None])
+            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            key = (t.view(jnp.int32) & jnp.int32(~LANE_MASK)) | lane
+            BIG = jnp.int32(0x7F7FFFFF)
+            kmin = jnp.min(jnp.where(hit, key, BIG), axis=1)[None, :]
+            upd = kmin < BIG
+            t_new = (kmin & jnp.int32(~LANE_MASK)).view(jnp.float32)
+            k = kmin & jnp.int32(LANE_MASK)
+            t_new = jnp.where(anyhit, -1.0, t_new)
+            return (jnp.where(upd, t_new, t_best),
+                    jnp.where(upd, c * CHUNK + k, prim))
+
+        return jax.lax.cond(jnp.any(box_hit), do_dot,
+                            lambda args: args, (t_best, prim))
+
+    t_init = tmax_ref[0]                 # [1,T]
+    prim_init = jnp.full(t_init.shape, -1, jnp.int32)
+    t_best, prim = jax.lax.fori_loop(0, na, body, (t_init, prim_init))
+    t_ref[0] = t_best
+    prim_ref[0] = prim
+
+
+@partial(jax.jit, static_argnames=("n_pad",))
+def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad):
+    """Chunk-loop variant of dense_intersect (same contract)."""
+    B = r16.shape[0]
+    Bp = ((B + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+    if Bp != B:
+        r16 = jnp.pad(r16, ((0, Bp - B), (0, 0)))
+        tmax = jnp.pad(tmax, (0, Bp - B), constant_values=-1.0)
+    n_tiles = Bp // RAY_TILE
+    r16t = r16.reshape(n_tiles, RAY_TILE, 16)
+    tmax_t = tmax.reshape(n_tiles, RAY_TILE)
+    tmax2 = tmax.reshape(n_tiles, 1, RAY_TILE)
+    chunk_list, n_active = _tile_chunk_lists(r16t, tmax_t, chunk_bounds)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,             # chunk_list, n_active
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, RAY_TILE, 16), lambda i, cl, na: (i, 0, 0)),
+            pl.BlockSpec((1, 1, RAY_TILE), lambda i, cl, na: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),       # W stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # chunk_bounds
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, RAY_TILE), lambda i, cl, na: (i, 0, 0)),
+            pl.BlockSpec((1, 1, RAY_TILE), lambda i, cl, na: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 48, 4 * CHUNK), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    t_out, prim_out = pl.pallas_call(
+        _kernel_loop,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.int32),
+        ],
+    )(chunk_list, n_active, r16t, tmax2, W, chunk_bounds)
+    return t_out.reshape(-1)[:B], prim_out.reshape(-1)[:B]
+
+
 def _tile_chunk_lists(r16_t, tmax_t, chunk_bounds):
     """Per-ray-tile active-chunk lists for the scalar-prefetch grid.
 

@@ -63,7 +63,8 @@ print(f"full pass      : {t_full*1e3:8.2f} ms", flush=True)
 # ---- shading-only: intersect stubbed -------------------------------------
 real_intersect = isect.intersect
 
-def fake_intersect(scene_, ray, any_hit=False, presorted=False):
+def fake_intersect(scene_, ray, any_hit=False, presorted=False,
+                   anyhit_mask=None):
     B_ = ray.o.shape[0]
     t = jnp.full((B_,), 2.0)
     prim = jnp.zeros((B_,), jnp.int32)
