@@ -79,9 +79,19 @@ class Film:
     height: int = struct.field(pytree_node=False, default=0)
     width: int = struct.field(pytree_node=False, default=0)
     footprint: int = struct.field(pytree_node=False, default=1)
+    # pbrt-exact boundary semantics: the reference CLAMPS the filter
+    # table index (film.h:141-147), so a sample at distance exactly
+    # `radius` from a pixel center still contributes with the edge-table
+    # weight — with a box filter, a sample whose jitter is exactly 0.0
+    # lands FULL weight in two pixels.  Production leaves this off (the
+    # footprint stays minimal so the aligned fast path applies; the
+    # Owen-scrambled samplers never emit exact-0 jitter), matched-RNG
+    # parity renders turn it on (raw Sobol' emits 0.0 at sample 0).
+    pbrt_boundary: bool = struct.field(pytree_node=False, default=False)
 
 
-def make_film(width, height, filter_name="box", radius=None, **filter_params):
+def make_film(width, height, filter_name="box", radius=None,
+              pbrt_boundary=False, **filter_params):
     if radius is None:
         radius = {"box": (0.5, 0.5), "triangle": (2.0, 2.0),
                   "gaussian": (2.0, 2.0), "mitchell": (2.0, 2.0),
@@ -92,7 +102,11 @@ def make_film(width, height, filter_name="box", radius=None, **filter_params):
     oy = (np.arange(FILTER_TABLE_WIDTH) + 0.5) * ry / FILTER_TABLE_WIDTH
     X, Y = np.meshgrid(ox, oy, indexing="xy")
     table = filter_eval(filter_name, X, Y, rx, ry, filter_params)
-    footprint = int(np.ceil(2 * max(rx, ry)))
+    if pbrt_boundary:
+        # widest possible pbrt footprint: Floor(pd+r)+1 - Ceil(pd-r)
+        footprint = int(np.floor(2 * max(rx, ry))) + 1
+    else:
+        footprint = int(np.ceil(2 * max(rx, ry)))
     footprint = max(footprint, 1)
     return Film(
         weighted=jnp.zeros((height, width, spec.N_SPECTRAL_SAMPLES)),
@@ -101,7 +115,8 @@ def make_film(width, height, filter_name="box", radius=None, **filter_params):
         splat=jnp.zeros((height, width, spec.N_SPECTRAL_SAMPLES)),
         filter_table=jnp.asarray(table, jnp.float32),
         radius=jnp.asarray([rx, ry], jnp.float32),
-        height=height, width=width, footprint=footprint)
+        height=height, width=width, footprint=footprint,
+        pbrt_boundary=pbrt_boundary)
 
 
 def add_samples(film: Film, pfilm, L, ray_weight=None, aligned_base=None):
@@ -141,8 +156,15 @@ def add_samples(film: Film, pfilm, L, ray_weight=None, aligned_base=None):
             ix = jnp.minimum(fx.astype(jnp.int32), FILTER_TABLE_WIDTH - 1)
             iy = jnp.minimum(fy.astype(jnp.int32), FILTER_TABLE_WIDTH - 1)
             fw = film.filter_table[iy, ix]
-            inb = (px >= 0) & (px < W) & (py >= 0) & (py < H) & \
-                  (fx < FILTER_TABLE_WIDTH) & (fy < FILTER_TABLE_WIDTH)
+            inb = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+            if film.pbrt_boundary:
+                # reference semantics: pixel set is Ceil(pd-r)..Floor(pd+r)
+                # inclusive, table index clamped (film.h:130-147)
+                inb = inb & (px.astype(jnp.float32) <= pd[:, 0] + rx) & \
+                    (py.astype(jnp.float32) <= pd[:, 1] + ry)
+            else:
+                inb = inb & (fx < FILTER_TABLE_WIDTH) & \
+                    (fy < FILTER_TABLE_WIDTH)
             fw = jnp.where(inb, fw, 0.0)
             pxs = jnp.clip(px, 0, W - 1)
             pys = jnp.clip(py, 0, H - 1)

@@ -1,0 +1,647 @@
+"""Reference-exact path integrator (opt-in matched-RNG parity mode).
+
+Replicates pbrt-v3's PathIntegrator *sample-for-sample* so a render at
+equal spp with the reference-exact Sobol sampler is pixel-level allclose
+to the reference binary:
+
+- Estimator structure: the reference adds emitted light only at
+  specular/camera vertices and accounts for lights via EstimateDirect's
+  TWO estimators per vertex — a light-sampled shadow ray and a
+  BSDF-sampled probe ray traced to the chosen light
+  (src/core/integrator.cpp:108-216) — unlike the production wavefront
+  (integrators/path.py) which folds the BSDF-sampling estimator into
+  the next vertex.  Per bounce this loop traces 3 rays: continuation
+  closest-hit, EstimateDirect probe closest-hit, NEE shadow any-hit.
+- Dimension stream: pbrt's GlobalSampler consumes Sobol' dimensions
+  sequentially, and specular vertices consume only 2 (the reference
+  skips NEE when NumComponents(~SPECULAR)==0, path.cpp:122) while
+  diffuse vertices consume 7 (+1 for Russian roulette after bounce 3,
+  path.cpp:185) — so the dimension index is tracked PER LANE.
+- Sample mappings: BSDF::Sample_f component selection + u-remap
+  (reflection.cpp:556-570), TrowbridgeReitzSample11 slope-space visible
+  NDF sampling (microfacet.cpp:187-251), CosineSampleHemisphere via
+  concentric disk, UniformSampleTriangle, FrDielectric — all the exact
+  reference formulas.
+- Lights: pbrt creates one DiffuseAreaLight PER SHAPE, so an area-lit
+  triangle mesh contributes one light per triangle (api.cpp:1609);
+  selection is uniform over that flattened list (UniformSampleOneLight
+  with "uniform" strategy, integrator.cpp:99).
+
+Supported for parity: matte (sigma=0), plastic, mirror, smooth glass
+materials; mesh-triangle area lights; perspective camera; no media.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.core import geometry as geom
+from pbrt_tpu.core import lds
+from pbrt_tpu.core import rng as _rng
+from pbrt_tpu.core import spectrum as spec
+from pbrt_tpu.materials import bsdf
+from pbrt_tpu.ops import intersect as isect
+from pbrt_tpu.scene import ir
+
+PI = float(np.pi)
+INV_PI = float(1.0 / np.pi)
+
+SUPPORTED_MATS = (ir.MAT_MATTE, ir.MAT_PLASTIC, ir.MAT_MIRROR, ir.MAT_GLASS)
+
+
+# ---------------------------------------------------------------------------
+# reference-exact sampler stream
+# ---------------------------------------------------------------------------
+
+class RefSampler(NamedTuple):
+    """Static config of the pbrt SobolSampler twin."""
+    width: int
+    height: int
+    m: int                 # log2(RoundUpPow2(max(W,H)))  (sobol.h:61)
+
+    @staticmethod
+    def make(width, height):
+        res = 1
+        m = 0
+        while res < max(width, height):
+            res <<= 1
+            m += 1
+        return RefSampler(width, height, m)
+
+    def index(self, pixel_id, sample_idx):
+        px = (pixel_id % jnp.uint32(self.width)).astype(jnp.uint32)
+        py = (pixel_id // jnp.uint32(self.width)).astype(jnp.uint32)
+        return lds.sobol_global_index(sample_idx, px, py, self.m)
+
+    def dim(self, index, d):
+        """SampleDimension for d >= 2 (sobol.cpp:48; scramble = 0).
+        d may be a traced [B] int array (per-lane dimension counters)."""
+        return lds.sobol_sample_pbrt(index, d)
+
+    def film_xy(self, index, pixel_id):
+        """Dims 0/1 remapped to the in-pixel offset (sobol.cpp:53-57)."""
+        px = (pixel_id % jnp.uint32(self.width)).astype(jnp.float32)
+        py = (pixel_id // jnp.uint32(self.width)).astype(jnp.float32)
+        res = jnp.float32(1 << self.m)
+        jx = jnp.clip(lds.sobol_sample_pbrt(index, 0) * res - px,
+                      0.0, float(_rng.ONE_MINUS_EPS))
+        jy = jnp.clip(lds.sobol_sample_pbrt(index, 1) * res - py,
+                      0.0, float(_rng.ONE_MINUS_EPS))
+        return jx, jy
+
+
+# ---------------------------------------------------------------------------
+# flattened pbrt light list (one light per area-lit triangle)
+# ---------------------------------------------------------------------------
+
+class RefLights(NamedTuple):
+    p0: jnp.ndarray        # [K,3]
+    e1: jnp.ndarray        # [K,3]
+    e2: jnp.ndarray        # [K,3]
+    n: jnp.ndarray         # [K,3] oriented triangle normal (pbrt flips baked)
+    area: jnp.ndarray      # [K]
+    L: jnp.ndarray         # [K,31]
+    two_sided: jnp.ndarray  # [K] bool
+    prim: jnp.ndarray      # [K] scene prim id (BVH order)
+    count: int             # static K
+
+
+def build_ref_lights(scene: ir.SceneData) -> RefLights:
+    """Flatten mesh area lights into pbrt's per-triangle light list.
+
+    Host-side (scene arrays are concrete after build): walks
+    light_tri_idx in light-record order — matching pbrt's scene-file
+    light creation order (api.cpp:1609)."""
+    lt = np.asarray(scene.light_tri_idx)
+    lL = np.asarray(scene.light_L)
+    two = np.asarray(scene.light_two_sided)
+    tp = np.asarray(scene.tri_packed)
+    sa = np.asarray(scene.shade_all)
+    flips = sa[:, 29].view(np.int32)       # si[:,5] flip col of shade_all
+    rows = []
+    for li in range(lt.shape[0]):
+        for prim in lt[li]:
+            if prim < 0:
+                continue
+            v0 = tp[prim, 0:3]
+            e1 = tp[prim, 3:6]
+            e2 = tp[prim, 6:9]
+            n = np.cross(e1, e2)
+            nl = np.linalg.norm(n)
+            if nl < 1e-20:
+                continue
+            n = n / nl
+            if flips[prim]:
+                n = -n
+            rows.append((v0, e1, e2, n, 0.5 * nl, lL[li], bool(two[li]),
+                         int(prim)))
+    if not rows:
+        raise ValueError("refpath: scene has no mesh area lights")
+    K = len(rows)
+    return RefLights(
+        p0=jnp.asarray(np.stack([r[0] for r in rows])),
+        e1=jnp.asarray(np.stack([r[1] for r in rows])),
+        e2=jnp.asarray(np.stack([r[2] for r in rows])),
+        n=jnp.asarray(np.stack([r[3] for r in rows])),
+        area=jnp.asarray(np.asarray([r[4] for r in rows], np.float32)),
+        L=jnp.asarray(np.stack([r[5] for r in rows])),
+        two_sided=jnp.asarray(np.asarray([r[6] for r in rows])),
+        prim=jnp.asarray(np.asarray([r[7] for r in rows], np.int32)),
+        count=K)
+
+
+# ---------------------------------------------------------------------------
+# reference-exact BSDF layer (matte / plastic / mirror / smooth glass)
+# ---------------------------------------------------------------------------
+
+def fr_dielectric(cos_i, eta_i, eta_t):
+    """FrDielectric (reflection.cpp:66): handles entering/exiting."""
+    cos_i = jnp.clip(cos_i, -1.0, 1.0)
+    entering = cos_i > 0
+    ei = jnp.where(entering, eta_i, eta_t)
+    et = jnp.where(entering, eta_t, eta_i)
+    ci = jnp.abs(cos_i)
+    si = jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+    st = ei / et * si
+    tir = st >= 1
+    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - st * st))
+    rpar = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-12)
+    rper = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-12)
+    return jnp.where(tir, 1.0, 0.5 * (rpar * rpar + rper * rper))
+
+
+def tr_sample_11(cos_theta, u1, u2):
+    """TrowbridgeReitzSample11 (microfacet.cpp:187) vectorized."""
+    # general case
+    ct = jnp.maximum(cos_theta, 1e-7)
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    tant = st / ct
+    a = 1.0 / jnp.maximum(tant, 1e-12)
+    g1 = 2.0 / (1.0 + jnp.sqrt(1.0 + 1.0 / (a * a)))
+    A = 2.0 * u1 / jnp.maximum(g1, 1e-12) - 1.0
+    tmp = 1.0 / jnp.maximum(A * A - 1.0, -1e30)
+    tmp = jnp.where(jnp.abs(A * A - 1.0) < 1e-12, 1e10, tmp)
+    tmp = jnp.minimum(tmp, 1e10)
+    Bt = tant
+    D = jnp.sqrt(jnp.maximum(Bt * Bt * tmp * tmp - (A * A - Bt * Bt) * tmp,
+                             0.0))
+    sx1 = Bt * tmp - D
+    sx2 = Bt * tmp + D
+    slope_x = jnp.where((A < 0) | (sx2 > 1.0 / jnp.maximum(tant, 1e-12)),
+                        sx1, sx2)
+    # sample slope_y
+    S = jnp.where(u2 > 0.5, 1.0, -1.0)
+    u2p = jnp.where(u2 > 0.5, 2.0 * (u2 - 0.5), 2.0 * (0.5 - u2))
+    z = (u2p * (u2p * (u2p * 0.27385 - 0.73369) + 0.46341)) / \
+        (u2p * (u2p * (u2p * 0.093073 + 0.309420) - 1.0) + 0.597999)
+    slope_y = S * z * jnp.sqrt(1.0 + slope_x * slope_x)
+    # normal-incidence special case
+    r = jnp.sqrt(jnp.maximum(u1 / jnp.maximum(1.0 - u1, 1e-12), 0.0))
+    phi = 6.28318530718 * u2
+    near = cos_theta > 0.9999
+    slope_x = jnp.where(near, r * jnp.cos(phi), slope_x)
+    slope_y = jnp.where(near, r * jnp.sin(phi), slope_y)
+    return slope_x, slope_y
+
+
+def tr_sample_wh(wo, ax, ay, u1, u2):
+    """TrowbridgeReitzDistribution::Sample_wh visible-area branch
+    (microfacet.cpp:244 + TrowbridgeReitzSample)."""
+    flip = wo[..., 2] < 0
+    w = jnp.where(flip[..., None], -wo, wo)
+    ws = geom.normalize(jnp.stack(
+        [ax * w[..., 0], ay * w[..., 1], w[..., 2]], -1))
+    sx, sy = tr_sample_11(ws[..., 2], u1, u2)
+    s2 = jnp.maximum(0.0, 1.0 - ws[..., 2] ** 2)
+    inv_s = 1.0 / jnp.sqrt(jnp.maximum(s2, 1e-20))
+    cos_phi = jnp.where(s2 > 1e-20, ws[..., 0] * inv_s, 1.0)
+    sin_phi = jnp.where(s2 > 1e-20, ws[..., 1] * inv_s, 0.0)
+    tmp = cos_phi * sx - sin_phi * sy
+    sy = sin_phi * sx + cos_phi * sy
+    sx = tmp
+    sx = ax * sx
+    sy = ay * sy
+    wh = geom.normalize(jnp.stack(
+        [-sx, -sy, jnp.ones_like(sx)], -1))
+    return jnp.where(flip[..., None], -wh, wh)
+
+
+def _same_hemi(a, b):
+    return a[..., 2] * b[..., 2] > 0
+
+
+def _nonspec_counts(mat):
+    """NumComponents(BSDF_ALL & ~BSDF_SPECULAR) per lane (path.cpp:122).
+    Black-reflectance lobes are never created (matte.cpp:49 etc.)."""
+    kd_on = jnp.any(mat.kd > 0, -1)
+    ks_on = jnp.any(mat.ks > 0, -1)
+    t = mat.type
+    n = jnp.zeros_like(t)
+    n = jnp.where(t == ir.MAT_MATTE, kd_on.astype(n.dtype), n)
+    n = jnp.where(t == ir.MAT_PLASTIC,
+                  kd_on.astype(n.dtype) + ks_on.astype(n.dtype), n)
+    return n
+
+
+def ref_f(mat, wo, wi, reflect_geo):
+    """BSDF::f over non-specular lobes (reflection.cpp:576): lobes are
+    included per the GEOMETRIC-normal reflect/transmit test."""
+    t = mat.type
+    NS = spec.N_SPECTRAL_SAMPLES
+    f = jnp.zeros(wo.shape[:-1] + (NS,))
+    lam = mat.kd * INV_PI
+    use_lam = ((t == ir.MAT_MATTE) | (t == ir.MAT_PLASTIC)) & reflect_geo
+    f = jnp.where(use_lam[..., None], f + lam, f)
+    # plastic glossy lobe (MicrofacetReflection, fresnel dielectric 1.5)
+    is_pl = (t == ir.MAT_PLASTIC) & reflect_geo
+    ax = mat.rough_u
+    ay = mat.rough_v
+    co = jnp.abs(wo[..., 2])
+    ci = jnp.abs(wi[..., 2])
+    wh = wo + wi
+    wh_len = geom.length(wh)
+    ok = (co > 1e-9) & (ci > 1e-9) & (wh_len > 1e-9)
+    whn = wh / jnp.maximum(wh_len, 1e-9)[..., None]
+    # pbrt: Fresnel evaluated at Dot(wi, Faceforward(wh, (0,0,1))) with
+    # FresnelDielectric(etaI=1.5, etaT=1.0) — plastic.cpp:58's (quirky)
+    # argument order, reproduced exactly
+    whf = jnp.where(whn[..., 2:3] < 0, -whn, whn)
+    Fr = fr_dielectric(geom.dot(wi, whf), 1.5, 1.0)
+    d = bsdf.ggx_d(whn, ax, ay)
+    g = bsdf.ggx_g(wo, wi, ax, ay)
+    spec_f = mat.ks * (d * g * Fr / jnp.maximum(4.0 * ci * co, 1e-12))[..., None]
+    f = jnp.where((is_pl & ok)[..., None], f + spec_f, f)
+    return f
+
+
+def ref_pdf(mat, wo, wi):
+    """BSDF::Pdf over non-specular lobes (avg over matching comps)."""
+    t = mat.type
+    same = _same_hemi(wo, wi)
+    lam_pdf = jnp.where(same, jnp.abs(wi[..., 2]) * INV_PI, 0.0)
+    kd_on = jnp.any(mat.kd > 0, -1)
+    ks_on = jnp.any(mat.ks > 0, -1)
+    n = _nonspec_counts(mat)
+    pdf = jnp.zeros_like(lam_pdf)
+    pdf = jnp.where(kd_on & ((t == ir.MAT_MATTE) | (t == ir.MAT_PLASTIC)),
+                    pdf + lam_pdf, pdf)
+    mf_pdf = bsdf.microfacet_reflection_pdf(wo, wi, mat.rough_u, mat.rough_v)
+    pdf = jnp.where(ks_on & (t == ir.MAT_PLASTIC), pdf + mf_pdf, pdf)
+    return jnp.where(n > 0, pdf / jnp.maximum(n.astype(pdf.dtype), 1.0), 0.0)
+
+
+def ref_sample_nonspec(mat, wo, u1, u2):
+    """BSDF::Sample_f with flags = ALL & ~SPECULAR (EstimateDirect's
+    scattering estimator).  Returns (wi, f, pdf, valid)."""
+    t = mat.type
+    kd_on = jnp.any(mat.kd > 0, -1)
+    ks_on = jnp.any(mat.ks > 0, -1)
+    n = _nonspec_counts(mat)
+    nf = jnp.maximum(n.astype(jnp.float32), 1.0)
+    # component choice + u remap (reflection.cpp:560-570)
+    comp = jnp.minimum((u1 * nf).astype(jnp.int32), n - 1)
+    u1r = jnp.minimum(u1 * nf - comp.astype(jnp.float32),
+                      float(_rng.ONE_MINUS_EPS))
+    # comp semantics: BxDF order is matte: [lambert]; plastic: [lambert,
+    # microfacet] (plastic.cpp adds diffuse then specular); if kd black
+    # only the glossy lobe exists
+    pick_gloss = (t == ir.MAT_PLASTIC) & (((comp == 1) & kd_on) | ~kd_on) \
+        & ks_on
+    # lambertian sample (CosineSampleHemisphere, flipped to wo side)
+    from pbrt_tpu.core import sampling
+    wi_lam = sampling.cosine_sample_hemisphere(u1r, u2)
+    wi_lam = jnp.where((wo[..., 2] < 0)[..., None],
+                       wi_lam * jnp.asarray([1.0, 1.0, -1.0]), wi_lam)
+    # microfacet sample
+    wh = tr_sample_wh(wo, mat.rough_u, mat.rough_v, u1r, u2)
+    wi_mf = 2.0 * geom.dot(wo, wh)[..., None] * wh - wo
+    mf_ok = (geom.dot(wo, wh) > 0) & _same_hemi(wo, wi_mf) \
+        & (jnp.abs(wo[..., 2]) > 0)
+    wi = jnp.where(pick_gloss[..., None], wi_mf, wi_lam)
+    valid = jnp.where(pick_gloss, mf_ok, True) & (n > 0)
+    pdf = ref_pdf(mat, wo, wi)
+    reflect_geo = _same_hemi(wo, wi)    # shading==geometric n for parity set
+    f = ref_f(mat, wo, wi, reflect_geo)
+    return wi, f, pdf, valid & (pdf > 0)
+
+
+def ref_sample_all(mat, wo, u1, u2, ng_dot_wo):
+    """BSDF::Sample_f with flags = BSDF_ALL (path continuation).
+
+    Returns (wi, f_over_pdf_times_abscos-less f [B,31], pdf, specular,
+    spec_transmission, eta_scale_factor, valid)."""
+    t = mat.type
+    # non-specular materials reuse the ~SPECULAR path (their component
+    # sets are identical since they have no specular lobes)
+    wi_ns, f_ns, pdf_ns, ok_ns = ref_sample_nonspec(mat, wo, u1, u2)
+
+    # mirror: SpecularReflection with FresnelNoOp (mirror.cpp:47)
+    wi_mr = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+    f_mr = mat.kr / jnp.maximum(jnp.abs(wi_mr[..., 2]), 1e-9)[..., None]
+    kr_on = jnp.any(mat.kr > 0, -1)
+
+    # smooth glass: FresnelSpecular (reflection.cpp:351)
+    Fr = fr_dielectric(wo[..., 2], 1.0, mat.eta)
+    refl = u1 < Fr
+    wi_gl_r = wi_mr
+    # refract across z axis (Refract, geometry.h: eta pair by side)
+    entering = wo[..., 2] > 0
+    ei = jnp.where(entering, 1.0, mat.eta)
+    et = jnp.where(entering, mat.eta, 1.0)
+    eta_rel = ei / et
+    nz = jnp.where(entering, 1.0, -1.0)
+    cos_i = jnp.abs(wo[..., 2])
+    sin2_t = eta_rel * eta_rel * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    wi_gl_t = jnp.stack(
+        [-eta_rel[..., None] * wo[..., 0:1],
+         -eta_rel[..., None] * wo[..., 1:2],
+         (-cos_t * nz)[..., None]], -1)[..., 0, :] \
+        if False else jnp.stack(
+        [-eta_rel * wo[..., 0], -eta_rel * wo[..., 1], -cos_t * nz], -1)
+    f_gl_r = mat.kr * (Fr / jnp.maximum(cos_i, 1e-9))[..., None]
+    # radiance transport scale (etaI/etaT)^2 (reflection.cpp:376)
+    f_gl_t = mat.kt * ((1.0 - Fr) * (ei / et) ** 2
+                       / jnp.maximum(cos_t, 1e-9))[..., None]
+    wi_gl = jnp.where(refl[..., None], wi_gl_r, wi_gl_t)
+    f_gl = jnp.where(refl[..., None], f_gl_r, f_gl_t)
+    pdf_gl = jnp.where(refl, Fr, 1.0 - Fr)
+
+    is_mr = t == ir.MAT_MIRROR
+    is_gl = t == ir.MAT_GLASS
+    wi = jnp.where(is_mr[..., None], wi_mr,
+                   jnp.where(is_gl[..., None], wi_gl, wi_ns))
+    f = jnp.where(is_mr[..., None], f_mr,
+                  jnp.where(is_gl[..., None], f_gl, f_ns))
+    pdf = jnp.where(is_mr, 1.0, jnp.where(is_gl, pdf_gl, pdf_ns))
+    valid = jnp.where(is_mr, kr_on,
+                      jnp.where(is_gl, pdf_gl > 0, ok_ns))
+    specular = is_mr | is_gl
+    spec_trans = is_gl & ~refl
+    # etaScale update (path.cpp:151-156): uses GEOMETRIC wo.n sign
+    eta2 = mat.eta * mat.eta
+    eta_fac = jnp.where(spec_trans,
+                        jnp.where(ng_dot_wo > 0, eta2, 1.0 / eta2), 1.0)
+    return wi, f, pdf, specular, eta_fac, valid
+
+
+# ---------------------------------------------------------------------------
+# the loop
+# ---------------------------------------------------------------------------
+
+def _tri_pdf_li(lt: RefLights, k, p_ref, wi):
+    """Triangle::Pdf(ref, wi) for chosen light tri k (shape.cpp:136):
+    intersect the ray with that triangle alone; dist^2/(|cos|*area)."""
+    from pbrt_tpu.ops import fetch
+    p0, e1, e2, n, area = fetch.fetch_many(
+        [lt.p0, lt.e1, lt.e2, lt.n, lt.area], k)
+    t, b1, b2, hit = isect.ray_triangle(
+        p_ref, wi, p0[:, None], e1[:, None], e2[:, None],
+        jnp.full(p_ref.shape[:1], 1e30))
+    t = t[:, 0]
+    hit = hit[:, 0]
+    cos_l = jnp.abs(geom.dot(n, -wi))
+    pdf = t * t / jnp.maximum(cos_l * area, 1e-12)
+    return jnp.where(hit & (cos_l > 1e-12), pdf, 0.0), hit
+
+
+def _frame_from_dpdu(scene, hit):
+    """pbrt's BSDF shading frame: ss = Normalize(shading.dpdu),
+    ts = cross(ns, ss) (reflection.h:158).  dpdu from the triangle's uv
+    parameterization (triangle.cpp:206-230; default uvs (0,0),(1,0),(1,1))."""
+    sa = scene.shade_all[hit.prim]
+    e1 = sa[:, 0:3]
+    e2 = sa[:, 3:6]
+    uv0 = sa[:, 15:17]
+    uv1 = sa[:, 17:19]
+    uv2 = sa[:, 19:21]
+    # pbrt solves with dp02 = p0-p2, dp12 = p1-p2 (p1 = v0+e1, p2 = v0+e2)
+    duv02 = uv0 - uv2
+    duv12 = uv1 - uv2
+    dp02 = -e2
+    dp12 = e1 - e2
+    det = duv02[:, 0] * duv12[:, 1] - duv02[:, 1] * duv12[:, 0]
+    degen = jnp.abs(det) < 1e-8
+    inv = 1.0 / jnp.where(degen, 1.0, det)
+    dpdu = (duv12[:, 1:2] * dp02 - duv02[:, 1:2] * dp12) * inv[:, None]
+    # degenerate uv: CoordinateSystem(ng) (triangle.cpp:225)
+    fb1, _ = geom.coordinate_system(hit.ns)
+    ss = jnp.where(degen[:, None], fb1, geom.normalize(dpdu))
+    # re-orthogonalize against ns (pbrt's mesh dpdu is already in-plane)
+    ss = geom.normalize(ss - hit.ns * geom.dot(ss, hit.ns)[:, None])
+    ts = jnp.cross(hit.ns, ss)
+    return ss, ts
+
+
+def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
+              ray: geom.Ray, pixel_id, sample_idx, max_depth=5,
+              rr_threshold=1.0):
+    """pbrt-v3 PathIntegrator::Li, wavefront form, matched RNG stream."""
+    B = ray.o.shape[0]
+    NS = spec.N_SPECTRAL_SAMPLES
+    K = lt.count
+    idx = sampler.index(pixel_id, sample_idx)
+    dim = jnp.full((B,), 5, jnp.int32)     # camera consumed dims 0-4
+    L = jnp.zeros((B, NS))
+    beta = jnp.ones((B, NS))
+    alive = ray.tmax > 0
+    specular = jnp.ones(B, bool)
+    eta_scale = jnp.ones(B)
+    from pbrt_tpu.lights import lights as lightsmod
+
+    hit = isect.intersect_full(scene, ray, presorted=True)
+    for bounce in range(max_depth + 1):
+        # ---- Le at specular/camera vertices (path.cpp:91-100) ----------
+        le = lightsmod.area_le(scene, hit.light, hit.ng, hit.wo)
+        L = L + jnp.where((alive & hit.valid & specular)[:, None],
+                          beta * le, 0.0)
+        if scene.has_infinite:
+            env = lightsmod.env_le(scene, geom.normalize(ray.d))
+            L = L + jnp.where((alive & ~hit.valid & specular)[:, None],
+                              beta * env, 0.0)
+        alive = alive & hit.valid
+        if bounce == max_depth:
+            break
+
+        mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv,
+                                    p=hit.p)
+        ss, ts = _frame_from_dpdu(scene, hit)
+        wo_l = geom.world_to_frame(ss, ts, hit.ns, hit.wo)
+        n_ns = _nonspec_counts(mat)
+        do_nee = alive & (n_ns > 0)
+
+        # ---- EstimateDirect (integrator.cpp:108) -----------------------
+        u_sel = sampler.dim(idx, dim)
+        ul1 = sampler.dim(idx, dim + 1)
+        ul2 = sampler.dim(idx, dim + 2)
+        us1 = sampler.dim(idx, dim + 3)
+        us2 = sampler.dim(idx, dim + 4)
+        # uniform selection over the flattened per-triangle light list
+        k = jnp.minimum((u_sel * K).astype(jnp.int32), K - 1)
+        from pbrt_tpu.ops import fetch
+        lp0, le1, le2, ln, larea, lL, ltwo = fetch.fetch_many(
+            [lt.p0, lt.e1, lt.e2, lt.n, lt.area, lt.L,
+             lt.two_sided.astype(jnp.float32)], k)
+        ltwo = ltwo > 0.5
+        # Triangle::Sample (triangle.cpp:470): UniformSampleTriangle
+        su = jnp.sqrt(jnp.maximum(ul1, 0.0))
+        b0 = 1.0 - su
+        b1 = ul2 * su
+        # p = b0*p0 + b1*p1 + (1-b0-b1)*p2 with p1 = p0+e1, p2 = p0+e2
+        p_l = lp0 + b1[:, None] * le1 + (1.0 - b0 - b1)[:, None] * le2
+        to_l = p_l - hit.p
+        dist2 = jnp.maximum(geom.length_sq(to_l), 1e-20)
+        dist = jnp.sqrt(dist2)
+        wi_L = to_l / dist[:, None]
+        cos_l = geom.dot(ln, -wi_L)
+        li = jnp.where((ltwo | (cos_l > 0))[:, None], lL, 0.0)
+        # Shape::Sample(ref) solid-angle pdf (shape.cpp:58)
+        pdf_light = dist2 / jnp.maximum(jnp.abs(cos_l) * larea, 1e-12)
+        wi_Ll = geom.world_to_frame(ss, ts, hit.ns, wi_L)
+        reflect_geo = (geom.dot(wi_L, hit.ng) * geom.dot(hit.wo, hit.ng)) > 0
+        f_l = ref_f(mat, wo_l, wi_Ll, reflect_geo) \
+            * geom.absdot(wi_L, hit.ns)[:, None]
+        pdf_scat_l = ref_pdf(mat, wo_l, wi_Ll)
+        cand_l = do_nee & (pdf_light > 0) & ~spec.is_black(li) \
+            & ~spec.is_black(f_l)
+        sray = isect.spawn_shadow_ray(hit.p, hit.ng, wi_L, dist, cand_l,
+                                      ray.wavelength)
+        w_l = sampling_power(pdf_light, pdf_scat_l)
+        contrib_l = beta * f_l * li * (
+            w_l / jnp.maximum(pdf_light, 1e-20))[:, None] * float(K)
+
+        # scattering estimator: sample BSDF (~SPECULAR), probe to light
+        wi_S_l, f_s, pdf_scat, ok_s = ref_sample_nonspec(mat, wo_l, us1, us2)
+        wi_S = geom.frame_to_world(ss, ts, hit.ns, wi_S_l)
+        f_s = f_s * geom.absdot(wi_S, hit.ns)[:, None]
+        pdf_light_s, tri_hit = _tri_pdf_li(lt, k, hit.p, wi_S)
+        cand_s = do_nee & ok_s & ~spec.is_black(f_s) & (pdf_light_s > 0)
+        w_s = sampling_power(pdf_scat, pdf_light_s)
+        pray = isect.spawn_ray(hit.p, hit.ng, wi_S, ray.wavelength)
+        pray = pray.replace(tmax=jnp.where(cand_s, pray.tmax, -1.0))
+        # Le of the chosen tri seen from -wi_S
+        li_s = jnp.where((ltwo | (geom.dot(ln, -wi_S) > 0))[:, None], lL, 0.0)
+        contrib_s = beta * f_s * li_s * (
+            w_s / jnp.maximum(pdf_scat, 1e-20))[:, None] * float(K)
+
+        # ---- path continuation Sample_f (path.cpp:131) -----------------
+        dim_b = dim + jnp.where(do_nee, 5, 0)
+        ub1 = sampler.dim(idx, dim_b)
+        ub2 = sampler.dim(idx, dim_b + 1)
+        ng_dot_wo = geom.dot(hit.wo, hit.ng)
+        wi_c_l, f_c, pdf_c, is_spec, eta_fac, ok_c = ref_sample_all(
+            mat, wo_l, ub1, ub2, ng_dot_wo)
+        wi_c = geom.frame_to_world(ss, ts, hit.ns, wi_c_l)
+        alive = alive & ok_c & ~spec.is_black(f_c)
+        beta_new = beta * f_c * (geom.absdot(wi_c, hit.ns)
+                                 / jnp.maximum(pdf_c, 1e-20))[:, None]
+        beta = jnp.where(alive[:, None], beta_new, beta)
+        eta_scale = eta_scale * jnp.where(alive, eta_fac, 1.0)
+        specular = is_spec
+        nray = isect.spawn_ray(hit.p, hit.ng, wi_c, ray.wavelength)
+        nray = nray.replace(tmax=jnp.where(alive, nray.tmax, -1.0))
+        dim = dim + jnp.where(do_nee, 7, 2)
+
+        # ---- Russian roulette (path.cpp:185-191) -----------------------
+        if bounce > 3:
+            rr_beta_max = jnp.max(beta, -1) * eta_scale
+            consider = alive & (rr_beta_max < rr_threshold)
+            u_rr = sampler.dim(idx, dim)
+            q = jnp.maximum(0.05, 1.0 - rr_beta_max)
+            kill = consider & (u_rr < q)
+            alive = alive & ~kill
+            beta = jnp.where((consider & alive)[:, None],
+                             beta / jnp.maximum(1.0 - q, 1e-9)[:, None],
+                             beta)
+            dim = dim + consider.astype(jnp.int32)
+            nray = nray.replace(tmax=jnp.where(alive, nray.tmax, -1.0))
+
+        # ---- trace continuation + probe + shadow as ONE batch ----------
+        all3 = jax.tree.map(
+            lambda a, b, c: jnp.concatenate([a, b, c], 0),
+            nray, pray, sray)
+        amask = jnp.concatenate([jnp.zeros(2 * B, bool),
+                                 jnp.ones(B, bool)])
+        t3, prim3, u3, v3, found3 = isect.intersect(scene, all3,
+                                                    anyhit_mask=amask)
+        hit = isect.make_hit(scene, nray, t3[:B], prim3[:B], u3[:B],
+                             v3[:B], found3[:B])
+        probe_prim = prim3[B:2 * B]
+        probe_found = found3[B:2 * B]
+        occ = found3[2 * B:]
+        # light estimator lands if unoccluded
+        L = L + jnp.where((cand_l & ~occ)[:, None], contrib_l, 0.0)
+        # scattering estimator lands if the probe's closest hit IS the
+        # chosen light triangle (integrator.cpp:205-210)
+        probe_ok = cand_s & probe_found & (probe_prim == lt.prim[k])
+        L = L + jnp.where(probe_ok[:, None], contrib_s, 0.0)
+
+    L = jnp.where(jnp.isfinite(L), L, 0.0)
+    return jnp.maximum(L, 0.0)
+
+
+def sampling_power(pf, pg):
+    """PowerHeuristic(1, pf, 1, pg) (sampling.h:171)."""
+    f2 = pf * pf
+    return jnp.where(pf > 0, f2 / jnp.maximum(f2 + pg * pg, 1e-30), 0.0)
+
+
+def camera_rays_ref(camera, W, H, sampler: RefSampler, pixel_id,
+                    sample_idx, generate_rays):
+    """Camera rays with pbrt's dim layout: film jitter from remapped
+    Sobol dims 0/1, time = dim 2, lens = dims 3/4 (sampler.cpp
+    GetCameraSample)."""
+    sidx = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32),
+                            pixel_id.shape)
+    valid = pixel_id < jnp.uint32(W * H)
+    pid = jnp.where(valid, pixel_id, 0)
+    idx = sampler.index(pid, sidx)
+    jx, jy = sampler.film_xy(idx, pid)
+    ix = (pid % W).astype(jnp.float32)
+    iy = (pid // W).astype(jnp.float32)
+    pfilm = jnp.stack([ix + jx, iy + jy], -1)
+    utime = sampler.dim(idx, 2)
+    ulens = jnp.stack([sampler.dim(idx, 3), sampler.dim(idx, 4)], -1)
+    ray, weight = generate_rays(camera, pfilm, ulens, utime,
+                                width=W, height=H)
+    weight = jnp.where(valid, weight, 0.0)
+    ray = ray.replace(tmax=jnp.where(valid, ray.tmax, -1.0))
+    return ray, weight, pfilm, pid, sidx
+
+
+def render_ref(scene, camera, film, W, H, spp, max_depth=5,
+               generate_rays=None, max_rays_per_pass=1 << 17):
+    """Matched-RNG render driver (box-filter film accumulation)."""
+    from pbrt_tpu.cameras import projective
+    from pbrt_tpu.film import film as filmmod
+    if generate_rays is None:
+        generate_rays = projective.generate_rays
+    sampler = RefSampler.make(W, H)
+    lt = build_ref_lights(scene)
+    n_pix = W * H
+    chunk = min(n_pix, max_rays_per_pass)
+    n_chunks = (n_pix + chunk - 1) // chunk
+
+    @jax.jit
+    def one_pass(scene, camera, film, pixel_ids, sample_idx, base):
+        ray, weight, pfilm, pid, sidx = camera_rays_ref(
+            camera, W, H, sampler, pixel_ids, sample_idx, generate_rays)
+        L = trace_ref(scene, lt, sampler, ray, pid, sidx,
+                      max_depth=max_depth)
+        return filmmod.add_samples(film, pfilm, L, weight,
+                                   aligned_base=base)
+
+    ids = np.arange(n_chunks * chunk, dtype=np.uint32)
+    ids[n_pix:] = 0xFFFFFFFF
+    for s in range(spp):
+        for c in range(n_chunks):
+            base = jnp.uint32(c * chunk) if (c + 1) * chunk <= n_pix \
+                else None
+            film = one_pass(scene, camera, film,
+                            jnp.asarray(ids[c * chunk:(c + 1) * chunk]),
+                            jnp.uint32(s), base)
+    return film

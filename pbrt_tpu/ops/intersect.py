@@ -349,6 +349,13 @@ def _coherence_order(scene: SceneData, o, d, tmax):
               | ((d[:, 2] < 0).astype(jnp.int32) << 2))
     key = (octant << 9) | m
     key = jnp.where(tmax > 0, key, 1 << 14)
+    # pack key | lane into ONE int32 and single-array-sort it: ~7x faster
+    # than argsort's (key, payload) variadic sort on TPU (B < 2^17)
+    B = key.shape[0]
+    if B <= (1 << 17):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
+        packed = (key << 17) | lane
+        return jax.lax.sort(packed) & ((1 << 17) - 1)
     return jnp.argsort(key.astype(jnp.int32)).astype(jnp.int32)
 
 
@@ -364,13 +371,14 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False,
         prim_init = jnp.where(qhit, qprim, prim_init)
     r16 = pdense.ray_vectors(o, d, scene.dense_center, anyhit=anyhit_mask)
     if presorted:
-        t, prim = pdense.dense_intersect(r16, t_init, scene.dense_w,
-                                         scene.dense_cb, scene.dense_npad)
+        t, prim = pdense.dense_intersect_loop(r16, t_init, scene.dense_w,
+                                              scene.dense_cb,
+                                              scene.dense_npad)
     else:
         order = _coherence_order(scene, o, d, t_init)
-        t_s, prim_s = pdense.dense_intersect(r16[order], t_init[order],
-                                             scene.dense_w, scene.dense_cb,
-                                             scene.dense_npad)
+        t_s, prim_s = pdense.dense_intersect_loop(
+            r16[order], t_init[order], scene.dense_w, scene.dense_cb,
+            scene.dense_npad)
         t = jnp.zeros_like(t_s).at[order].set(t_s)
         prim = jnp.zeros_like(prim_s).at[order].set(prim_s)
     # kernel only reports triangle wins; keep the quadric prehit otherwise

@@ -37,8 +37,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_TILE = 512
-CHUNK = 1024          # triangles per streamed chunk (4 x 128 lanes)
+import os as _os
+RAY_TILE = int(_os.environ.get("PBRT_TPU_RAY_TILE", "512"))
+CHUNK = int(_os.environ.get("PBRT_TPU_CHUNK", "1024"))   # tris per chunk
 LANE_BITS = (CHUNK - 1).bit_length()   # low mantissa bits holding the lane
 LANE_MASK = (1 << LANE_BITS) - 1
 # NOTE(perf, measured on v5e): two finer-culling variants of this kernel
@@ -260,16 +261,16 @@ def _kernel(wq_tile_ref, wq_chunk_ref, wq_flag_ref, r16_ref, tmax_ref,
 
 
 def _kernel_loop(cl_ref, na_ref, r16_ref, tmax_ref, w_hbm, cb_ref,
-                 t_ref, prim_ref, wbuf, sems):
+                 t_ref, prim_ref, wbuf, sems, *, resident):
     """Chunk-loop kernel: ONE grid step per ray tile; the tile's active
-    chunks (front-to-back) are visited by an in-kernel fori_loop with
-    double-buffered DMA of the W slabs from HBM.
+    chunks (front-to-back) are visited by an in-kernel fori_loop.
 
-    vs the flat (tile,chunk) work-queue grid this removes the per-step
-    grid machinery entirely: r48 is built once per tile (not per step),
-    t_best/prim live in the loop carry (outputs stored once), dead
-    chunks skip the MXU dot via lax.cond, and there are no padding
-    steps or queue-cap switch branches (one static grid = one compile).
+    resident=True keeps the whole W table in VMEM (small scenes) and
+    slices chunks directly — no DMA at all; resident=False streams W
+    slabs from HBM with double-buffered DMA (large scenes).  The dot is
+    UNCONDITIONAL: an ablation showed lax.cond costs ~2us/step on v5e —
+    more than the dots it skips on bounce workloads — so per-ray culling
+    happens only through the shrinking t_best in the epilogue mask.
     """
     i = pl.program_id(0)
     na = na_ref[i]
@@ -279,7 +280,7 @@ def _kernel_loop(cl_ref, na_ref, r16_ref, tmax_ref, w_hbm, cb_ref,
     r_lo = (r - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     r48 = jnp.concatenate([r_hi, r_lo, r_hi], axis=1)
     # all per-ray state rides as [1, T] rows (Mosaic wants >=2D vectors
-    # in loop carries / cond operands)
+    # in loop carries)
     oc0 = r[:, 6][None, :]
     oc1 = r[:, 7][None, :]
     oc2 = r[:, 8][None, :]
@@ -294,18 +295,20 @@ def _kernel_loop(cl_ref, na_ref, r16_ref, tmax_ref, w_hbm, cb_ref,
             w_hbm.at[:, pl.ds(c * (4 * CHUNK), 4 * CHUNK)],
             wbuf.at[slot], sems.at[slot])
 
-    @pl.when(na > 0)
-    def _():
-        dma(0, 0).start()
+    if not resident:
+        @pl.when(na > 0)
+        def _():
+            dma(0, 0).start()
 
     def body(j, carry):
         t_best, prim = carry                     # [1,T] each
         c = cl_ref[i, j]
 
-        @pl.when(j + 1 < na)
-        def _():
-            dma((j + 1) % 2, j + 1).start()
-        dma(j % 2, j).wait()
+        if not resident:
+            @pl.when(j + 1 < na)
+            def _():
+                dma((j + 1) % 2, j + 1).start()
+            dma(j % 2, j).wait()
 
         ta0 = (cb_ref[c, 0] - oc0) * iv0
         tb0 = (cb_ref[c, 4] - oc0) * iv0
@@ -322,43 +325,44 @@ def _kernel_loop(cl_ref, na_ref, r16_ref, tmax_ref, w_hbm, cb_ref,
         box_hit = (tnear <= tfar * 1.0001 + 1e-5) & (tnear < t_best) & \
                   (tfar > 0) & (t_best > 0)
 
-        def do_dot(args):
-            t_best, prim = args
-            w = wbuf[j % 2]
-            dn = (((1,), (0,)), ((), ()))
-            out = jax.lax.dot_general(r48, w, dn,
-                                      preferred_element_type=jnp.float32)
-            s1 = out[:, 0 * CHUNK:1 * CHUNK]
-            s2 = out[:, 1 * CHUNK:2 * CHUNK]
-            num = out[:, 2 * CHUNK:3 * CHUNK]
-            nd = out[:, 3 * CHUNK:4 * CHUNK]
-            s0 = nd - s1 - s2
-            i0 = s0.view(jnp.int32)
-            i1 = s1.view(jnp.int32)
-            i2 = s2.view(jnp.int32)
-            inside = ((i0 ^ i1) | (i0 ^ i2)) >= 0
-            t = num * pl.reciprocal(nd, approx=True)
-            tb = jnp.where(box_hit, t_best, -F32_MAX)   # [1,T]
-            hit = inside & (t > 1e-4) & (t < tb[0][:, None])
-            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            key = (t.view(jnp.int32) & jnp.int32(~LANE_MASK)) | lane
-            BIG = jnp.int32(0x7F7FFFFF)
-            kmin = jnp.min(jnp.where(hit, key, BIG), axis=1)[None, :]
-            upd = kmin < BIG
-            t_new = (kmin & jnp.int32(~LANE_MASK)).view(jnp.float32)
-            k = kmin & jnp.int32(LANE_MASK)
-            t_new = jnp.where(anyhit, -1.0, t_new)
-            return (jnp.where(upd, t_new, t_best),
-                    jnp.where(upd, c * CHUNK + k, prim))
-
-        return jax.lax.cond(jnp.any(box_hit), do_dot,
-                            lambda args: args, (t_best, prim))
+        w = (w_hbm[:, pl.ds(c * (4 * CHUNK), 4 * CHUNK)] if resident
+             else wbuf[j % 2])
+        dn = (((1,), (0,)), ((), ()))
+        out = jax.lax.dot_general(r48, w, dn,
+                                  preferred_element_type=jnp.float32)
+        s1 = out[:, 0 * CHUNK:1 * CHUNK]
+        s2 = out[:, 1 * CHUNK:2 * CHUNK]
+        num = out[:, 2 * CHUNK:3 * CHUNK]
+        nd = out[:, 3 * CHUNK:4 * CHUNK]
+        s0 = nd - s1 - s2
+        i0 = s0.view(jnp.int32)
+        i1 = s1.view(jnp.int32)
+        i2 = s2.view(jnp.int32)
+        inside = ((i0 ^ i1) | (i0 ^ i2)) >= 0
+        t = num * pl.reciprocal(nd, approx=True)
+        tb = jnp.where(box_hit, t_best, -F32_MAX)   # [1,T]
+        hit = inside & (t > 1e-4) & (t < tb[0][:, None])
+        lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        key = (t.view(jnp.int32) & jnp.int32(~LANE_MASK)) | lane
+        BIG = jnp.int32(0x7F7FFFFF)
+        kmin = jnp.min(jnp.where(hit, key, BIG), axis=1)[None, :]
+        upd = kmin < BIG
+        t_new = (kmin & jnp.int32(~LANE_MASK)).view(jnp.float32)
+        k = kmin & jnp.int32(LANE_MASK)
+        t_new = jnp.where(anyhit, -1.0, t_new)
+        return (jnp.where(upd, t_new, t_best),
+                jnp.where(upd, c * CHUNK + k, prim))
 
     t_init = tmax_ref[0]                 # [1,T]
     prim_init = jnp.full(t_init.shape, -1, jnp.int32)
     t_best, prim = jax.lax.fori_loop(0, na, body, (t_init, prim_init))
     t_ref[0] = t_best
     prim_ref[0] = prim
+
+
+# W tables up to this size stay VMEM-resident in the loop kernel (the
+# whole table is ~97KB per 1024-tri chunk; 6MB = ~63k triangles)
+VMEM_RESIDENT_BYTES = 6 * 1024 * 1024
 
 
 @partial(jax.jit, static_argnames=("n_pad",))
@@ -374,6 +378,7 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad):
     tmax_t = tmax.reshape(n_tiles, RAY_TILE)
     tmax2 = tmax.reshape(n_tiles, 1, RAY_TILE)
     chunk_list, n_active = _tile_chunk_lists(r16t, tmax_t, chunk_bounds)
+    resident = (W.size * 2) <= VMEM_RESIDENT_BYTES
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,             # chunk_list, n_active
@@ -381,7 +386,8 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad):
         in_specs=[
             pl.BlockSpec((1, RAY_TILE, 16), lambda i, cl, na: (i, 0, 0)),
             pl.BlockSpec((1, 1, RAY_TILE), lambda i, cl, na: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),       # W stays in HBM
+            pl.BlockSpec(memory_space=(pltpu.VMEM if resident
+                                       else pltpu.ANY)),
             pl.BlockSpec(memory_space=pltpu.VMEM),      # chunk_bounds
         ],
         out_specs=[
@@ -394,7 +400,7 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad):
         ],
     )
     t_out, prim_out = pl.pallas_call(
-        _kernel_loop,
+        partial(_kernel_loop, resident=resident),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.float32),
