@@ -266,11 +266,11 @@ def ref_f(mat, wo, wi, reflect_geo):
     wh_len = geom.length(wh)
     ok = (co > 1e-9) & (ci > 1e-9) & (wh_len > 1e-9)
     whn = wh / jnp.maximum(wh_len, 1e-9)[..., None]
-    # pbrt: Fresnel evaluated at Dot(wi, Faceforward(wh, (0,0,1))) with
-    # FresnelDielectric(etaI=1.5, etaT=1.0) — plastic.cpp:58's (quirky)
-    # argument order, reproduced exactly
-    whf = jnp.where(whn[..., 2:3] < 0, -whn, whn)
-    Fr = fr_dielectric(geom.dot(wi, whf), 1.5, 1.0)
+    # the fork's vintage evaluates Fresnel at RAW Dot(wi, wh) — no
+    # Faceforward (reflection.cpp:233) — with FresnelDielectric(1.5, 1.0)
+    # (plastic.cpp:58's argument order); at backfacing-silhouette lobes
+    # this hits the sinT>=1 TIR branch and returns F=1, reproduced exactly
+    Fr = fr_dielectric(geom.dot(wi, whn), 1.5, 1.0)
     d = bsdf.ggx_d(whn, ax, ay)
     g = bsdf.ggx_g(wo, wi, ax, ay)
     spec_f = mat.ks * (d * g * Fr / jnp.maximum(4.0 * ci * co, 1e-12))[..., None]
@@ -509,7 +509,8 @@ def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
         cand_l = do_nee & (pdf_light > 0) & ~spec.is_black(li) \
             & ~spec.is_black(f_l)
         sray = isect.spawn_shadow_ray(hit.p, hit.ng, wi_L, dist, cand_l,
-                                      ray.wavelength)
+                                      ray.wavelength, eps_scale=1e-5,
+                                      shave=1.0 - 1e-4)
         w_l = sampling_power(pdf_light, pdf_scat_l)
         contrib_l = beta * f_l * li * (
             w_l / jnp.maximum(pdf_light, 1e-20))[:, None] * float(K)
@@ -521,7 +522,8 @@ def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
         pdf_light_s, tri_hit = _tri_pdf_li(lt, k, hit.p, wi_S)
         cand_s = do_nee & ok_s & ~spec.is_black(f_s) & (pdf_light_s > 0)
         w_s = sampling_power(pdf_scat, pdf_light_s)
-        pray = isect.spawn_ray(hit.p, hit.ng, wi_S, ray.wavelength)
+        pray = isect.spawn_ray(hit.p, hit.ng, wi_S, ray.wavelength,
+                               eps_scale=1e-5)
         pray = pray.replace(tmax=jnp.where(cand_s, pray.tmax, -1.0))
         # Le of the chosen tri seen from -wi_S
         li_s = jnp.where((ltwo | (geom.dot(ln, -wi_S) > 0))[:, None], lL, 0.0)
@@ -542,7 +544,8 @@ def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
         beta = jnp.where(alive[:, None], beta_new, beta)
         eta_scale = eta_scale * jnp.where(alive, eta_fac, 1.0)
         specular = is_spec
-        nray = isect.spawn_ray(hit.p, hit.ng, wi_c, ray.wavelength)
+        nray = isect.spawn_ray(hit.p, hit.ng, wi_c, ray.wavelength,
+                               eps_scale=1e-5)
         nray = nray.replace(tmax=jnp.where(alive, nray.tmax, -1.0))
         dim = dim + jnp.where(do_nee, 7, 2)
 

@@ -59,27 +59,92 @@ class Hit:
 # primitive tests
 # ---------------------------------------------------------------------------
 
-def ray_triangle(o, d, v0, e1, e2, tmax, eps=1e-7):
-    """Moller-Trumbore; o,d [B,3] vs per-lane triangles [B,K,3].
+def ray_triangle(o, d, v0, e1, e2, tmax):
+    """Watertight ray-triangle test; o,d [B,3] vs triangles [B,K,3].
 
-    Returns (t, b1, b2, hit) each [B,K].  The reference uses a watertight
-    permute/shear test with double fallback (triangle.cpp:188-426); the fp32
-    MT form here is the throughput-oriented choice — robustness is recovered
-    via normal-offset ray spawning.
+    Returns (t, b1, b2, hit) each [B,K].  Implements the reference's
+    translate/permute/shear formulation (triangle.cpp:188-310): the 2D
+    edge functions of triangles sharing an edge are computed from the
+    SAME sheared vertex coordinates, so their signs are consistent and a
+    ray through a shared edge can never slip between both triangles (the
+    crack Moller-Trumbore allows).  The reference's exact-zero
+    double-precision fallback is omitted — an exactly-zero f32 edge
+    function already passes the mixed-sign test for both neighbors, and
+    closest-hit resolution picks one.
     """
-    o = o[:, None, :]
-    d = d[:, None, :]
-    pvec = jnp.cross(d, e2)
-    det = jnp.sum(e1 * pvec, -1)
-    inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
-    tvec = o - v0
-    b1 = jnp.sum(tvec * pvec, -1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    b2 = jnp.sum(d * qvec, -1) * inv_det
-    t = jnp.sum(e2 * qvec, -1) * inv_det
-    hit = ((jnp.abs(det) > eps) & (b1 >= 0) & (b2 >= 0) & (b1 + b2 <= 1)
-           & (t > 0) & (t < tmax[:, None]))
-    return t, b1, b2, hit
+    B = o.shape[0]
+    # permutation: kz = argmax |d|, then (kx, ky, kz) cyclic — per ray
+    ad = jnp.abs(d)
+    kz = jnp.argmax(ad, axis=-1)                       # [B]
+    kx = (kz + 1) % 3
+    ky = (kx + 1) % 3
+
+    def pick(v, k):
+        # v [B,...,3], k [B] -> component k per lane
+        return jnp.take_along_axis(
+            v, k.reshape((B,) + (1,) * (v.ndim - 1)), axis=-1)[..., 0]
+
+    dz = pick(d, kz)
+    dx = pick(d, kx)
+    dy = pick(d, ky)
+    sx = -dx / dz
+    sy = -dy / dz
+    sz = 1.0 / dz
+
+    p1 = v0 + e1
+    p2 = v0 + e2
+
+    def shear(p):
+        # translate to ray origin, permute (per-B k over [B,K,3]), shear
+        pt = p - o[:, None, :]
+        xx = jnp.take_along_axis(pt, jnp.broadcast_to(
+            kx[:, None, None], pt.shape[:2] + (1,)), axis=-1)[..., 0]
+        yy = jnp.take_along_axis(pt, jnp.broadcast_to(
+            ky[:, None, None], pt.shape[:2] + (1,)), axis=-1)[..., 0]
+        zz = jnp.take_along_axis(pt, jnp.broadcast_to(
+            kz[:, None, None], pt.shape[:2] + (1,)), axis=-1)[..., 0]
+        return (xx + sx[:, None] * zz, yy + sy[:, None] * zz, zz)
+
+    x0, y0, z0 = shear(v0)
+    x1, y1, z1 = shear(p1)
+    x2, y2, z2 = shear(p2)
+
+    # 2D edge functions (triangle.cpp:263).  The reference gets exact
+    # shared-edge antisymmetry from identical fp expressions (+ a double
+    # fallback at exact zero); XLA's FMA contraction breaks that, so a
+    # near-zero edge value (within fp error of its terms) counts as ON
+    # the edge — both neighbors of a shared edge then hit and closest-hit
+    # selection picks one, instead of the ray slipping through a crack.
+    e0 = x1 * y2 - y1 * x2
+    e1f = x2 * y0 - y2 * x0
+    e2f = x0 * y1 - y0 * x1
+    m0 = jnp.abs(x1 * y2) + jnp.abs(y1 * x2)
+    m1 = jnp.abs(x2 * y0) + jnp.abs(y2 * x0)
+    m2 = jnp.abs(x0 * y1) + jnp.abs(y0 * x1)
+    TOL = 4e-7                      # a few ulps of the term magnitude
+    on0 = jnp.abs(e0) <= m0 * TOL
+    on1 = jnp.abs(e1f) <= m1 * TOL
+    on2 = jnp.abs(e2f) <= m2 * TOL
+    e0 = jnp.where(on0, 0.0, e0)
+    e1f = jnp.where(on1, 0.0, e1f)
+    e2f = jnp.where(on2, 0.0, e2f)
+    neg = (e0 < 0) | (e1f < 0) | (e2f < 0)
+    pos = (e0 > 0) | (e1f > 0) | (e2f > 0)
+    det = e0 + e1f + e2f
+    ok = ~(neg & pos) & (det != 0)
+
+    t_scaled = (e0 * z0 + e1f * z1 + e2f * z2) * sz[:, None]
+    # sign-consistent range test (triangle.cpp:286-293)
+    tm = tmax[:, None] * det
+    bad = jnp.where(det < 0,
+                    (t_scaled >= 0) | (t_scaled < tm),
+                    (t_scaled <= 0) | (t_scaled > tm))
+    ok = ok & ~bad
+    inv_det = 1.0 / jnp.where(det == 0, 1.0, det)
+    t = t_scaled * inv_det
+    b1 = e1f * inv_det        # weight of p1 = v0 + e1
+    b2 = e2f * inv_det        # weight of p2 = v0 + e2
+    return t, b1, b2, ok
 
 
 def _quadric_ts(qtype, params, oo, od):
@@ -650,16 +715,22 @@ def trace_pair(scene: SceneData, nray: geom.Ray, sray, ignore_light=None):
     return hit, occ
 
 
-def spawn_ray(p, ng, direction, wavelength, time=None, tmax=None):
-    """Offset-origin ray spawn (reference: interaction.h SpawnRay)."""
+def spawn_ray(p, ng, direction, wavelength, time=None, tmax=None,
+              eps_scale=1e-4):
+    """Offset-origin ray spawn (reference: interaction.h SpawnRay).
+
+    eps_scale: offset magnitude relative to |p| (default keeps a margin
+    for the bf16 dense kernel's quantized t; the matched-RNG parity path
+    uses 1e-5, closer to the reference's gamma-bound offsets)."""
     scale = jnp.maximum(jnp.max(jnp.abs(p), -1), 1.0)
-    eps = (1e-4 * scale)[..., None]
+    eps = (eps_scale * scale)[..., None]
     off = jnp.where(geom.dot(direction, ng)[..., None] >= 0, eps, -eps) * ng
     return geom.Ray.make(p + off, direction, tmax=tmax,
                          wavelength=wavelength, time=time)
 
 
-def spawn_shadow_ray(p, ng, wi, dist, cand, wavelength, time=None):
+def spawn_shadow_ray(p, ng, wi, dist, cand, wavelength, time=None,
+                     eps_scale=1e-4, shave=0.999):
     """Shadow ray toward a light sample at distance `dist` along unit wi.
 
     Matches the reference's SpawnRayTo parametric semantics
@@ -671,9 +742,9 @@ def spawn_shadow_ray(p, ng, wi, dist, cand, wavelength, time=None):
     tmax=-1 so they drop out of the intersect queue.
     """
     scale = jnp.maximum(jnp.max(jnp.abs(p), -1), 1.0)
-    eps = (1e-4 * scale)[..., None]
+    eps = (eps_scale * scale)[..., None]
     off = jnp.where(geom.dot(wi, ng)[..., None] >= 0, eps, -eps) * ng
     d_eff = dist - geom.dot(off, wi)
     return geom.Ray.make(p + off, wi,
-                         tmax=jnp.where(cand, d_eff * 0.999, -1.0),
+                         tmax=jnp.where(cand, d_eff * shave, -1.0),
                          wavelength=wavelength, time=time)

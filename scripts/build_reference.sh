@@ -19,7 +19,12 @@ fi
 OBJ="$OUT/obj_$BIN"
 mkdir -p "$OBJ"
 INC="-I$SHIM -I$REF/src -I$REF/src/core -I$REF/src/ext -I/usr/include/OpenEXR -I/usr/include/Imath"
-FLAGS="-O3 -march=native -std=c++17 -w -pthread"
+# -ffp-contract=off: gcc otherwise FMA-contracts the watertight
+# triangle edge functions (triangle.cpp:263), breaking their exact
+# shared-edge antisymmetry — the binary then leaks rays through mesh
+# seams (visible as zero pixels on seam-aligned samples).  pbrt's
+# watertightness proof assumes plain IEEE multiply-subtract.
+FLAGS="-O3 -march=native -ffp-contract=off -std=c++17 -w -pthread"
 
 SRCS=$(ls $REF/src/core/*.cpp $REF/src/accelerators/*.cpp \
           $REF/src/cameras/*.cpp $REF/src/filters/*.cpp \

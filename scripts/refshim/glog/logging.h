@@ -69,8 +69,29 @@ class Voidify {
 #define LOG_FATAL ::glog_shim::FatalStream(__FILE__, __LINE__)
 #define LOG(severity) LOG_##severity
 
-#define VLOG(n) ::glog_shim::null_stream()
-#define VLOG_IS_ON(n) false
+// debug builds: VLOG prints to stderr while glog_shim::vlog_on is set
+// (the refdbg integrator copy raises it inside a target pixel)
+namespace glog_shim {
+inline bool vlog_on = false;
+class VStream {
+  public:
+    template <typename T>
+    VStream &operator<<(const T &v) {
+        if (vlog_on) std::cerr << v;
+        return *this;
+    }
+    VStream &operator<<(std::ostream &(*m)(std::ostream &)) {
+        if (vlog_on) std::cerr << m;
+        return *this;
+    }
+};
+inline VStream &vstream() {
+    static VStream vs;
+    return vs;
+}
+}  // namespace glog_shim
+#define VLOG(n) ::glog_shim::vstream()
+#define VLOG_IS_ON(n) ::glog_shim::vlog_on
 #define DLOG(severity) ::glog_shim::null_stream()
 
 #define CHECK(cond)                                                     \
