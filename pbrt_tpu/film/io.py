@@ -94,8 +94,31 @@ def write_exr(path, rgb):
     return path
 
 
+_EXR_TYPE_BYTES = {0: 4, 1: 2, 2: 4}       # UINT, HALF, FLOAT
+
+
+def _exr_unpredict(raw):
+    """Undo the EXR ZIP post-deflate transform: delta-reconstruct then
+    de-interleave the two byte planes (OpenEXR ImfZip.cpp)."""
+    t = np.frombuffer(raw, np.uint8).astype(np.int16)
+    # t[i] = t[i-1] + t[i] - 128  (cumulative)
+    d = t.copy()
+    d[1:] -= 128
+    d = np.cumsum(d).astype(np.uint8)
+    # interleave: out[0::2] = first half, out[1::2] = second half
+    half = (len(d) + 1) // 2
+    out = np.empty(len(d), np.uint8)
+    out[0::2] = d[:half]
+    out[1::2] = d[half:]
+    return out.tobytes()
+
+
 def read_exr(path):
-    """Reads EXRs written by write_exr (uncompressed float RGB)."""
+    """Scanline EXR reader: NONE / ZIPS / ZIP compression, HALF / FLOAT /
+    UINT channels (reference: imageio.cpp:124+ via OpenEXR; this covers
+    the compression used by pbrt scene assets' environment maps).
+    PIZ/PXR24/B44 are not implemented."""
+    import zlib
     with open(path, "rb") as f:
         data = f.read()
     if struct.unpack_from("<i", data, 0)[0] != 20000630:
@@ -112,9 +135,13 @@ def read_exr(path):
     pos += 1
     x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
     w, h = x1 - x0 + 1, y1 - y0 + 1
-    if attrs["compression"][1] != b"\x00":
-        raise ValueError("only uncompressed EXR supported")
-    # channel list
+    comp = attrs["compression"][1][0]
+    if comp not in (0, 2, 3):
+        raise ValueError(f"EXR compression {comp} not supported "
+                         "(NONE/ZIPS/ZIP only)")
+    lines_per_block = {0: 1, 2: 1, 3: 16}[comp]
+    # channel list (file order = sorted names; data is stored per
+    # scanline in this order)
     ch = []
     cdata = attrs["channels"][1]
     cpos = 0
@@ -125,25 +152,39 @@ def read_exr(path):
         ch.append((cname, ptype))
         cpos = e + 1 + 16
     ch_names = [c[0] for c in ch]
-    pos += 8 * h  # skip offset table
+    line_bytes = sum(_EXR_TYPE_BYTES[t] for _, t in ch) * w
+
+    n_blocks = (h + lines_per_block - 1) // lines_per_block
+    pos += 8 * n_blocks            # offset table
     img = np.zeros((h, w, len(ch)), np.float32)
-    for y in range(h):
+    for _ in range(n_blocks):
         yy, sz = struct.unpack_from("<ii", data, pos); pos += 8
-        for ci, (cname, ptype) in enumerate(ch):
-            if ptype == 2:
-                row = np.frombuffer(data, np.float32, w, pos)
-                pos += 4 * w
-            elif ptype == 1:
-                row = np.frombuffer(data, np.float16, w, pos).astype(np.float32)
-                pos += 2 * w
-            else:
-                row = np.frombuffer(data, np.uint32, w, pos).astype(np.float32)
-                pos += 4 * w
-            img[yy - y0, :, ci] = row
+        nl = min(lines_per_block, y1 - yy + 1)
+        payload = data[pos:pos + sz]; pos += sz
+        expect = line_bytes * nl
+        if comp in (2, 3) and sz < expect:
+            payload = _exr_unpredict(zlib.decompress(payload))
+        lpos = 0
+        for li in range(nl):
+            y = yy - y0 + li
+            for ci, (cname, ptype) in enumerate(ch):
+                nb = _EXR_TYPE_BYTES[ptype]
+                buf = payload[lpos:lpos + nb * w]; lpos += nb * w
+                if ptype == 2:
+                    row = np.frombuffer(buf, np.float32, w)
+                elif ptype == 1:
+                    row = np.frombuffer(buf, np.float16, w).astype(np.float32)
+                else:
+                    row = np.frombuffer(buf, np.uint32, w).astype(np.float32)
+                if 0 <= y < h:
+                    img[y, :, ci] = row
     # reorder to RGB if possible
     if set("RGB") <= set(ch_names):
         idx = [ch_names.index(c) for c in "RGB"]
         return img[:, :, idx]
+    if "Y" in ch_names:            # luminance-only maps
+        yimg = img[:, :, ch_names.index("Y")]
+        return np.repeat(yimg[:, :, None], 3, axis=2)
     return img
 
 
