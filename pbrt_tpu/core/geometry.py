@@ -106,7 +106,7 @@ def refract(wi, n, eta):
     sin2_i = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     sin2_t = eta * eta * sin2_i
     valid = sin2_t < 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-14))
     wt = eta[..., None] * -wi + (eta * cos_i - cos_t)[..., None] * n
     return valid, wt
 

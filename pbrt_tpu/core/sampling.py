@@ -117,14 +117,14 @@ class Distribution2D:
 
 def uniform_sample_hemisphere(u1, u2):
     z = u1
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = jnp.sqrt(jnp.maximum(1e-14, 1.0 - z * z))
     phi = 2 * PI * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], -1)
 
 
 def uniform_sample_sphere(u1, u2):
     z = 1.0 - 2.0 * u1
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = jnp.sqrt(jnp.maximum(1e-14, 1.0 - z * z))
     phi = 2 * PI * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], -1)
 
@@ -146,7 +146,7 @@ def concentric_sample_disk(u1, u2):
 
 def cosine_sample_hemisphere(u1, u2):
     d = concentric_sample_disk(u1, u2)
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - d[..., 0] ** 2 - d[..., 1] ** 2))
+    z = jnp.sqrt(jnp.maximum(1e-14, 1.0 - d[..., 0] ** 2 - d[..., 1] ** 2))
     return jnp.stack([d[..., 0], d[..., 1], z], -1)
 
 
@@ -160,14 +160,14 @@ def uniform_cone_pdf(cos_theta_max):
 
 def uniform_sample_cone(u1, u2, cos_theta_max):
     cos_t = (1.0 - u1) + u1 * cos_theta_max
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    sin_t = jnp.sqrt(jnp.maximum(1e-14, 1.0 - cos_t * cos_t))
     phi = 2 * PI * u2
     return geom.spherical_direction(sin_t, cos_t, phi)
 
 
 def uniform_sample_triangle(u1, u2):
     """Barycentric (b0, b1) (reference: sampling.cpp:186)."""
-    su0 = jnp.sqrt(jnp.maximum(u1, 0.0))
+    su0 = jnp.sqrt(jnp.maximum(u1, 1e-14))
     return jnp.stack([1.0 - su0, u2 * su0], -1)
 
 

@@ -101,18 +101,18 @@ def _sample_sphere_area(rec, p, u1, u2):
     dc = jnp.sqrt(dc2)
     inside = dc2 <= radius * radius * 1.0001
     sin2_max = jnp.clip(radius * radius / dc2, 0.0, 1.0)
-    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
+    cos_max = jnp.sqrt(jnp.maximum(1e-14, 1.0 - sin2_max))
     wz = geom.normalize(to_c)
     wx, wy = geom.coordinate_system(wz)
     cs = (1.0 - u1) + u1 * cos_max
-    sn = jnp.sqrt(jnp.maximum(0.0, 1.0 - cs * cs))
+    sn = jnp.sqrt(jnp.maximum(1e-14, 1.0 - cs * cs))
     phi = 2 * jnp.pi * u2
     wi = geom.frame_to_world(
         wx, wy, wz, geom.spherical_direction(sn, cs, phi))
     pdf = sampling.uniform_cone_pdf(cos_max)
     # distance to sphere surface along wi (law of cosines)
     ds = dc * cs - jnp.sqrt(jnp.maximum(
-        radius * radius - dc2 * sn * sn, 0.0))
+        radius * radius - dc2 * sn * sn, 1e-14))
     # inside the sphere: fall back to uniform sphere point (rare)
     pdf = jnp.where(inside, 0.0, pdf)
     return wi, pdf, ds
@@ -319,7 +319,7 @@ def pdf_li_area(scene: ir.SceneData, light_idx, prev_p, wi, hit_t, hit_ng):
         center, radius = rec["sph_center"], rec["sph_radius"]
         dc2 = jnp.maximum(geom.length_sq(center - prev_p), 1e-12)
         sin2_max = jnp.clip(radius * radius / dc2, 0.0, 1.0)
-        cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
+        cos_max = jnp.sqrt(jnp.maximum(1e-14, 1.0 - sin2_max))
         pdf_sph = sampling.uniform_cone_pdf(cos_max)
     if has_mesh and has_sph:
         return jnp.where(rec["quad"] < 0, pdf_mesh, pdf_sph)

@@ -306,9 +306,9 @@ def fresnel_dielectric(cos_i, eta_i, eta_t):
     ei = jnp.where(entering, eta_i, eta_t)
     et = jnp.where(entering, eta_t, eta_i)
     ci = jnp.abs(cos_i)
-    sin_t = ei / et * jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+    sin_t = ei / et * jnp.sqrt(jnp.maximum(1e-14, 1.0 - ci * ci))
     tir = sin_t >= 1.0
-    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    ct = jnp.sqrt(jnp.maximum(1e-14, 1.0 - sin_t * sin_t))
     r_par = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-9)
     r_perp = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-9)
     f = 0.5 * (r_par * r_par + r_perp * r_perp)
@@ -323,9 +323,9 @@ def fresnel_conductor(cos_i, eta, k):
     eta2 = eta * eta
     k2 = k * k
     t0 = eta2 - k2 - si2
-    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4 * eta2 * k2, 0.0))
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4 * eta2 * k2, 1e-14))
     t1 = a2b2 + ci2
-    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 1e-14))
     t2 = 2.0 * a * ci
     rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-9)
     t3 = ci2 * a2b2 + si2 * si2
@@ -388,8 +388,8 @@ def ggx_sample_wh(wo, u1, u2, ax, ay):
     p1 = r * jnp.cos(phi)
     p2 = r * jnp.sin(phi)
     s = 0.5 * (1.0 + vh[..., 2])
-    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2
-    pz = jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1e-14, 1.0 - p1 * p1)) + s * p2
+    pz = jnp.sqrt(jnp.maximum(1e-14, 1.0 - p1 * p1 - p2 * p2))
     nh = (p1[..., None] * t1 + p2[..., None] * t2 + pz[..., None] * vh)
     wh = geom.normalize(jnp.stack(
         [ax * nh[..., 0], ay * nh[..., 1],
@@ -418,8 +418,8 @@ def oren_nayar_f(kd, sigma_deg, wo, wi):
     s2 = sigma * sigma
     A = 1.0 - s2 / (2.0 * (s2 + 0.33))
     Bc = 0.45 * s2 / (s2 + 0.09)
-    sin_to = jnp.sqrt(jnp.maximum(0.0, 1.0 - wo[..., 2] ** 2))
-    sin_ti = jnp.sqrt(jnp.maximum(0.0, 1.0 - wi[..., 2] ** 2))
+    sin_to = jnp.sqrt(jnp.maximum(1e-14, 1.0 - wo[..., 2] ** 2))
+    sin_ti = jnp.sqrt(jnp.maximum(1e-14, 1.0 - wi[..., 2] ** 2))
     # max(0, cos(phi_i - phi_o))
     denom_i = jnp.maximum(sin_ti, 1e-9)
     denom_o = jnp.maximum(sin_to, 1e-9)
@@ -431,19 +431,34 @@ def oren_nayar_f(kd, sigma_deg, wo, wi):
     abs_co = jnp.abs(wo[..., 2])
     big = jnp.maximum(abs_ci, abs_co) + 1e-9
     small = jnp.minimum(abs_ci, abs_co)
-    sin_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - small * small))
-    tan_b = jnp.sqrt(jnp.maximum(0.0, 1.0 - big * big)) / big
+    sin_a = jnp.sqrt(jnp.maximum(1e-14, 1.0 - small * small))
+    tan_b = jnp.sqrt(jnp.maximum(1e-14, 1.0 - big * big)) / big
     return kd * INV_PI * (A + Bc * max_cos * sin_a * tan_b)[..., None]
+
+
+
+def _safe_half(wo, wi):
+    """Half vector with a unit-z fallback when wo ~= -wi: dividing a
+    near-zero sum by its near-zero length overflows, and inf primals
+    turn masked-out backward cotangents into NaN (camera/pose grads)."""
+    wh = wo + wi
+    # sqrt floored INSIDE: at wi == -wo exactly (glass at normal
+    # incidence) length_sq is 0 and d sqrt(0) = inf would NaN the
+    # masked-out backward
+    wh_len = jnp.sqrt(geom.length_sq(wh) + 1e-12)
+    ok = wh_len > 1e-5
+    whn = jnp.where(ok[..., None],
+                    wh / jnp.maximum(wh_len, 1e-6)[..., None],
+                    jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), wh.shape))
+    return whn, ok
 
 
 def microfacet_reflection_f(ks, wo, wi, ax, ay, F):
     """Torrance-Sparrow (reflection.cpp:408): D G F / (4 cos_o cos_i)."""
     co = abs_cos_theta(wo)
     ci = abs_cos_theta(wi)
-    wh = wo + wi
-    wh_len = geom.length(wh)
-    ok = (co > 1e-6) & (ci > 1e-6) & (wh_len > 1e-9) & same_hemisphere(wo, wi)
-    wh = wh / jnp.maximum(wh_len, 1e-9)[..., None]
+    wh, wh_ok = _safe_half(wo, wi)
+    ok = (co > 1e-6) & (ci > 1e-6) & wh_ok & same_hemisphere(wo, wi)
     d = ggx_d(wh, ax, ay)
     g = ggx_g(wo, wi, ax, ay)
     f = ks * F * (d * g / jnp.maximum(4 * co * ci, 1e-9))[..., None]
@@ -451,10 +466,10 @@ def microfacet_reflection_f(ks, wo, wi, ax, ay, F):
 
 
 def microfacet_reflection_pdf(wo, wi, ax, ay):
-    wh = geom.normalize(wo + wi)
+    wh, wh_ok = _safe_half(wo, wi)
     pdf = ggx_pdf_wh(wo, wh, ax, ay) / jnp.maximum(
         4 * jnp.abs(geom.dot(wo, wh)), 1e-9)
-    return jnp.where(same_hemisphere(wo, wi), pdf, 0.0)
+    return jnp.where(same_hemisphere(wo, wi) & wh_ok, pdf, 0.0)
 
 
 def fresnel_blend_f(rd, rs, wo, wi, ax, ay):
@@ -466,10 +481,7 @@ def fresnel_blend_f(rd, rs, wo, wi, ax, ay):
     diffuse = ((28.0 / (23.0 * PI)) * rd * (1.0 - rs)
                * ((1.0 - pow5(1.0 - 0.5 * ci))
                   * (1.0 - pow5(1.0 - 0.5 * co)))[..., None])
-    wh = wo + wi
-    wh_len = geom.length(wh)
-    ok = wh_len > 1e-9
-    wh = wh / jnp.maximum(wh_len, 1e-9)[..., None]
+    wh, ok = _safe_half(wo, wi)
     d = ggx_d(wh, ax, ay)
     dot_iw = jnp.abs(geom.dot(wi, wh))
     schlick = rs + pow5(1.0 - dot_iw)[..., None] * (1.0 - rs)
@@ -538,10 +550,7 @@ def _disney_f_refl(params, wo, wi):
     ctint = base / lum[..., None]
     co = jnp.maximum(abs_cos_theta(wo), 1e-6)
     ci = jnp.maximum(abs_cos_theta(wi), 1e-6)
-    wh_raw = wo + wi
-    wh_ok = geom.length(wh_raw) > 1e-9
-    wh = geom.normalize(jnp.where(wh_ok[..., None], wh_raw,
-                                  jnp.asarray([0.0, 0.0, 1.0])))
+    wh, wh_ok = _safe_half(wo, wi)
     cosd = jnp.abs(geom.dot(wi, wh))          # half-vector angle
     ax, ay = params.rough_u, params.rough_v
     rough = jnp.clip((ax * ay) ** 0.25, 1e-3, 1.0)  # undo alpha remap
@@ -588,10 +597,7 @@ def _disney_pdf(params, wo, wi):
     pdf_spec = jnp.where(refl, microfacet_reflection_pdf(wo, wi, ax, ay),
                          0.0)
     (_, _, _, _, _, cc_gloss, _) = _disney_unpack(params)
-    wh_raw = wo + wi
-    wh_ok = geom.length(wh_raw) > 1e-9
-    wh = geom.normalize(jnp.where(wh_ok[..., None], wh_raw,
-                                  jnp.asarray([0.0, 0.0, 1.0])))
+    wh, wh_ok = _safe_half(wo, wi)
     acc = 0.1 * (1.0 - cc_gloss) + 0.001 * cc_gloss
     dwo = jnp.maximum(jnp.abs(geom.dot(wo, wh)), 1e-6)
     pdf_cc = jnp.where(refl & wh_ok,
@@ -650,11 +656,17 @@ def _rough_transmission(params, wo, wi):
     co = cos_theta(wo)
     ci = cos_theta(wi)
     eta = jnp.where(co > 0, params.eta, 1.0 / params.eta)
-    wh = geom.normalize(wo + wi * eta[..., None])
+    whr = wo + wi * eta[..., None]
+    whl = jnp.sqrt(geom.length_sq(whr) + 1e-12)
+    wh_ok2 = whl > 1e-6
+    wh = jnp.where(wh_ok2[..., None],
+                   whr / jnp.maximum(whl, 1e-6)[..., None],
+                   jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), whr.shape))
     wh = jnp.where(wh[..., 2:3] < 0, -wh, wh)
     dwo = geom.dot(wo, wh)
     dwi = geom.dot(wi, wh)
-    ok = (dwo * dwi < 0) & (jnp.abs(co) > 1e-6) & (jnp.abs(ci) > 1e-6)
+    ok = (dwo * dwi < 0) & (jnp.abs(co) > 1e-6) & (jnp.abs(ci) > 1e-6) \
+        & wh_ok2
     F = fresnel_dielectric(dwo, 1.0, params.eta)
     sqrt_denom = dwo + eta * dwi
     d = ggx_d(wh, ax, ay)
@@ -692,10 +704,7 @@ def eval_f(params: MaterialParams, wo, wi):
         f = f + jnp.where((has_diff & refl)[..., None], f_diff, 0.0)
 
     ax, ay = params.rough_u, params.rough_v
-    wh_raw = wo + wi
-    wh_ok = geom.length(wh_raw) > 1e-9
-    wh = geom.normalize(jnp.where(wh_ok[..., None], wh_raw,
-                                  jnp.asarray([0.0, 0.0, 1.0])))
+    wh, wh_ok = _safe_half(wo, wi)
     # dielectric-coat microfacet (plastic/uber/roughglass reflection)
     if _present(fam, ir.MAT_PLASTIC, ir.MAT_UBER, ir.MAT_ROUGHGLASS,
                 ir.MAT_SUBSURFACE, ir.MAT_KDSUBSURFACE, ir.MAT_DISNEY):
@@ -923,7 +932,7 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2, u3=None):
         a2 = jnp.maximum(ax, 1e-3) ** 2
         cos_rr = jnp.sqrt(jnp.maximum(
             (1.0 - u1) / jnp.maximum(u1 * (a2 - 1.0) + 1.0, 1e-9), 0.0))
-        sin_rr = jnp.sqrt(jnp.maximum(1.0 - cos_rr * cos_rr, 0.0))
+        sin_rr = jnp.sqrt(jnp.maximum(1.0 - cos_rr * cos_rr, 1e-14))
         phi_r = 2 * PI * u2
         b1v, b2v = geom.coordinate_system(wo)
         wi_retro = geom.normalize(
@@ -946,7 +955,7 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2, u3=None):
         a2c = jnp.clip(acc_s * acc_s, 1e-6, 1.0 - 1e-4)
         ch2 = jnp.clip((1.0 - a2c ** (1.0 - u1)) / (1.0 - a2c), 0.0, 1.0)
         ch = jnp.sqrt(ch2)
-        shc = jnp.sqrt(jnp.maximum(1.0 - ch2, 0.0))
+        shc = jnp.sqrt(jnp.maximum(1.0 - ch2, 1e-14))
         phic = 2 * PI * u2
         wh_cc = jnp.concatenate(
             [(shc * jnp.cos(phic))[..., None],

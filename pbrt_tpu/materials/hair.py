@@ -144,7 +144,7 @@ def _fr_dielectric(cos_i, eta):
     cos_i = jnp.clip(cos_i, 0.0, 1.0)
     sin2_t = jnp.maximum(0.0, (1.0 - cos_i ** 2)) / eta ** 2
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-14))
     r_par = (eta * cos_i - cos_t) / jnp.maximum(eta * cos_i + cos_t, 1e-6)
     r_perp = (cos_i - eta * cos_t) / jnp.maximum(cos_i + eta * cos_t, 1e-6)
     f = 0.5 * (r_par ** 2 + r_perp ** 2)
@@ -154,7 +154,7 @@ def _fr_dielectric(cos_i, eta):
 def ap(cos_to, eta, h, T):
     """Per-lobe attenuations [..., P_MAX+1, S] (hair.cpp:128-147).
     T is the single-segment transmittance spectrum [..., S]."""
-    cos_go = jnp.sqrt(jnp.maximum(1.0 - h * h, 0.0))
+    cos_go = jnp.sqrt(jnp.maximum(1.0 - h * h, 1e-14))
     cos_t = cos_to * cos_go          # full angle at the entry interface
     f = _fr_dielectric(cos_t, eta)[..., None]
     a0 = jnp.broadcast_to(f, T.shape)
@@ -172,7 +172,7 @@ def ap(cos_to, eta, h, T):
 def _dir_angles(w):
     """(sin_theta, cos_theta, phi) with x = fiber axis (hair.h frame)."""
     sin_t = jnp.clip(w[..., 0], -1.0, 1.0)
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t ** 2, 0.0))
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t ** 2, 1e-14))
     phi = jnp.arctan2(w[..., 2], w[..., 1])
     return sin_t, cos_t, phi
 
@@ -196,12 +196,12 @@ def hair_eval(wo, wi, h, sigma_a, eta=1.55, beta_m=0.3, beta_n=0.3,
     etap = jnp.sqrt(jnp.maximum(eta ** 2 - sin_to ** 2, 1e-6)) \
         / jnp.maximum(cos_to, 1e-6)
     sin_gt = jnp.clip(h / etap, -1.0, 1.0)
-    cos_gt = jnp.sqrt(jnp.maximum(1.0 - sin_gt ** 2, 0.0))
+    cos_gt = jnp.sqrt(jnp.maximum(1.0 - sin_gt ** 2, 1e-14))
     gamma_o = jnp.arcsin(jnp.clip(h, -1.0, 1.0))
     gamma_t = jnp.arcsin(sin_gt)
     # refracted longitudinal angle for the absorption path length
     sin_tt = sin_to / eta
-    cos_tt = jnp.sqrt(jnp.maximum(1.0 - sin_tt ** 2, 0.0))
+    cos_tt = jnp.sqrt(jnp.maximum(1.0 - sin_tt ** 2, 1e-14))
     T = jnp.exp(-sigma_a * (2.0 * cos_gt
                             / jnp.maximum(cos_tt, 1e-4))[..., None])
     v = beta_m_to_v(beta_m)
@@ -234,11 +234,11 @@ def hair_pdf(wo, wi, h, sigma_a, eta=1.55, beta_m=0.3, beta_n=0.3,
     etap = jnp.sqrt(jnp.maximum(eta ** 2 - sin_to ** 2, 1e-6)) \
         / jnp.maximum(cos_to, 1e-6)
     sin_gt = jnp.clip(h / etap, -1.0, 1.0)
-    cos_gt = jnp.sqrt(jnp.maximum(1.0 - sin_gt ** 2, 0.0))
+    cos_gt = jnp.sqrt(jnp.maximum(1.0 - sin_gt ** 2, 1e-14))
     gamma_o = jnp.arcsin(jnp.clip(h, -1.0, 1.0))
     gamma_t = jnp.arcsin(sin_gt)
     sin_tt = sin_to / eta
-    cos_tt = jnp.sqrt(jnp.maximum(1.0 - sin_tt ** 2, 0.0))
+    cos_tt = jnp.sqrt(jnp.maximum(1.0 - sin_tt ** 2, 1e-14))
     T = jnp.exp(-sigma_a * (2.0 * cos_gt
                             / jnp.maximum(cos_tt, 1e-4))[..., None])
     v = beta_m_to_v(beta_m)
@@ -266,11 +266,11 @@ def hair_sample(wo, h, sigma_a, u, eta=1.55, beta_m=0.3, beta_n=0.3,
     etap = jnp.sqrt(jnp.maximum(eta ** 2 - sin_to ** 2, 1e-6)) \
         / jnp.maximum(cos_to, 1e-6)
     sin_gt = jnp.clip(h / etap, -1.0, 1.0)
-    cos_gt = jnp.sqrt(jnp.maximum(1.0 - sin_gt ** 2, 0.0))
+    cos_gt = jnp.sqrt(jnp.maximum(1.0 - sin_gt ** 2, 1e-14))
     gamma_o = jnp.arcsin(jnp.clip(h, -1.0, 1.0))
     gamma_t = jnp.arcsin(sin_gt)
     sin_tt = sin_to / eta
-    cos_tt = jnp.sqrt(jnp.maximum(1.0 - sin_tt ** 2, 0.0))
+    cos_tt = jnp.sqrt(jnp.maximum(1.0 - sin_tt ** 2, 1e-14))
     T = jnp.exp(-sigma_a * (2.0 * cos_gt
                             / jnp.maximum(cos_tt, 1e-4))[..., None])
     v = beta_m_to_v(beta_m)
@@ -297,10 +297,10 @@ def hair_sample(wo, h, sigma_a, u, eta=1.55, beta_m=0.3, beta_n=0.3,
     u0 = jnp.clip(u[..., 1], 1e-5, 1.0)
     cos_theta = 1.0 + vp * jnp.log(
         u0 + (1.0 - u0) * jnp.exp(-2.0 / jnp.maximum(vp, 1e-5)))
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta ** 2, 0.0))
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta ** 2, 1e-14))
     cos_phi_l = jnp.cos(2.0 * PI * u[..., 2])
     sin_ti = -cos_theta * sin_tp + sin_theta * cos_phi_l * cos_tp
-    cos_ti = jnp.sqrt(jnp.maximum(1.0 - sin_ti ** 2, 0.0))
+    cos_ti = jnp.sqrt(jnp.maximum(1.0 - sin_ti ** 2, 1e-14))
 
     # azimuthal sample
     dphi_peak = _phi(p_sel.astype(jnp.float32), gamma_o, gamma_t)

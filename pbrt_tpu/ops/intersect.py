@@ -245,16 +245,24 @@ def ray_quadric(qtype, w2o, params, o, d, tmax, clip=True):
 
 
 def quadric_uv(qtype, params, ph):
-    """Parameterization at object-space hit point ph (sphere.cpp:190 etc)."""
+    """Parameterization at object-space hit point ph (sphere.cpp:190 etc).
+
+    arccos/arctan2/sqrt are guarded away from their infinite-derivative
+    points: reverse-mode camera/geometry gradients otherwise pick up
+    0 * inf = NaN through these even when uv itself has zero cotangent.
+    """
     r = params[..., 0]
     phimax = params[..., 3]
     is_disk = qtype == PRIM_DISK
-    phi = jnp.arctan2(ph[..., 1], ph[..., 0])
+    px, py = ph[..., 0], ph[..., 1]
+    deg = (px * px + py * py) < 1e-12
+    phi = jnp.arctan2(jnp.where(deg, 0.0, py), jnp.where(deg, 1.0, px))
     phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
     u = phi / jnp.maximum(phimax, 1e-6)
-    zc = jnp.clip(ph[..., 2] / jnp.maximum(r, 1e-6), -1.0, 1.0)
+    zc = jnp.clip(ph[..., 2] / jnp.maximum(r, 1e-6),
+                  -1.0 + 1e-6, 1.0 - 1e-6)
     v = jnp.where(is_disk,
-                  jnp.sqrt(ph[..., 0] ** 2 + ph[..., 1] ** 2)
+                  jnp.sqrt(px * px + py * py + 1e-20)
                   / jnp.maximum(r, 1e-6),
                   (jnp.arccos(zc)) / jnp.pi)
     return u, v
@@ -599,7 +607,11 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
     v0 = sf[:, 21:24]
     pvec = jnp.cross(ray.d, e2)
     det = jnp.sum(e1 * pvec, -1)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    # safe-denominator form: where(c, 1/det, 0) computes 1/0 = inf in the
+    # untaken branch and its backward turns a zero cotangent into NaN
+    # (quadric lanes carry zeroed triangle rows, det == 0 exactly)
+    ok_det = jnp.abs(det) > 1e-12
+    inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, det, 1.0), 0.0)
     tvec = ray.o - v0
     b1 = jnp.sum(tvec * pvec, -1) * inv_det
     qvec = jnp.cross(tvec, e1)
