@@ -34,6 +34,11 @@ class ProjectiveCamera:
     kind: str = struct.field(pytree_node=False, default="perspective")
     # physical-area factor for importance (We); filled for perspective
     lens_area: jnp.ndarray = None
+    # camera motion blur: decomposed two-keyframe cam_to_world
+    # (transform.py animated_pair); None => static camera
+    anim_t: jnp.ndarray = None     # [2,3]
+    anim_q: jnp.ndarray = None     # [2,4]
+    anim_s: jnp.ndarray = None     # [2,3,3]
 
 
 def _screen_window(width, height, screen=None):
@@ -55,11 +60,17 @@ def _raster_to_screen(width, height, screen):
 
 def make_perspective(cam_to_world: tfm.Transform, fov_deg, width, height,
                      lens_radius=0.0, focal_distance=1e6, screen=None,
-                     shutter_open=0.0, shutter_close=1.0):
+                     shutter_open=0.0, shutter_close=1.0,
+                     cam_to_world1: tfm.Transform = None):
     screen = _screen_window(width, height, screen)
     cam_to_screen = tfm.perspective(fov_deg, 1e-2, 1000.0)
     raster_to_screen = _raster_to_screen(width, height, screen)
     raster_to_camera = cam_to_screen.inverse() * raster_to_screen
+    anim = {}
+    if cam_to_world1 is not None and             not np.allclose(cam_to_world1.m, cam_to_world.m):
+        at, aq, asq = tfm.animated_pair(cam_to_world.m, cam_to_world1.m)
+        anim = dict(anim_t=jnp.asarray(at), anim_q=jnp.asarray(aq),
+                    anim_s=jnp.asarray(asq))
     return ProjectiveCamera(
         cam_to_world=jnp.asarray(cam_to_world.m, jnp.float32),
         raster_to_camera=jnp.asarray(raster_to_camera.m, jnp.float32),
@@ -69,7 +80,8 @@ def make_perspective(cam_to_world: tfm.Transform, fov_deg, width, height,
         shutter_open=jnp.float32(shutter_open),
         shutter_close=jnp.float32(shutter_close),
         kind="perspective",
-        lens_area=jnp.float32(max(np.pi * lens_radius ** 2, 1.0)))
+        lens_area=jnp.float32(max(np.pi * lens_radius ** 2, 1.0)),
+        **anim)
 
 
 def make_orthographic(cam_to_world: tfm.Transform, width, height,
@@ -138,13 +150,21 @@ def generate_rays(camera: ProjectiveCamera, pfilm, u_lens, u_time=None,
         o_dof, d_dof = dof(o, d)
         o = jnp.where(use_dof, o_dof, o)
         d = jnp.where(use_dof, d_dof, d)
-    wo = tfm.xform_point(camera.cam_to_world, o)
-    wd = geom.normalize(tfm.xform_vector(camera.cam_to_world, d))
     if u_time is None:
         time = jnp.broadcast_to(camera.shutter_open, (B,))
     else:
         time = camera.shutter_open + u_time * (camera.shutter_close
                                                - camera.shutter_open)
+    if camera.anim_t is not None:
+        # camera motion blur: per-ray slerped cam_to_world at ray time
+        # (reference: AnimatedTransform::Interpolate, transform.cpp:255+)
+        m34 = tfm.interp_matrix_j(camera.anim_t, camera.anim_q,
+                                  camera.anim_s, time)
+        wo = jnp.einsum("bij,bj->bi", m34[..., :3], o) + m34[..., 3]
+        wd = geom.normalize(jnp.einsum("bij,bj->bi", m34[..., :3], d))
+    else:
+        wo = tfm.xform_point(camera.cam_to_world, o)
+        wd = geom.normalize(tfm.xform_vector(camera.cam_to_world, d))
     wl = None if wavelength is None else jnp.broadcast_to(
         jnp.asarray(wavelength, jnp.float32), (B,))
     return geom.Ray.make(wo, wd, wavelength=wl, time=time), jnp.ones(B)

@@ -174,3 +174,124 @@ class AnimatedTransform:
             return self.t0
         dt = np.clip((t - self.time0) / (self.time1 - self.time0), 0, 1)
         return Transform((1 - dt) * self.t0.m + dt * self.t1.m)
+
+
+# ---------------------------------------------------------------------------
+# device-side animated-transform machinery (reference: transform.cpp:98-151
+# Decompose + :255+ Interpolate, re-designed for per-ray vectorized times)
+# ---------------------------------------------------------------------------
+
+def decompose_trs(m):
+    """Host-side M = T R S decomposition (polar iteration, numpy).
+
+    Returns (t [3], q [4] wxyz, s [3,3]) — the reference's
+    AnimatedTransform::Decompose."""
+    m = np.asarray(m, np.float64)
+    t = m[:3, 3].copy()
+    M = m[:3, :3].copy()
+    R = M.copy()
+    for _ in range(100):
+        Rn = 0.5 * (R + np.linalg.inv(R.T))
+        if np.abs(Rn - R).max() < 1e-10:
+            R = Rn
+            break
+        R = Rn
+    S = np.linalg.inv(R) @ M
+    return (t.astype(np.float32), quat_from_matrix(R).astype(np.float32),
+            S.astype(np.float32))
+
+
+def quat_from_matrix(R):
+    """Rotation matrix -> quaternion (w, x, y, z) (quaternion.cpp)."""
+    R = np.asarray(R, np.float64)
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0)
+        w = 0.5 * s
+        s = 0.5 / s
+        return np.array([w, (R[2, 1] - R[1, 2]) * s,
+                         (R[0, 2] - R[2, 0]) * s,
+                         (R[1, 0] - R[0, 1]) * s])
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 0.0))
+    qi = 0.5 * s
+    s = 0.5 / max(s, 1e-12)
+    q = np.zeros(4)
+    q[0] = (R[k, j] - R[j, k]) * s
+    q[1 + i] = qi
+    q[1 + j] = (R[j, i] + R[i, j]) * s
+    q[1 + k] = (R[k, i] + R[i, k]) * s
+    return q
+
+
+def animated_pair(m0, m1):
+    """Host precompute for a two-keyframe transform: stacked decomposed
+    pieces (t [2,3], q [2,4] with q1 sign-aligned to q0, s [2,3,3])."""
+    t0, q0, s0 = decompose_trs(m0)
+    t1, q1, s1 = decompose_trs(m1)
+    if float(np.dot(q0, q1)) < 0.0:
+        q1 = -q1
+    return (np.stack([t0, t1]), np.stack([q0, q1]), np.stack([s0, s1]))
+
+
+def quat_to_matrix_j(q):
+    """jnp quaternion [...,4] (wxyz) -> rotation matrix [...,3,3]."""
+    import jax.numpy as jnp
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                   2 * (x * z + y * w)], -1),
+        jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - x * w)], -1),
+        jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w),
+                   1 - 2 * (x * x + y * y)], -1)], -2)
+
+
+def slerp_j(q0, q1, u):
+    """jnp slerp with lerp fallback near parallel (quaternion.cpp:63)."""
+    import jax.numpy as jnp
+    d = jnp.sum(q0 * q1, -1)
+    d = jnp.clip(d, -1.0, 1.0)
+    theta = jnp.arccos(jnp.clip(d, -1.0 + 1e-7, 1.0 - 1e-7))
+    sin_t = jnp.sin(theta)
+    near = d > 0.9995
+    w0 = jnp.where(near, 1.0 - u, jnp.sin((1.0 - u) * theta)
+                   / jnp.maximum(sin_t, 1e-9))
+    w1 = jnp.where(near, u, jnp.sin(u * theta)
+                   / jnp.maximum(sin_t, 1e-9))
+    q = w0[..., None] * q0 + w1[..., None] * q1
+    import jax
+    return q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1), 1e-20)
+                             )[..., None]
+
+
+def interp_matrix_j(anim_t, anim_q, anim_s, u):
+    """Per-sample interpolated affine [..., 3, 4] from stacked decomposed
+    pieces; u in [0,1] broadcastable to the leading dims."""
+    import jax.numpy as jnp
+    uu = u[..., None]
+    t = (1 - uu) * anim_t[..., 0, :] + uu * anim_t[..., 1, :]
+    s = ((1 - uu[..., None]) * anim_s[..., 0, :, :]
+         + uu[..., None] * anim_s[..., 1, :, :])
+    q = slerp_j(jnp.broadcast_to(anim_q[..., 0, :], u.shape + (4,)),
+                jnp.broadcast_to(anim_q[..., 1, :], u.shape + (4,)), u)
+    R = quat_to_matrix_j(q)
+    RS = jnp.einsum("...ij,...jk->...ik", R, s)
+    return jnp.concatenate([RS, t[..., None]], -1)   # [...,3,4]
+
+
+def affine_inverse_j(m34):
+    """jnp inverse of an affine [...,3,4] (adjugate 3x3 + translation)."""
+    import jax.numpy as jnp
+    A = m34[..., :3]
+    t = m34[..., 3]
+    c0 = jnp.cross(A[..., :, 1], A[..., :, 2], axis=-1)
+    det = jnp.sum(A[..., :, 0] * c0, -1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+    adj = jnp.stack([jnp.cross(A[..., :, 1], A[..., :, 2], axis=-1),
+                     jnp.cross(A[..., :, 2], A[..., :, 0], axis=-1),
+                     jnp.cross(A[..., :, 0], A[..., :, 1], axis=-1)], -2)
+    Ainv = adj * inv_det[..., None, None]
+    tinv = -jnp.einsum("...ij,...j->...i", Ainv, t)
+    return jnp.concatenate([Ainv, tinv[..., None]], -1)

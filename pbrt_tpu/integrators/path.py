@@ -340,7 +340,7 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
                 & ~spec.is_black(f)
             # shadow ray; dead lanes get tmax<=0 so traversal skips them
             sray = isect.spawn_shadow_ray(hit.p, hit.ng, wi, dist, cand,
-                                          ray.wavelength)
+                                          ray.wavelength, time=ray.time)
             if count_rays:
                 n_rays = n_rays + jnp.sum(cand.astype(jnp.float32))
             pdf_b = bsdf.pdf_f(mat, wo_l, wi_l)

@@ -509,8 +509,8 @@ def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
         cand_l = do_nee & (pdf_light > 0) & ~spec.is_black(li) \
             & ~spec.is_black(f_l)
         sray = isect.spawn_shadow_ray(hit.p, hit.ng, wi_L, dist, cand_l,
-                                      ray.wavelength, eps_scale=1e-5,
-                                      shave=1.0 - 1e-4)
+                                      ray.wavelength, time=ray.time,
+                                      eps_scale=1e-5, shave=1.0 - 1e-4)
         w_l = sampling_power(pdf_light, pdf_scat_l)
         contrib_l = beta * f_l * li * (
             w_l / jnp.maximum(pdf_light, 1e-20))[:, None] * float(K)
@@ -523,7 +523,7 @@ def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
         cand_s = do_nee & ok_s & ~spec.is_black(f_s) & (pdf_light_s > 0)
         w_s = sampling_power(pdf_scat, pdf_light_s)
         pray = isect.spawn_ray(hit.p, hit.ng, wi_S, ray.wavelength,
-                               eps_scale=1e-5)
+                               time=ray.time, eps_scale=1e-5)
         pray = pray.replace(tmax=jnp.where(cand_s, pray.tmax, -1.0))
         # Le of the chosen tri seen from -wi_S
         li_s = jnp.where((ltwo | (geom.dot(ln, -wi_S) > 0))[:, None], lL, 0.0)
@@ -545,7 +545,7 @@ def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
         eta_scale = eta_scale * jnp.where(alive, eta_fac, 1.0)
         specular = is_spec
         nray = isect.spawn_ray(hit.p, hit.ng, wi_c, ray.wavelength,
-                               eps_scale=1e-5)
+                               time=ray.time, eps_scale=1e-5)
         nray = nray.replace(tmax=jnp.where(alive, nray.tmax, -1.0))
         dim = dim + jnp.where(do_nee, 7, 2)
 

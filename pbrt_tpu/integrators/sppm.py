@@ -99,7 +99,7 @@ def _camera_pass(scene, camera, W, H, cfg, it, max_depth, generate_rays):
             cand = alive & (pdf_l > 1e-12) & ~spec.is_black(li) \
                 & ~spec.is_black(f)
             sray = isect.spawn_shadow_ray(hit.p, hit.ng, wi, dist, cand,
-                                          ray.wavelength)
+                                          ray.wavelength, time=ray.time)
             occ = isect.occluded(scene, sray,
                                   ignore_light=isect.nee_ignore_light(scene, l))
             Ld = Ld + jnp.where(

@@ -145,7 +145,7 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
                 sp_org = jnp.where(in_medium[:, None], p_med, hit.p)
                 sp_n = jnp.where(in_medium[:, None], wi, hit.ng)
                 sray = isect.spawn_shadow_ray(sp_org, sp_n, wi, dist,
-                                              cand, ray.wavelength)
+                                              cand, ray.wavelength, time=ray.time)
                 occ = isect.occluded(scene, sray,
                                       ignore_light=isect.nee_ignore_light(scene, l))
                 # transmittance along the unoccluded shadow path (per-

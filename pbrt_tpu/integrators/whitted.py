@@ -50,7 +50,7 @@ def make_trace_whitted():
                 cand = alive & (pdf_l > 1e-12) & ~spec.is_black(li) \
                     & ~spec.is_black(f)
                 sray = isect.spawn_shadow_ray(hit.p, hit.ng, wi, dist,
-                                              cand, ray.wavelength)
+                                              cand, ray.wavelength, time=ray.time)
                 occ = isect.occluded(scene, sray,
                                       ignore_light=isect.nee_ignore_light(scene, l))
                 L = L + jnp.where(

@@ -268,16 +268,38 @@ def quadric_uv(qtype, params, ph):
     return u, v
 
 
-def all_quadrics_test(scene: SceneData, o, d, tmax):
+def _animated_quad_w2o(scene: SceneData, time):
+    """Per-(ray, quad) interpolated world-to-object affine [B,Q,3,4] for
+    scenes with two-keyframe quadric transforms (reference:
+    AnimatedTransform applied per ray, transform.cpp:255+).  Assumes the
+    default TransformTimes 0..1 window."""
+    from pbrt_tpu.core import transform as tfm
+    u = jnp.clip(time, 0.0, 1.0)[:, None]                      # [B,1]
+    m34 = tfm.interp_matrix_j(scene.quad_anim_t[None],
+                              scene.quad_anim_q[None],
+                              scene.quad_anim_s[None],
+                              jnp.broadcast_to(
+                                  u, (u.shape[0],
+                                      scene.quad_params.shape[0])))
+    return tfm.affine_inverse_j(m34)                           # [B,Q,3,4]
+
+
+def all_quadrics_test(scene: SceneData, o, d, tmax, time=None):
     """Test every quadric in the scene against every ray — done ONCE
     outside the BVH loop (quadric counts are small; triangles dominate).
 
     Returns (t [B], prim [B], hit [B]).
     """
     Q = scene.quad_params.shape[0]
-    w2o = scene.quad_w2o
-    oo = jnp.einsum('qij,bj->bqi', w2o[:, :3, :3], o) + w2o[None, :, :3, 3]
-    od = jnp.einsum('qij,bj->bqi', w2o[:, :3, :3], d)
+    if scene.has_animated_quads and time is not None:
+        w34 = _animated_quad_w2o(scene, time)                  # [B,Q,3,4]
+        oo = jnp.einsum('bqij,bj->bqi', w34[..., :3], o) + w34[..., 3]
+        od = jnp.einsum('bqij,bj->bqi', w34[..., :3], d)
+    else:
+        w2o = scene.quad_w2o
+        oo = jnp.einsum('qij,bj->bqi', w2o[:, :3, :3], o) \
+            + w2o[None, :, :3, 3]
+        od = jnp.einsum('qij,bj->bqi', w2o[:, :3, :3], d)
     qtype = scene.quad_type[None, :]
     params = scene.quad_params[None, :, :]
     t0, t1, ok = _quadric_ts(qtype, params, oo, od)
@@ -439,7 +461,8 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False,
     t_init = ray.tmax.astype(jnp.float32)
     prim_init = jnp.full_like(t_init, -1.0).astype(jnp.int32)
     if scene.n_quadrics > 0:
-        tq, qprim, qhit = all_quadrics_test(scene, o, d, t_init)
+        tq, qprim, qhit = all_quadrics_test(scene, o, d, t_init,
+                                            time=ray.time)
         t_init = jnp.where(qhit, tq, t_init)
         prim_init = jnp.where(qhit, qprim, prim_init)
     r16 = pdense.ray_vectors(o, d, scene.dense_center, anyhit=anyhit_mask)
@@ -517,7 +540,8 @@ def _intersect_bvh(scene: SceneData, ray: geom.Ray, any_hit: bool = False):
     t_init = ray.tmax.astype(jnp.float32)
     prim_init = node0 - 1
     if scene.n_quadrics > 0:
-        tq, qprim, qhit = all_quadrics_test(scene, o, d, t_init)
+        tq, qprim, qhit = all_quadrics_test(scene, o, d, t_init,
+                                            time=ray.time)
         t_init = jnp.where(qhit, tq, t_init)
         prim_init = jnp.where(qhit, qprim, prim_init)
     state = (node0, t_init, prim_init, zf, zf)
@@ -648,12 +672,29 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
         # quadric normal (one-hot fetch: Q is small, gathers are serial)
         from pbrt_tpu.ops import fetch
         qi = jnp.clip(si[:, 1], 0, scene.quad_params.shape[0] - 1)
-        w2o, qparams = fetch.fetch_many(
-            [scene.quad_w2o, scene.quad_params], qi)
-        ph = jnp.einsum('bij,bj->bi', w2o[:, :3, :3], p) + w2o[:, :3, 3]
-        n_obj = quadric_normal_obj(ptype, qparams, ph)
-        ng_quad = geom.normalize(
-            jnp.einsum('bji,bj->bi', w2o[:, :3, :3], n_obj))
+        if scene.has_animated_quads:
+            from pbrt_tpu.core import transform as tfm
+            at, aq, asq, qparams = fetch.fetch_many(
+                [scene.quad_anim_t.reshape(-1, 6),
+                 scene.quad_anim_q.reshape(-1, 8),
+                 scene.quad_anim_s.reshape(-1, 18), scene.quad_params], qi)
+            u = jnp.clip(ray.time, 0.0, 1.0)
+            m34 = tfm.interp_matrix_j(at.reshape(-1, 2, 3),
+                                      aq.reshape(-1, 2, 4),
+                                      asq.reshape(-1, 2, 3, 3), u)
+            w34 = tfm.affine_inverse_j(m34)
+            A = w34[..., :3]
+            ph = jnp.einsum('bij,bj->bi', A, p) + w34[..., 3]
+            n_obj = quadric_normal_obj(ptype, qparams, ph)
+            ng_quad = geom.normalize(jnp.einsum('bji,bj->bi', A, n_obj))
+        else:
+            w2o, qparams = fetch.fetch_many(
+                [scene.quad_w2o, scene.quad_params], qi)
+            ph = jnp.einsum('bij,bj->bi', w2o[:, :3, :3], p) \
+                + w2o[:, :3, 3]
+            n_obj = quadric_normal_obj(ptype, qparams, ph)
+            ng_quad = geom.normalize(
+                jnp.einsum('bji,bj->bi', w2o[:, :3, :3], n_obj))
         uq, vq = quadric_uv(ptype, qparams, ph)
 
         ng = jnp.where(is_tri[..., None], ng_tri, ng_quad)

@@ -81,6 +81,9 @@ class RenderJob:
     # names of media bound to primitives via MediumInterface — these
     # are handled per-lane in volpath, not as the global medium
     prim_media_names: tuple = ()
+    # second camera keyframe (two-sample CTM camera motion blur); None
+    # for static cameras
+    cam_to_world1: object = None
 
 
 class PbrtAPI:
@@ -100,6 +103,7 @@ class PbrtAPI:
         self.camera_kind = "perspective"
         self.camera_params = ParamSet()
         self.camera_to_world = tfm.Transform()
+        self.camera_to_world1 = None
         self.film_params = ParamSet()
         self.filter_name = "box"
         self.filter_params = ParamSet()
@@ -239,6 +243,11 @@ class PbrtAPI:
         self.camera_params = self._params(s)
         # camera-to-world = inverse(CTM)
         self.camera_to_world = self.ctm[0].inverse()
+        import numpy as _np
+        self.camera_to_world1 = (self.ctm[1].inverse()
+                                 if not _np.allclose(self.ctm[1].m,
+                                                     self.ctm[0].m)
+                                 else None)
         self.named_coord_systems["camera"] = [self.ctm[0], self.ctm[1]]
         # camera exists in the currently-active medium (api.cpp
         # RenderOptions::CameraMedium); resolved at WorldEnd since
@@ -888,13 +897,20 @@ class PbrtAPI:
                     flip_normal=flip, object_to_world=xf)
 
         def record_or_add_quadric(qtype, params):
+            # two-sample CTM => quadric motion blur (reference:
+            # TransformSet x2, api.cpp:137-166; AnimatedTransform on
+            # the primitive, transform.cpp:255+)
+            import numpy as _np
+            xf1 = (self.ctm[1] if not _np.allclose(self.ctm[1].m, xf.m)
+                   else None)
             if self.current_object is not None:
                 self.objects[self.current_object].append(
                     ("quadric", qtype, xf, params, mat, light_id, flip))
             else:
                 self.builder.add_quadric(qtype, xf, params, mat,
                                          light_id=light_id, instance_id=inst,
-                                         flip_normal=flip)
+                                         flip_normal=flip,
+                                         object_to_world1=xf1)
 
         if sname == "trianglemesh":
             verts = ps.find_points("P")
@@ -1079,6 +1095,7 @@ class PbrtAPI:
             scene=scene, builder=self.builder,
             camera_kind=self.camera_kind, camera_params=cam_params,
             cam_to_world=self.camera_to_world,
+            cam_to_world1=self.camera_to_world1,
             film_width=width, film_height=height,
             film_filename=fp.find_one_string("filename", "pbrt.exr"),
             film_diagonal=fp.find_one_float("diagonal", 35.0),

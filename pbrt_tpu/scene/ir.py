@@ -208,6 +208,12 @@ class SceneData:
     has_disney: bool = struct.field(pytree_node=False, default=False)
     has_mix: bool = struct.field(pytree_node=False, default=False)
     has_hair: bool = struct.field(pytree_node=False, default=False)
+    has_animated_quads: bool = struct.field(pytree_node=False, default=False)
+    # two-keyframe quadric motion blur (transform.py animated_pair):
+    # decomposed object-to-world endpoints; identity pairs for static
+    quad_anim_t: jnp.ndarray = None   # [Q,2,3]
+    quad_anim_q: jnp.ndarray = None   # [Q,2,4]
+    quad_anim_s: jnp.ndarray = None   # [Q,2,3,3]
     has_fourier: bool = struct.field(pytree_node=False, default=False)
     has_sss: bool = struct.field(pytree_node=False, default=False)
     has_ptex: bool = struct.field(pytree_node=False, default=False)
@@ -484,14 +490,18 @@ class SceneBuilder:
 
     def add_quadric(self, qtype, object_to_world: Transform, params,
                     material_id, light_id=-1, instance_id=0,
-                    flip_normal=False):
-        """params: (radius, zmin, zmax, phimax_radians) — type-specific."""
+                    flip_normal=False, object_to_world1=None):
+        """params: (radius, zmin, zmax, phimax_radians) — type-specific.
+        object_to_world1: optional second keyframe transform (two-sample
+        CTM motion blur, reference api.cpp:137-166 TransformSet x2)."""
         if object_to_world.swaps_handedness():
             flip_normal = not flip_normal
         qi = len(self.quads)
         self.quads.append((object_to_world.m.astype(np.float32),
                            object_to_world.m_inv.astype(np.float32),
-                           np.asarray(params, np.float32), qtype))
+                           np.asarray(params, np.float32), qtype,
+                           None if object_to_world1 is None
+                           else object_to_world1.m.astype(np.float32)))
         first = self._add_chunk(1, np.zeros((1, 3, 3)), np.zeros((1, 3, 3)),
                                 np.zeros((1, 3, 2)), qtype, qi, material_id,
                                 light_id, instance_id, flip_normal)
@@ -569,7 +579,7 @@ class SceneBuilder:
         # quadric bounds: per-quadric (few) transformed object boxes
         is_quad = soa["prim_type"] != PRIM_TRIANGLE
         for i in np.nonzero(is_quad)[0]:
-            o2w, _, params, _qt = self.quads[soa["quad_refs"][i]]
+            o2w, _, params, _qt = self.quads[soa["quad_refs"][i]][:4]
             r = abs(float(params[0]))
             zmin, zmax = float(params[1]), float(params[2])
             if soa["prim_type"][i] == PRIM_DISK:
@@ -614,8 +624,22 @@ class SceneBuilder:
         q_w2o = np.tile(np.eye(4, dtype=np.float32), (Q, 1, 1))
         q_par = np.zeros((Q, 4), np.float32)
         q_type = np.zeros(Q, np.int32)
-        for i, (m, mi, par, qt) in enumerate(self.quads):
+        q_at = np.zeros((Q, 2, 3), np.float32)
+        q_aq = np.tile(np.asarray([1, 0, 0, 0], np.float32), (Q, 2, 1))
+        q_as = np.tile(np.eye(3, dtype=np.float32), (Q, 2, 1, 1))
+        has_animated_quads = False
+        from pbrt_tpu.core.transform import animated_pair
+        for i, entry in enumerate(self.quads):
+            m, mi, par, qt = entry[:4]
+            m1 = entry[4] if len(entry) > 4 else None
             q_o2w[i], q_w2o[i], q_par[i], q_type[i] = m, mi, par, qt
+            if m1 is not None and not np.allclose(m1, m):
+                at, aq, asq = animated_pair(m, m1)
+                q_at[i], q_aq[i], q_as[i] = at, aq, asq
+                has_animated_quads = True
+            else:
+                at, aq, asq = animated_pair(m, m)
+                q_at[i], q_aq[i], q_as[i] = at, aq, asq
         # prim index (post-BVH order) of each quadric
         q_prim = np.zeros(Q, np.int32)
         qref_ordered = reorder("quad_refs", np.int32)
@@ -805,6 +829,9 @@ class SceneBuilder:
             quad_o2w=jnp.asarray(q_o2w), quad_w2o=jnp.asarray(q_w2o),
             quad_params=jnp.asarray(q_par),
             quad_type=jnp.asarray(q_type), quad_prim=jnp.asarray(q_prim),
+            quad_anim_t=jnp.asarray(q_at), quad_anim_q=jnp.asarray(q_aq),
+            quad_anim_s=jnp.asarray(q_as),
+            has_animated_quads=has_animated_quads,
             mat_type=jnp.asarray([m.type for m in mats], jnp.int32),
             mat_kd=jnp.asarray(mcol("kd")), mat_ks=jnp.asarray(mcol("ks")),
             mat_kr=jnp.asarray(mcol("kr")), mat_kt=jnp.asarray(mcol("kt")),

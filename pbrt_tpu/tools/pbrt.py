@@ -48,7 +48,8 @@ def build_camera(job, width, height):
         job.cam_to_world, cp["fov"], width, height,
         lens_radius=cp["lensradius"], focal_distance=cp["focaldistance"],
         screen=screen, shutter_open=cp["shutteropen"],
-        shutter_close=cp["shutterclose"])
+        shutter_close=cp["shutterclose"],
+        cam_to_world1=getattr(job, "cam_to_world1", None))
 
 
 _DIRECTIVES = {
