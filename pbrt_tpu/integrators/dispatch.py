@@ -67,6 +67,11 @@ def render_with_integrator(job, camera, film, cfg, spp, max_depth,
             trace_kwargs["light_strategy"] = strat
         if kind == "directlighting":
             max_depth = min(max_depth, 1)
+            # reference DirectLightingIntegrator strategy param
+            # (directlighting.cpp:112; default "all" = UniformSampleAll)
+            dl = ip.get("strategy", "all")
+            trace_kwargs["light_strategy"] = ("all" if dl == "all"
+                                              else strat)
         if kind == "whitted":
             from pbrt_tpu.integrators import whitted
             trace_fn = whitted.make_trace_whitted()

@@ -54,6 +54,9 @@ def _bdim(bounce, k):
 # within the 1024-dim Sobol' table)
 DIM_SSS_BASE = DIM_BOUNCE_BASE + 64 * DIMS_PER_BOUNCE
 DIMS_PER_SSS = 8
+# UniformSampleAllLights (integrator.cpp:54): per-bounce 2-dim pairs for
+# every light beyond the first live in their own block
+DIM_ALL_BASE = DIM_SSS_BASE + 64 * DIMS_PER_SSS
 # chained probe passes: the reference walks the FULL intersection chain
 # along the probe segment (bssrdf.cpp:255-270); each pass here extends
 # the chain by one closest hit, reservoir-sampling among same-material
@@ -325,7 +328,40 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
         # the shadow ray is built (and its unoccluded contribution
         # precomputed) here, but traced together with the next bounce's
         # closest-hit ray in the combined batch below
-        if scene.n_lights > 0:
+        if scene.n_lights > 0 and light_strategy == "all":
+            # UniformSampleAllLights (integrator.cpp:54): one sample from
+            # EVERY light per bounce; the shadow batches concatenate into
+            # the bounce's combined trace
+            n_l = scene.light_L.shape[0]
+            srays, contribs, cands = [], [], []
+            l = None
+            for li_ix in range(n_l):
+                base = DIM_ALL_BASE + bounce * 2 * n_l + 2 * li_ix
+                u1 = sdim(cfg, pixel_id, sample_idx, base)
+                u2 = sdim(cfg, pixel_id, sample_idx, base + 1)
+                lv = jnp.full(B, li_ix, jnp.int32)
+                wi, li, pdf_l, dist, delta_l = lights.sample_li(
+                    scene, lv, hit.p, hit.ns, u1, u2)
+                wi_l = geom.world_to_frame(ss, ts, hit.ns, wi)
+                f = bsdf.eval_f(mat, wo_l, wi_l) * \
+                    geom.absdot(wi, hit.ns)[:, None]
+                ci = alive & (pdf_l > 1e-12) & ~spec.is_black(li) \
+                    & ~spec.is_black(f)
+                srays.append(isect.spawn_shadow_ray(
+                    hit.p, hit.ng, wi, dist, ci, ray.wavelength,
+                    time=ray.time))
+                pdf_b = bsdf.pdf_f(mat, wo_l, wi_l)
+                w_l = jnp.where(delta_l, 1.0, sampling.power_heuristic(
+                    1.0, pdf_l, 1.0, pdf_b))
+                contribs.append(beta * f * li
+                                * (w_l / jnp.maximum(pdf_l, 1e-12))[:, None])
+                cands.append(ci)
+                if count_rays:
+                    n_rays = n_rays + jnp.sum(ci.astype(jnp.float32))
+            sray = jax.tree.map(lambda *a: jnp.concatenate(a, 0), *srays)
+            cand = jnp.stack(cands)          # [n_l, B]
+            contrib = jnp.stack(contribs)    # [n_l, B, 31]
+        elif scene.n_lights > 0:
             u_sel = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 0))
             u1 = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 1))
             u2 = sdim(cfg, pixel_id, sample_idx, _bdim(bounce, 2))
@@ -392,11 +428,18 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
         # ---- combined trace: next closest-hit + this bounce's shadow -----
         if count_rays:
             n_rays = n_rays + jnp.sum((ray.tmax > 0).astype(jnp.float32))
-        hit, occ = isect.trace_pair(scene, ray, sray,
-                                    ignore_light=isect.nee_ignore_light(
-                                        scene, l))
-        if scene.n_lights > 0:
-            L = L + jnp.where((cand & ~occ)[:, None], contrib, 0.0)
+        if light_strategy == "all" and scene.n_lights > 0:
+            hit, occ = isect.trace_pair(scene, ray, sray)
+            n_l = scene.light_L.shape[0]
+            occ = occ.reshape(n_l, B)
+            L = L + jnp.sum(jnp.where((cand & ~occ)[..., None],
+                                      contrib, 0.0), axis=0)
+        else:
+            hit, occ = isect.trace_pair(scene, ray, sray,
+                                        ignore_light=isect.nee_ignore_light(
+                                            scene, l))
+            if scene.n_lights > 0:
+                L = L + jnp.where((cand & ~occ)[:, None], contrib, 0.0)
 
     # NaN/Inf scrub (reference: integrator.cpp:295-316)
     L = jnp.where(jnp.isfinite(L), L, 0.0)

@@ -139,6 +139,10 @@ def selection_pdf(scene: ir.SceneData, strategy, p, l):
     """Probability the strategy at point p would pick light l (for MIS at
     path-hit vertices)."""
     nl = max(scene.n_lights, 1)
+    if strategy == "all":
+        # UniformSampleAllLights: every light is sampled each bounce
+        # (selection probability 1; integrator.cpp:54)
+        return jnp.ones(p.shape[:-1])
     if strategy == "uniform" or nl == 1:
         return jnp.full(p.shape[:-1], 1.0 / nl)
     lc = jnp.clip(l, 0, nl - 1)

@@ -748,13 +748,14 @@ def trace_pair(scene: SceneData, nray: geom.Ray, sray, ignore_light=None):
     if sray is None:
         return intersect_full(scene, nray), None
     B = nray.o.shape[0]
+    sB = sray.o.shape[0]          # may be a multiple of B (strategy "all")
     both = jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0), nray, sray)
     # shadow half runs with first-hit early-out in the dense kernel,
     # EXCEPT lanes that must ignore a light's own geometry: those need
     # closest-hit (the first accepted triangle could be the light itself,
     # parking the lane before a real blocker is tested)
     if ignore_light is None:
-        sh_any = jnp.ones(B, bool)
+        sh_any = jnp.ones(sB, bool)
     else:
         sh_any = ignore_light < 0
     amask = jnp.concatenate([jnp.zeros(B, bool), sh_any])

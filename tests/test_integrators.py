@@ -200,3 +200,49 @@ def test_depth_zero_only_emission():
     # depth 0: env directly visible, sphere black
     assert img[10:14, 10:14].mean() < 0.02
     assert abs(img[:2, :2].mean() - 1.0) < 0.02
+
+
+def test_uniform_sample_all_matches_one():
+    """UniformSampleAllLights (integrator.cpp:54) agrees in expectation
+    with UniformSampleOneLight on a two-light scene."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pbrt_tpu.core import transform as tfm
+    from pbrt_tpu.scene.ir import SceneBuilder, MaterialSpec, MAT_MATTE
+    from pbrt_tpu.cameras import projective
+    from pbrt_tpu.integrators import path as pathmod
+    from pbrt_tpu.samplers.samplers import SamplerConfig
+
+    b = SceneBuilder()
+    white = b.add_material(MaterialSpec(type=MAT_MATTE,
+                                        kd=np.full(31, .6, np.float32)))
+    blackm = b.add_material(MaterialSpec(type=MAT_MATTE))
+    for x, lum in ((-1.5, 12.0), (1.5, 6.0)):
+        li = b.add_area_light(np.full(31, lum, np.float32))
+        b.add_triangle_mesh(
+            [[x - .5, -.5, 3.], [x + .5, -.5, 3.], [x + .5, .5, 3.],
+             [x - .5, .5, 3.]], [[0, 2, 1], [0, 3, 2]], blackm, light_id=li)
+    b.add_triangle_mesh([[-4, -4, 0], [4, -4, 0], [4, 4, 0], [-4, 4, 0]],
+                        [[0, 1, 2], [2, 3, 0]], white)
+    scene = b.build()
+    W = H = 16
+    camera = projective.make_perspective(
+        tfm.look_at([0, -5, 2], [0, 0, 0.5], [0, 0, 1]), 45.0, W, H)
+    cfg = SamplerConfig(kind="sobol", seed=0, spp=16)
+    pids = jnp.arange(W * H, dtype=jnp.uint32)
+
+    def render(strategy):
+        acc = 0.0
+        for s in range(16):
+            ray, wt, pf, pid, sidx = pathmod.camera_rays_for_pixels(
+                camera, W, H, cfg, pids, jnp.uint32(s),
+                projective.generate_rays)
+            L = pathmod.trace_paths(scene, ray, pid, sidx, cfg,
+                                    max_depth=1, light_strategy=strategy)
+            acc = acc + np.asarray(L * wt[:, None])
+        return acc / 16
+
+    a = render("all")
+    o = render("uniform")
+    assert abs(a.mean() / o.mean() - 1.0) < 0.05, (a.mean(), o.mean())
+    # "all" has lower variance on the lit floor (both lights every sample)
