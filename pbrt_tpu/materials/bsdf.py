@@ -14,6 +14,7 @@ returns (wi, f, pdf, flags).  All spectra are [...,31].
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -41,6 +42,9 @@ class MaterialParams:
     k_spec: jnp.ndarray      # [B,31]
     sigma: jnp.ndarray       # [B]
     opacity: jnp.ndarray     # [B,31]
+    # per-lane Beckmann selector ([B] bool; None => all-GGX scene and the
+    # Beckmann paths compile away — scene.has_beckmann gate)
+    beckmann: jnp.ndarray = None
     # disney lobe weights [B,8]: metallic, specTint, sheen, sheenTint,
     # clearcoat, ccGloss, specTrans, anisotropic (None => all zero)
     disney: jnp.ndarray = None
@@ -212,6 +216,8 @@ def gather_materials(scene: ir.SceneData, material_idx, uv=None,
     au = jnp.where(rough_u > 0, jnp.maximum(au, 1e-3), 0.0)
     av = jnp.where(rough_v > 0, jnp.maximum(av, 1e-3), 0.0)
     mtype = jnp.round(row[:, ir.MPK_TYPE]).astype(jnp.int32)
+    beck = (row[:, ir.MPK_BECKMANN] > 0.5
+            if getattr(scene, "has_beckmann", False) else None)
     kd = sp["kd"]
     ks = sp["ks"]
     if uv is not None and scene.tex_type.shape[0] > 1:
@@ -242,7 +248,7 @@ def gather_materials(scene: ir.SceneData, material_idx, uv=None,
         kt=sp["kt"] * op, rough_u=au, rough_v=av,
         eta=eta, eta_spec=sp["eta_spec"],
         k_spec=sp["k_spec"], sigma=row[:, ir.MPK_SIGMA],
-        opacity=op,
+        opacity=op, beckmann=beck,
         disney=(row[:, ir.MPK_DISNEY:ir.MPK_DISNEY + 8]
                 if getattr(scene, "has_disney", True) else None),
         hair_h=(jnp.clip(2.0 * uv[..., 1] - 1.0, -0.995, 0.995)
@@ -405,6 +411,141 @@ def ggx_pdf_wh(wo, wh, ax, ay):
 
 
 # ---------------------------------------------------------------------------
+# Beckmann distribution (reference: microfacet.h:80, microfacet.cpp
+# BeckmannDistribution) — selected per material via "string distribution"
+# ---------------------------------------------------------------------------
+
+SQRT_PI_INV = float(1.0 / np.sqrt(np.pi))
+
+
+def beckmann_d(wh, ax, ay):
+    c2 = wh[..., 2] ** 2
+    tan2 = jnp.maximum(0.0, 1.0 - c2) / jnp.maximum(c2, 1e-12)
+    s2 = jnp.maximum(1.0 - c2, 1e-20)
+    cos2phi = wh[..., 0] ** 2 / s2
+    sin2phi = wh[..., 1] ** 2 / s2
+    e = jnp.exp(-tan2 * (cos2phi / jnp.maximum(ax * ax, 1e-12)
+                         + sin2phi / jnp.maximum(ay * ay, 1e-12)))
+    return e / jnp.maximum(PI * ax * ay * c2 * c2, 1e-12)
+
+
+def _beckmann_lambda(w, ax, ay):
+    c2 = w[..., 2] ** 2
+    abs_tan = jnp.sqrt(jnp.maximum(0.0, 1.0 - c2)
+                       / jnp.maximum(c2, 1e-12))
+    s2 = jnp.maximum(1.0 - c2, 1e-20)
+    cos2phi = w[..., 0] ** 2 / s2
+    sin2phi = w[..., 1] ** 2 / s2
+    alpha = jnp.sqrt(cos2phi * ax * ax + sin2phi * ay * ay + 1e-20)
+    a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-12)
+    lam = (1.0 - 1.259 * a + 0.396 * a * a) / \
+        jnp.maximum(3.535 * a + 2.181 * a * a, 1e-12)
+    return jnp.where(a >= 1.6, 0.0, lam)
+
+
+def beckmann_sample_11(cos_theta_i, u1, u2):
+    """BeckmannSample11 (microfacet.cpp:107-180): visible-NDF slope
+    sampling via erf-inverse Newton (fixed-iteration, vectorized)."""
+    from jax.scipy.special import erf, erfinv
+    ct = jnp.maximum(cos_theta_i, -0.9999)
+    st = jnp.sqrt(jnp.maximum(1e-14, 1.0 - ct * ct))
+    tant = st / jnp.maximum(ct, 1e-7)
+    cot = 1.0 / jnp.maximum(tant, 1e-12)
+
+    a0 = erf(cot)
+    sx = jnp.maximum(u1, 1e-6)
+    theta = jnp.arccos(jnp.clip(ct, -1.0, 1.0))
+    fit = 1.0 + theta * (-0.876 + theta * (0.4265 - 0.0594 * theta))
+    b = a0 - (1.0 + a0) * jnp.power(1.0 - sx, fit)
+    norm = 1.0 / jnp.maximum(
+        1.0 + a0 + SQRT_PI_INV * tant * jnp.exp(-cot * cot), 1e-12)
+
+    def newton(i, b):
+        inv_erf = erfinv(jnp.clip(b, -0.99999, 0.99999))
+        value = norm * (1.0 + b + SQRT_PI_INV * tant
+                        * jnp.exp(-inv_erf * inv_erf)) - sx
+        derivative = norm * (1.0 - inv_erf * tant)
+        step = value / jnp.where(jnp.abs(derivative) > 1e-9,
+                                 derivative, 1e-9)
+        b2 = b - step
+        return jnp.clip(b2, -1.0 + 1e-6, 1.0 - 1e-6)
+
+    b = jax.lax.fori_loop(0, 10, newton, jnp.clip(b, -1 + 1e-6, 1 - 1e-6))
+    slope_x = erfinv(jnp.clip(b, -0.99999, 0.99999))
+    slope_y = erfinv(jnp.clip(2.0 * jnp.maximum(u2, 1e-6) - 1.0,
+                              -0.99999, 0.99999))
+    # normal incidence special case
+    r = jnp.sqrt(jnp.maximum(-jnp.log(jnp.maximum(1.0 - u1, 1e-12)),
+                             1e-14))
+    phi = 2.0 * PI * u2
+    near = cos_theta_i > 0.9999
+    slope_x = jnp.where(near, r * jnp.cos(phi), slope_x)
+    slope_y = jnp.where(near, r * jnp.sin(phi), slope_y)
+    return slope_x, slope_y
+
+
+def beckmann_sample_wh(wo, u1, u2, ax, ay):
+    """Visible-NDF Sample_wh (microfacet.cpp BeckmannSample + Sample_wh)."""
+    flip = wo[..., 2] < 0
+    w = jnp.where(flip[..., None], -wo, wo)
+    ws = geom.normalize(jnp.stack(
+        [ax * w[..., 0], ay * w[..., 1], w[..., 2]], -1))
+    sx, sy = beckmann_sample_11(ws[..., 2], u1, u2)
+    s2 = jnp.maximum(1.0 - ws[..., 2] ** 2, 1e-20)
+    inv_s = 1.0 / jnp.sqrt(s2)
+    cos_phi = jnp.where(s2 > 1e-20, ws[..., 0] * inv_s, 1.0)
+    sin_phi = jnp.where(s2 > 1e-20, ws[..., 1] * inv_s, 0.0)
+    tmp = cos_phi * sx - sin_phi * sy
+    sy = sin_phi * sx + cos_phi * sy
+    sx = ax * tmp
+    sy = ay * sy
+    wh = geom.normalize(jnp.stack([-sx, -sy, jnp.ones_like(sx)], -1))
+    return jnp.where(flip[..., None], -wh, wh)
+
+
+# ---------------------------------------------------------------------------
+# generic microfacet dispatch: beck (optional [B] bool) selects Beckmann
+# per lane; None compiles the pure-GGX path (scene.has_beckmann gate)
+# ---------------------------------------------------------------------------
+
+def mf_d(wh, ax, ay, beck=None):
+    if beck is None:
+        return ggx_d(wh, ax, ay)
+    return jnp.where(beck, beckmann_d(wh, ax, ay), ggx_d(wh, ax, ay))
+
+
+def _mf_lambda(w, ax, ay, beck=None):
+    if beck is None:
+        return _ggx_lambda(w, ax, ay)
+    return jnp.where(beck, _beckmann_lambda(w, ax, ay),
+                     _ggx_lambda(w, ax, ay))
+
+
+def mf_g(wo, wi, ax, ay, beck=None):
+    return 1.0 / (1.0 + _mf_lambda(wo, ax, ay, beck)
+                  + _mf_lambda(wi, ax, ay, beck))
+
+
+def mf_g1(w, ax, ay, beck=None):
+    return 1.0 / (1.0 + _mf_lambda(w, ax, ay, beck))
+
+
+def mf_sample_wh(wo, u1, u2, ax, ay, beck=None):
+    if beck is None:
+        return ggx_sample_wh(wo, u1, u2, ax, ay)
+    return jnp.where(beck[..., None],
+                     beckmann_sample_wh(wo, u1, u2, ax, ay),
+                     ggx_sample_wh(wo, u1, u2, ax, ay))
+
+
+def mf_pdf_wh(wo, wh, ax, ay, beck=None):
+    """Visible-NDF pdf (microfacet.h Pdf: D * G1 * |wo.wh| / |cos wo|)."""
+    return (mf_d(wh, ax, ay, beck) * mf_g1(wo, ax, ay, beck)
+            * jnp.abs(geom.dot(wo, wh))
+            / jnp.maximum(abs_cos_theta(wo), 1e-9))
+
+
+# ---------------------------------------------------------------------------
 # lobe primitives
 # ---------------------------------------------------------------------------
 
@@ -453,21 +594,21 @@ def _safe_half(wo, wi):
     return whn, ok
 
 
-def microfacet_reflection_f(ks, wo, wi, ax, ay, F):
+def microfacet_reflection_f(ks, wo, wi, ax, ay, F, beck=None):
     """Torrance-Sparrow (reflection.cpp:408): D G F / (4 cos_o cos_i)."""
     co = abs_cos_theta(wo)
     ci = abs_cos_theta(wi)
     wh, wh_ok = _safe_half(wo, wi)
     ok = (co > 1e-6) & (ci > 1e-6) & wh_ok & same_hemisphere(wo, wi)
-    d = ggx_d(wh, ax, ay)
-    g = ggx_g(wo, wi, ax, ay)
+    d = mf_d(wh, ax, ay, beck)
+    g = mf_g(wo, wi, ax, ay, beck)
     f = ks * F * (d * g / jnp.maximum(4 * co * ci, 1e-9))[..., None]
     return jnp.where(ok[..., None], f, 0.0)
 
 
-def microfacet_reflection_pdf(wo, wi, ax, ay):
+def microfacet_reflection_pdf(wo, wi, ax, ay, beck=None):
     wh, wh_ok = _safe_half(wo, wi)
-    pdf = ggx_pdf_wh(wo, wh, ax, ay) / jnp.maximum(
+    pdf = mf_pdf_wh(wo, wh, ax, ay, beck) / jnp.maximum(
         4 * jnp.abs(geom.dot(wo, wh)), 1e-9)
     return jnp.where(same_hemisphere(wo, wi) & wh_ok, pdf, 0.0)
 
@@ -713,12 +854,12 @@ def eval_f(params: MaterialParams, wo, wi):
     if _present(fam, ir.MAT_PLASTIC, ir.MAT_UBER, ir.MAT_SUBSURFACE,
                 ir.MAT_KDSUBSURFACE):
         f_spec_d = microfacet_reflection_f(params.ks, wo, wi, ax, ay,
-                                           F_diel)
+                                           F_diel, params.beckmann)
         f = f + jnp.where((has_ggx_diel & (ax > 0))[..., None],
                           f_spec_d, 0.0)
     if _present(fam, ir.MAT_ROUGHGLASS):
         f_rg_refl = microfacet_reflection_f(params.kr, wo, wi, ax, ay,
-                                            F_diel)
+                                            F_diel, params.beckmann)
         f = f + jnp.where((is_rglass & refl)[..., None], f_rg_refl, 0.0)
     # rough-glass transmission (also the disney specTrans lobe)
     if _present(fam, ir.MAT_ROUGHGLASS, ir.MAT_DISNEY):
@@ -729,7 +870,7 @@ def eval_f(params: MaterialParams, wo, wi):
         F_cond = fresnel_conductor(geom.dot(wi, wh), params.eta_spec,
                                    params.k_spec)
         f_metal = microfacet_reflection_f(params.ks, wo, wi, ax, ay,
-                                          F_cond)
+                                          F_cond, params.beckmann)
         f = f + jnp.where((is_metal & (ax > 0))[..., None], f_metal, 0.0)
     # substrate
     if _present(fam, ir.MAT_SUBSTRATE):
@@ -808,7 +949,8 @@ def pdf_f(params: MaterialParams, wo, wi):
     if _present(fam, ir.MAT_PLASTIC, ir.MAT_UBER, ir.MAT_METAL,
                 ir.MAT_SUBSTRATE, ir.MAT_ROUGHGLASS, ir.MAT_SUBSURFACE,
                 ir.MAT_KDSUBSURFACE):
-        pdf_ggx = microfacet_reflection_pdf(wo, wi, ax, ay)
+        pdf_ggx = microfacet_reflection_pdf(wo, wi, ax, ay,
+                                            params.beckmann)
         pdf = pdf + jnp.where((has_ggx_diel | is_metal) & (ax > 0),
                               pdf_ggx, 0.0)
         pdf = pdf + jnp.where(is_substrate, 0.5 * (pdf_diff + pdf_ggx),
@@ -904,8 +1046,8 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2, u3=None):
         [jnp.ones_like(sgn), jnp.ones_like(sgn), sgn], -1)
     wi = wi_diff
     if need_ggx:
-        wh = ggx_sample_wh(wo, u1, u2, jnp.maximum(ax, 1e-4),
-                           jnp.maximum(ay, 1e-4))
+        wh = mf_sample_wh(wo, u1, u2, jnp.maximum(ax, 1e-4),
+                          jnp.maximum(ay, 1e-4), params.beckmann)
         wi_ggx = geom.reflect(wo, wh)
         # choose among lobes: uniform over present lobes (BSDF::Sample_f)
         two_lobe = has_ggx_diel | is_substrate

@@ -559,6 +559,10 @@ class PbrtAPI:
         """Factory (reference dispatch api.cpp:552-625 + materials/*.cpp
         defaults).  Returns builder material id."""
         m = MaterialSpec(name=name or mname)
+        # extension param: NDF selector for microfacet materials (the
+        # reference only uses BeckmannDistribution in tests/bsdftest —
+        # microfacet.h:80 — but exposes no scene param; we accept one)
+        m.distribution = ps.find_one_string("distribution", "ggx")
         if mname in ("", "none"):
             m.type = ir.MAT_NONE
         elif mname == "matte":

@@ -209,6 +209,7 @@ class SceneData:
     has_mix: bool = struct.field(pytree_node=False, default=False)
     has_hair: bool = struct.field(pytree_node=False, default=False)
     has_animated_quads: bool = struct.field(pytree_node=False, default=False)
+    has_beckmann: bool = struct.field(pytree_node=False, default=False)
     # two-keyframe quadric motion blur (transform.py animated_pair):
     # decomposed object-to-world endpoints; identity pairs for static
     quad_anim_t: jnp.ndarray = None   # [Q,2,3]
@@ -259,7 +260,8 @@ MPK_FOURIER = MPK_DISNEY + 8
 MPK_BSSRDF = MPK_DISNEY + 9
 MPK_SSS_SIGT = MPK_DISNEY + 10        # NS wide
 MPK_SSS_RHO = MPK_SSS_SIGT + _NS      # NS wide
-MPK_COLS = MPK_SSS_RHO + _NS
+MPK_BECKMANN = MPK_SSS_RHO + _NS      # microfacet distribution selector
+MPK_COLS = MPK_BECKMANN + 1
 
 
 def _pack_materials(mats):
@@ -283,6 +285,7 @@ def _pack_materials(mats):
             (np.zeros(spec.N_SPECTRAL_SAMPLES, np.float32)
              if m.sss_rho is None
              else np.asarray(m.sss_rho, np.float32)),
+            np.asarray([float(m.distribution == "beckmann")], np.float32),
         ]).astype(np.float32))
     t = np.stack(rows)
     hi = t.astype(jnp.bfloat16).astype(np.float32)
@@ -341,6 +344,9 @@ class MaterialSpec:
     bssrdf_id: int = -1
     sss_sigma_t: np.ndarray = None   # [31]
     sss_rho: np.ndarray = None       # [31]
+    # microfacet NDF: "ggx" (TrowbridgeReitz) or "beckmann"
+    # (microfacet.h:80); scene-file extension param "string distribution"
+    distribution: str = "ggx"
     name: str = ""
 
     def resolved(self):
@@ -903,6 +909,8 @@ class SceneBuilder:
             has_disney=any(m.type == MAT_DISNEY for m in mats),
             has_mix=any(m.type == MAT_MIX for m in mats),
             has_hair=any(m.type == MAT_HAIR for m in mats),
+            has_beckmann=any(getattr(m, "distribution", "ggx") == "beckmann"
+                             for m in mats),
             mat_families=tuple(sorted({m.type for m in mats})),
             has_fourier=bool(self.fourier_grids),
             light_type=jnp.asarray([l["type"] for l in lights], jnp.int32),

@@ -223,3 +223,117 @@ def test_disney_spectrans_transmits():
     assert trans.mean() > 0.1, trans.mean()
     assert (np.sign(np.asarray(wi)[trans, 2]) == -np.sign(WO[2])).all()
     assert (np.asarray(eta_fac)[trans] != 1.0).all()
+
+
+# ---------------------------------------------------------------------------
+# Beckmann distribution (reference: microfacet.h:80 + tests/bsdfs.cpp
+# chi^2-style sample/pdf consistency)
+# ---------------------------------------------------------------------------
+
+def test_beckmann_d_normalizes():
+    """Integral of D(wh) cos(wh) over the hemisphere is 1."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pbrt_tpu.materials import bsdf
+    for alpha in (0.1, 0.4):
+        n = 256
+        th = (np.arange(n) + 0.5) * (np.pi / 2) / n
+        ph = (np.arange(n) + 0.5) * (2 * np.pi) / n
+        T, P = np.meshgrid(th, ph, indexing="ij")
+        wh = jnp.asarray(np.stack([np.sin(T) * np.cos(P),
+                                   np.sin(T) * np.sin(P),
+                                   np.cos(T)], -1).reshape(-1, 3),
+                         jnp.float32)
+        d = np.asarray(bsdf.beckmann_d(wh, alpha, alpha))
+        w = (np.cos(T) * np.sin(T)).reshape(-1)
+        integral = (d * w).sum() * (np.pi / 2 / n) * (2 * np.pi / n)
+        assert abs(integral - 1.0) < 2e-2, (alpha, integral)
+
+
+def test_beckmann_sample_pdf_consistency():
+    """Histogram of visible-NDF samples matches mf_pdf_wh (the bsdfs.cpp
+    chi^2 test, binned-frequency form)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pbrt_tpu.materials import bsdf
+    rng = np.random.default_rng(3)
+    N = 200_000
+    alpha = 0.3
+    wo = jnp.asarray(np.tile([0.45, 0.2, np.sqrt(1 - 0.45**2 - 0.2**2)],
+                             (N, 1)), jnp.float32)
+    u1 = jnp.asarray(rng.uniform(size=N), jnp.float32)
+    u2 = jnp.asarray(rng.uniform(size=N), jnp.float32)
+    wh = np.asarray(bsdf.beckmann_sample_wh(wo, u1, u2, alpha, alpha))
+    beck = jnp.ones(1, bool)
+    # bin over (cos_theta, phi)
+    ct = np.clip(wh[:, 2], 0, 1)
+    phi = np.mod(np.arctan2(wh[:, 1], wh[:, 0]), 2 * np.pi)
+    nb = 12
+    H, ce, pe = np.histogram2d(ct, phi, bins=nb,
+                               range=[[0.7, 1.0], [0, 2 * np.pi]])
+    freq = H / N
+    # expected mass per bin from the pdf at bin centers
+    cc = 0.5 * (ce[:-1] + ce[1:])
+    pc = 0.5 * (pe[:-1] + pe[1:])
+    CC, PC = np.meshgrid(cc, pc, indexing="ij")
+    st = np.sqrt(1 - CC**2)
+    whc = jnp.asarray(np.stack([st * np.cos(PC), st * np.sin(PC), CC],
+                               -1).reshape(-1, 3), jnp.float32)
+    wo1 = jnp.broadcast_to(wo[0], whc.shape)
+    pdf = np.asarray(bsdf.mf_pdf_wh(wo1, whc, alpha, alpha,
+                                    jnp.ones(whc.shape[0], bool)))
+    dct = ce[1] - ce[0]
+    dph = pe[1] - pe[0]
+    expected = (pdf.reshape(nb, nb) * dct * dph)
+    sig = expected > 5e-3
+    rel = np.abs(freq - expected)[sig] / expected[sig]
+    assert np.median(rel) < 0.08, np.median(rel)
+
+
+def test_beckmann_material_renders_differently_from_ggx():
+    """A plastic sphere with 'beckmann' vs 'ggx' distribution produces a
+    different (but same-energy-scale) highlight."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pbrt_tpu.core import transform as tfm
+    from pbrt_tpu.scene.ir import (SceneBuilder, MaterialSpec, MAT_MATTE,
+                                   MAT_PLASTIC, PRIM_SPHERE)
+    from pbrt_tpu.cameras import projective
+    from pbrt_tpu.integrators import path as pathmod
+    from pbrt_tpu.samplers.samplers import SamplerConfig
+
+    def render(dist):
+        b = SceneBuilder()
+        blackm = b.add_material(MaterialSpec(type=MAT_MATTE))
+        pl = b.add_material(MaterialSpec(
+            type=MAT_PLASTIC, kd=np.full(31, .1, np.float32),
+            ks=np.full(31, .8, np.float32), rough_u=0.15, rough_v=0.15,
+            remap_roughness=False, distribution=dist))
+        li = b.add_area_light(np.full(31, 30.0, np.float32))
+        b.add_triangle_mesh([[-1, -1, 4], [1, -1, 4], [1, 1, 4],
+                             [-1, 1, 4]], [[0, 2, 1], [0, 3, 2]],
+                            blackm, light_id=li)
+        b.add_quadric(PRIM_SPHERE, tfm.translate(0, 0, 0),
+                      (1.0, -1.0, 1.0, 2 * np.pi), pl)
+        scene = b.build()
+        W = H = 24
+        cam = projective.make_perspective(
+            tfm.look_at([0, -4, 2], [0, 0, 0], [0, 0, 1]), 40.0, W, H)
+        cfg = SamplerConfig(kind="sobol", seed=0, spp=8)
+        pids = jnp.arange(W * H, dtype=jnp.uint32)
+        acc = 0.0
+        for s in range(8):
+            ray, wt, pf, pid, sidx = pathmod.camera_rays_for_pixels(
+                cam, W, H, cfg, pids, jnp.uint32(s),
+                projective.generate_rays)
+            L = pathmod.trace_paths(scene, ray, pid, sidx, cfg,
+                                    max_depth=1)
+            acc = acc + np.asarray(L * wt[:, None])
+        return (acc / 8).sum(-1)
+
+    g = render("ggx")
+    bk = render("beckmann")
+    assert abs(bk.sum() / g.sum() - 1.0) < 0.25      # same energy scale
+    # tails differ: GGX has heavier off-peak falloff
+    d = np.abs(g - bk) / np.maximum(g.max(), 1e-6)
+    assert d.max() > 0.01, d.max()
