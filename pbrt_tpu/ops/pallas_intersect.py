@@ -52,6 +52,8 @@ LANE_MASK = (1 << LANE_BITS) - 1
 # (scripts/ablate_kernel_step.py), so step COUNT, not per-step width, is
 # the lever that matters.
 F32_MAX = 3.4e38     # python float: jnp scalars would be captured kernel consts
+# ablation knob: disable the front-to-back early exit in the loop kernel
+EARLY_EXIT = _os.environ.get("PBRT_TPU_EARLY_EXIT", "1") != "0"
 
 
 # ---------------------------------------------------------------------------
@@ -260,10 +262,15 @@ def _kernel(wq_tile_ref, wq_chunk_ref, wq_flag_ref, r16_ref, tmax_ref,
                                       prim_ref[0, 0, :])
 
 
-def _kernel_loop(cl_ref, na_ref, r16_ref, tmax_ref, w_hbm, cb_ref,
+def _kernel_loop(cl_ref, na_ref, nl_ref, r16_ref, tmax_ref, w_hbm, cb_ref,
                  t_ref, prim_ref, wbuf, sems, *, resident):
     """Chunk-loop kernel: ONE grid step per ray tile; the tile's active
-    chunks (front-to-back) are visited by an in-kernel fori_loop.
+    chunks (front-to-back) are visited by an in-kernel while_loop with
+    FRONT-TO-BACK EARLY EXIT: entry j's near_list value lower-bounds every
+    lane's slab entry t for this and all later chunks (sorted), so once
+    max-lane t_best <= that bound no remaining chunk can improve any lane
+    and the loop stops (the reference's ordered traversal + shrinking
+    tMax, bvh.cpp:662-700, recovered at tile granularity).
 
     resident=True keeps the whole W table in VMEM (small scenes) and
     slices chunks directly — no DMA at all; resident=False streams W
@@ -300,8 +307,8 @@ def _kernel_loop(cl_ref, na_ref, r16_ref, tmax_ref, w_hbm, cb_ref,
         def _():
             dma(0, 0).start()
 
-    def body(j, carry):
-        t_best, prim = carry                     # [1,T] each
+    def body(state):
+        j, t_best, prim = state                  # t_best/prim [1,T]
         c = cl_ref[i, j]
 
         if not resident:
@@ -350,12 +357,36 @@ def _kernel_loop(cl_ref, na_ref, r16_ref, tmax_ref, w_hbm, cb_ref,
         t_new = (kmin & jnp.int32(~LANE_MASK)).view(jnp.float32)
         k = kmin & jnp.int32(LANE_MASK)
         t_new = jnp.where(anyhit, -1.0, t_new)
-        return (jnp.where(upd, t_new, t_best),
+        return (j + 1,
+                jnp.where(upd, t_new, t_best),
                 jnp.where(upd, c * CHUNK + k, prim))
+
+    def cond(state):
+        # continue iff some lane could still be improved by entry j:
+        # near_list[i, j] lower-bounds every lane's entry t for this and
+        # all later chunks, so max-lane t_best <= bound ends the tile.
+        # Shadow lanes park at t=-1 on first hit and dead lanes start at
+        # tmax=-1, so both drop out of the max automatically.
+        j, t_best, _ = state
+        if not EARLY_EXIT:
+            return j < na
+        # & is not short-circuit: when the loop runs out (j == na == C) the
+        # nl read would be out of bounds — clamp (the j<na term already
+        # kills the result there)
+        jc = jnp.minimum(j, nl_ref.shape[1] - 1)
+        return (j < na) & (jnp.max(t_best) > nl_ref[i, jc])
 
     t_init = tmax_ref[0]                 # [1,T]
     prim_init = jnp.full(t_init.shape, -1, jnp.int32)
-    t_best, prim = jax.lax.fori_loop(0, na, body, (t_init, prim_init))
+    j_end, t_best, prim = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t_init, prim_init))
+    if not resident:
+        # the body speculatively prefetches entry j+1; on early exit that
+        # copy (slot j_end%2, entry j_end) is still in flight — drain it
+        # so the semaphore/scratch state is clean for the next grid step
+        @pl.when(j_end < na)
+        def _():
+            dma(j_end % 2, j_end).wait()
     t_ref[0] = t_best
     prim_ref[0] = prim
 
@@ -377,22 +408,25 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad):
     r16t = r16.reshape(n_tiles, RAY_TILE, 16)
     tmax_t = tmax.reshape(n_tiles, RAY_TILE)
     tmax2 = tmax.reshape(n_tiles, 1, RAY_TILE)
-    chunk_list, n_active = _tile_chunk_lists(r16t, tmax_t, chunk_bounds)
+    chunk_list, n_active, near_list = _tile_chunk_lists(r16t, tmax_t,
+                                                        chunk_bounds)
     resident = (W.size * 2) <= VMEM_RESIDENT_BYTES
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,             # chunk_list, n_active
+        num_scalar_prefetch=3,             # chunk_list, n_active, near_list
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, RAY_TILE, 16), lambda i, cl, na: (i, 0, 0)),
-            pl.BlockSpec((1, 1, RAY_TILE), lambda i, cl, na: (i, 0, 0)),
+            pl.BlockSpec((1, RAY_TILE, 16),
+                         lambda i, cl, na, nl: (i, 0, 0)),
+            pl.BlockSpec((1, 1, RAY_TILE),
+                         lambda i, cl, na, nl: (i, 0, 0)),
             pl.BlockSpec(memory_space=(pltpu.VMEM if resident
                                        else pltpu.ANY)),
             pl.BlockSpec(memory_space=pltpu.VMEM),      # chunk_bounds
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, RAY_TILE), lambda i, cl, na: (i, 0, 0)),
-            pl.BlockSpec((1, 1, RAY_TILE), lambda i, cl, na: (i, 0, 0)),
+            pl.BlockSpec((1, 1, RAY_TILE), lambda i, cl, na, nl: (i, 0, 0)),
+            pl.BlockSpec((1, 1, RAY_TILE), lambda i, cl, na, nl: (i, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 48, 4 * CHUNK), jnp.bfloat16),
@@ -406,7 +440,7 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad):
             jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.int32),
         ],
-    )(chunk_list, n_active, r16t, tmax2, W, chunk_bounds)
+    )(chunk_list, n_active, near_list, r16t, tmax2, W, chunk_bounds)
     return t_out.reshape(-1)[:B], prim_out.reshape(-1)[:B]
 
 
@@ -443,14 +477,20 @@ def _tile_chunk_lists(r16_t, tmax_t, chunk_bounds):
     hits = hit.any(-1)                              # [n_tiles, C]
     nears = jnp.min(jnp.where(hit, jnp.maximum(tnear, 0.0), F32_MAX), -1)
     C = chunk_bounds.shape[0]
-    order = jnp.argsort(jnp.where(hits, nears, F32_MAX),
-                        axis=1).astype(jnp.int32)
+    sort_key = jnp.where(hits, nears, F32_MAX)
+    order = jnp.argsort(sort_key, axis=1).astype(jnp.int32)
     n_active = hits.sum(-1).astype(jnp.int32)
     ranks = jnp.arange(C, dtype=jnp.int32)[None, :]
     last = jnp.take_along_axis(
         order, jnp.maximum(n_active - 1, 0)[:, None], 1)
     chunk_list = jnp.where(ranks < n_active[:, None], order, last)
-    return chunk_list, n_active
+    # per-entry near lower bound (sorted ascending): entry j's value is a
+    # lower bound on EVERY lane's slab entry t for chunk_list[:, j] and,
+    # by the sort, for all later entries too — the kernel's front-to-back
+    # early exit compares max-lane t_best against it.  Inactive entries
+    # read F32_MAX so the loop condition fails there regardless of na.
+    near_list = jnp.take_along_axis(sort_key, order, 1)
+    return chunk_list, n_active, near_list
 
 
 def _work_queue(chunk_list, n_active, n_tiles, n_chunks):
@@ -512,7 +552,7 @@ def dense_intersect(r16, tmax, W, chunk_bounds, n_pad):
     r16 = r16.reshape(n_tiles, RAY_TILE, 16)
     tmax_t = tmax.reshape(n_tiles, RAY_TILE)
     tmax2 = tmax.reshape(n_tiles, 1, RAY_TILE)
-    chunk_list, n_active = _tile_chunk_lists(r16, tmax_t, chunk_bounds)
+    chunk_list, n_active, _ = _tile_chunk_lists(r16, tmax_t, chunk_bounds)
     wq_tile, wq_chunk, wq_flag = _work_queue(chunk_list, n_active,
                                              n_tiles, n_chunks)
     total = jnp.sum(n_active)

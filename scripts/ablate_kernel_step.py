@@ -113,7 +113,7 @@ def run(r16, tmax, mode):
     r16t = r16.reshape(n_tiles, RAY_TILE, 16)
     tmax_t = tmax.reshape(n_tiles, RAY_TILE)
     tmax2 = tmax.reshape(n_tiles, 1, RAY_TILE)
-    chunk_list, n_active = pdense._tile_chunk_lists(r16t, tmax_t, cb)
+    chunk_list, n_active, _ = pdense._tile_chunk_lists(r16t, tmax_t, cb)
     wq_tile, wq_chunk, wq_flag = pdense._work_queue(
         chunk_list, n_active, n_tiles, n_chunks)
     cap = n_tiles * n_chunks

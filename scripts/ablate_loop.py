@@ -140,7 +140,7 @@ def make(mode):
         r16t = r16.reshape(n_tiles, RAY_TILE, 16)
         tmax_t = tmax.reshape(n_tiles, RAY_TILE)
         tmax2 = tmax.reshape(n_tiles, 1, RAY_TILE)
-        cl, na = pd._tile_chunk_lists(r16t, tmax_t, scene.dense_cb)
+        cl, na, _ = pd._tile_chunk_lists(r16t, tmax_t, scene.dense_cb)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_tiles,),
@@ -183,7 +183,7 @@ def timed(fn, *a, n=16):
 n_tiles = B // RAY_TILE
 r16t = r16.reshape(n_tiles, RAY_TILE, 16)
 tmt = tmax.reshape(n_tiles, RAY_TILE)
-_, na = pd._tile_chunk_lists(r16t, tmt, scene.dense_cb)
+_, na, _ = pd._tile_chunk_lists(r16t, tmt, scene.dense_cb)
 steps = int(jnp.sum(na))
 print(f"tiles {n_tiles}, total steps {steps} "
       f"({steps/n_tiles:.2f} chunks/tile)")

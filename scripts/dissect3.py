@@ -137,7 +137,7 @@ def queue_only(o, d, tmax):
     n_tiles = (2 * B) // RT
     r16t = r16.reshape(n_tiles, RT, 16)
     tmt = tmax.reshape(n_tiles, RT)
-    cl, na = pdense._tile_chunk_lists(r16t, tmt, scene.dense_cb)
+    cl, na, _ = pdense._tile_chunk_lists(r16t, tmt, scene.dense_cb)
     wt, wc, wf = pdense._work_queue(cl, na, n_tiles,
                                     scene.dense_npad // pdense.CHUNK)
     return wt.sum() + wc.sum() + wf.sum(), na.sum()
@@ -161,7 +161,7 @@ print(f"make_hit       : {t_mh*1e3:8.2f} ms", flush=True)
 o, d, tmax = batches[0]
 r16 = pdense.ray_vectors(o, d, scene.dense_center)
 n_tiles = (2 * B) // RT
-cl, na = pdense._tile_chunk_lists(r16.reshape(n_tiles, RT, 16),
+cl, na, _ = pdense._tile_chunk_lists(r16.reshape(n_tiles, RT, 16),
                                   tmax.reshape(n_tiles, RT), scene.dense_cb)
 na = np.asarray(na)
 print(f"active chunks/tile: mean {na.mean():.2f} of "

@@ -62,7 +62,7 @@ def queue_only(scene, ray):
     n_tiles = B // pdense.RAY_TILE
     r16t = r16.reshape(n_tiles, pdense.RAY_TILE, 16)
     tmax_t = t_init.reshape(n_tiles, pdense.RAY_TILE)
-    cl, na = pdense._tile_chunk_lists(r16t, tmax_t, scene.dense_cb)
+    cl, na, _ = pdense._tile_chunk_lists(r16t, tmax_t, scene.dense_cb)
     wt, wc, wf = pdense._work_queue(cl, na, n_tiles,
                                     scene.dense_npad // pdense.CHUNK)
     return wt.sum() + wc.sum() + wf.sum(), jnp.sum(na)

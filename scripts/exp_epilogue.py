@@ -58,7 +58,7 @@ def make_variant(body):
         r16t = r16.reshape(n_tiles, RAY_TILE, 16)
         tmt = tmax_s.reshape(n_tiles, RAY_TILE)
         tm2 = tmax_s.reshape(n_tiles, 1, RAY_TILE)
-        cl, na = pd._tile_chunk_lists(r16t, tmt, scene.dense_cb)
+        cl, na, _ = pd._tile_chunk_lists(r16t, tmt, scene.dense_cb)
         wt, wc, wf = pd._work_queue(cl, na, n_tiles, n_chunks)
         cap = n_tiles * n_chunks
         wt = jax.lax.slice(wt, (0,), (cap,))
