@@ -69,6 +69,20 @@ class LensCamera:
     shutter_open: jnp.ndarray
     shutter_close: jnp.ndarray
     weight_scale: jnp.ndarray      # [] A_rear/z^2-style importance factor
+    # microlens array (omni.cpp:963-1140): a small per-element lens stack
+    # tiled over the sensor; ml_n_surfaces == 0 => no array.  Surfaces are
+    # stored rear-first with z measured from the film plane (camera space,
+    # +z toward scene — the reference's Scale(1,1,-1) lens space folded in).
+    ml_curv_x: jnp.ndarray = None      # [MS]
+    ml_curv_y: jnp.ndarray = None
+    ml_conic_x: jnp.ndarray = None
+    ml_conic_y: jnp.ndarray = None
+    ml_z: jnp.ndarray = None           # [MS] vertex z (camera space)
+    ml_aperture: jnp.ndarray = None    # [MS] circular semi-aperture
+    ml_eta: jnp.ndarray = None         # [MS] film-side IoR
+    ml_asph: jnp.ndarray = None        # [MS,4]
+    ml_offsets: jnp.ndarray = None     # [ny*nx,2] per-lens center jitter (m)
+    ml_offset_sensor: jnp.ndarray = None   # [] microlens plane z
     n_surfaces: int = struct.field(pytree_node=False, default=0)
     #: static per-surface kind: "flat" | "sphere" | "biconic"
     surface_kinds: tuple = struct.field(pytree_node=False, default=())
@@ -76,6 +90,12 @@ class LensCamera:
     simple_weighting: bool = struct.field(pytree_node=False, default=True)
     diffraction: bool = struct.field(pytree_node=False, default=False)
     kind: str = struct.field(pytree_node=False, default="realistic")
+    ml_n_surfaces: int = struct.field(pytree_node=False, default=0)
+    ml_surface_kinds: tuple = struct.field(pytree_node=False, default=())
+    ml_dims: tuple = struct.field(pytree_node=False, default=(0, 0))
+    ml_sim_radius: int = struct.field(pytree_node=False, default=0)
+    #: all offsets zero => cells are exact rectangles (no table gathers)
+    ml_has_offsets: bool = struct.field(pytree_node=False, default=False)
 
 
 # ---------------------------------------------------------------------------
@@ -196,7 +216,9 @@ def build_lens_camera(kind, cam_to_world: tfm.Transform, surfs,
                       simple_weighting=True, diffraction=False,
                       retina_radius=0.0, retina_semi_diam=0.0,
                       ior_spectra=None, shutter_open=0.0, shutter_close=1.0,
-                      pupil_diameter=None):
+                      pupil_diameter=None, microlens=None,
+                      microlens_sensor_offset=0.001,
+                      microlens_sim_radius=0):
     """surfs: list front-to-back (file order).  Builds device arrays
     ordered rear-to-front with absolute z positions (film at z=0)."""
     S = len(surfs)
@@ -279,7 +301,83 @@ def build_lens_camera(kind, cam_to_world: tfm.Transform, surfs,
         n_surfaces=S, surface_kinds=surface_kinds, ca_enabled=ca_enabled,
         simple_weighting=simple_weighting, diffraction=diffraction,
         kind=kind)
+    if microlens:
+        cam = _attach_microlens(cam, microlens, microlens_sensor_offset,
+                                microlens_sim_radius)
     return compute_exit_pupil(cam)
+
+
+def _attach_microlens(cam: LensCamera, ml: dict, sensor_offset, sim_radius):
+    """Bake the microlens-array block (omni.cpp:1330+ JSON parse) into the
+    camera.  Surfaces (mm units like the main stack) are stored rear-first;
+    the reference walks them with elementZ -= thickness starting at 0 in
+    its z-flipped lens space (omni.cpp TraceLensesFromFilm:397-410), so in
+    our film-at-0/+z convention surface k sits at z = sum(thickness[0..k])."""
+    msurfs = []
+    for s in ml.get("surfaces", []):
+        def vec2(v, default=0.0):
+            if v is None:
+                return (default, default)
+            if isinstance(v, (int, float)):
+                return (float(v), float(v))
+            return (float(v[0]), float(v[1]))
+        rx, ry = vec2(s.get("radius"))
+        ax, ay = vec2(s.get("semi_aperture"))
+        cx, cy = vec2(s.get("conic_constant"))
+        asph = s.get("aspheric_coefficients") or [0, 0, 0, 0]
+        asph = (list(asph) + [0, 0, 0, 0])[:4]
+        msurfs.append(dict(radius_x=rx * 1e-3, radius_y=ry * 1e-3,
+                           thickness=float(s.get("thickness", 0)) * 1e-3,
+                           eta=float(s.get("ior", 1.0)),
+                           semi_aperture=ax * 1e-3,
+                           conic_x=cx * 1e-3, conic_y=cy * 1e-3,
+                           asph=[float(a) for a in asph]))
+    if not msurfs:
+        return cam
+    dims = ml.get("dimensions") or [16, 16]
+    nx, ny = int(dims[0]), int(dims[1])
+    offsets = np.zeros((ny * nx, 2), np.float32)
+    if ml.get("offsets"):
+        offs = np.asarray(ml["offsets"], np.float32).reshape(-1, 2)
+        offsets[:min(len(offs), ny * nx)] = offs[:ny * nx]
+    has_offsets = bool(np.any(offsets != 0))
+    # rear-first with z accumulating each surface's OWN thickness (the
+    # reference subtracts thickness before intersecting, omni.cpp:416)
+    rear_first = list(reversed(msurfs))
+    z, z_list = 0.0, []
+    for s in rear_first:
+        z += s["thickness"]
+        z_list.append(z)
+
+    def _kind(s):
+        if s["radius_x"] == 0 and s["radius_y"] == 0:
+            return "flat"
+        if (s["radius_x"] == s["radius_y"] and s["conic_x"] == 0
+                and s["conic_y"] == 0 and not any(s["asph"])):
+            return "sphere"
+        return "biconic"
+    return cam.replace(
+        ml_curv_x=jnp.asarray([0.0 if s["radius_x"] == 0
+                               else -1.0 / s["radius_x"]
+                               for s in rear_first], jnp.float32),
+        ml_curv_y=jnp.asarray([0.0 if s["radius_y"] == 0
+                               else -1.0 / s["radius_y"]
+                               for s in rear_first], jnp.float32),
+        ml_conic_x=jnp.asarray([s["conic_x"] for s in rear_first],
+                               jnp.float32),
+        ml_conic_y=jnp.asarray([s["conic_y"] for s in rear_first],
+                               jnp.float32),
+        ml_z=jnp.asarray(z_list, jnp.float32),
+        ml_aperture=jnp.asarray([s["semi_aperture"] for s in rear_first],
+                                jnp.float32),
+        ml_eta=jnp.asarray([s["eta"] for s in rear_first], jnp.float32),
+        ml_asph=jnp.asarray([s["asph"] for s in rear_first], jnp.float32),
+        ml_offsets=jnp.asarray(offsets),
+        ml_offset_sensor=jnp.float32(sensor_offset),
+        ml_n_surfaces=len(rear_first),
+        ml_surface_kinds=tuple(_kind(s) for s in rear_first),
+        ml_dims=(nx, ny), ml_sim_radius=int(sim_radius),
+        ml_has_offsets=has_offsets)
 
 
 def compute_exit_pupil(cam: LensCamera, n_zones=32, samples=2048):
@@ -480,6 +578,174 @@ def trace_lenses_from_film(cam: LensCamera, o, d, wavelength, key_bits=None):
     return o, d, valid
 
 
+# ---------------------------------------------------------------------------
+# microlens array (omni.cpp:963-1140)
+# ---------------------------------------------------------------------------
+
+def _ml_extent(cam, width, height):
+    """Physical film extent half-sizes (film.cpp GetPhysicalExtent)."""
+    aspect = height / width
+    fw = jnp.sqrt(cam.film_diag ** 2 / (1 + aspect * aspect))
+    return fw, fw * aspect
+
+
+def _ml_index(cam, px, py, fw, fh):
+    """Microlens cell index of a film point (omni.cpp MicrolensIndex:963)."""
+    nx, ny = cam.ml_dims
+    ix = jnp.floor((px / fw + 0.5) * nx).astype(jnp.int32)
+    iy = jnp.floor((py / fh + 0.5) * ny).astype(jnp.int32)
+    return ix, iy
+
+
+def _ml_center(cam, ix, iy, fw, fh):
+    """Lens center for an index, + per-lens offset when in range
+    (omni.cpp MicrolensCenterFromIndex:1037)."""
+    nx, ny = cam.ml_dims
+    cx = ((ix + 0.5) / nx - 0.5) * fw
+    cy = ((iy + 0.5) / ny - 0.5) * fh
+    inside = (ix >= 0) & (iy >= 0) & (ix < nx) & (iy < ny)
+    if cam.ml_has_offsets:
+        flat = jnp.clip(iy, 0, ny - 1) * nx + jnp.clip(ix, 0, nx - 1)
+        off = cam.ml_offsets[flat]          # [B,2]
+        cx = cx + jnp.where(inside, off[:, 0], 0.0)
+        cy = cy + jnp.where(inside, off[:, 1], 0.0)
+    return cx, cy
+
+
+def _ml_cell_corners(cam, ix, iy, fw, fh):
+    """Cell corners, CCW from (-,-): each corner is the average of its 4
+    adjacent lens centers (omni.cpp MicrolensElementFromIndex:1048-1066);
+    exact rectangles when the offset table is all zero."""
+    nx, ny = cam.ml_dims
+    if not cam.ml_has_offsets:
+        cx = ((ix + 0.5) / nx - 0.5) * fw
+        cy = ((iy + 0.5) / ny - 0.5) * fh
+        hw, hh = 0.5 * fw / nx, 0.5 * fh / ny
+        return [(cx - hw, cy - hh), (cx + hw, cy - hh),
+                (cx + hw, cy + hh), (cx - hw, cy + hh)]
+    corners = []
+    for sx, sy in ((-1, -1), (1, -1), (1, 1), (-1, 1)):
+        ax0 = 0 if sx > 0 else -1
+        ay0 = 0 if sy > 0 else -1
+        xx = yy = 0.0
+        for dx in (0, 1):
+            for dy in (0, 1):
+                ccx, ccy = _ml_center(cam, ix + ax0 + dx, iy + ay0 + dy,
+                                      fw, fh)
+                xx = xx + ccx
+                yy = yy + ccy
+        corners.append((xx * 0.25, yy * 0.25))
+    return corners
+
+
+def _in_quad(px, py, corners):
+    """Point-in-convex-quad via consistent edge cross signs (CCW corners)."""
+    inside = None
+    for i in range(4):
+        x0, y0 = corners[i]
+        x1, y1 = corners[(i + 1) % 4]
+        s = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+        inside = (s >= 0) if inside is None else inside & (s >= 0)
+    return inside
+
+
+def _ml_trace_stack(cam, o, d, wavelength, cx, cy, corners, rear_only=False):
+    """Trace the microlens element stack under lens center (cx, cy)
+    (omni.cpp TraceLensesFromFilm with ComputeCameraToMicrolens:1033 —
+    the lateral translate is applied per ray; the reference's z flip is
+    already folded into our +z convention).  corners are CELL bounds in
+    film space; the aperture test is circular AND the cell quad
+    (TraceElement:>bounds).  rear_only: return (t, ok) of the rear
+    surface only (TToBackLens:450)."""
+    B = o.shape[0]
+    ol = o - jnp.stack([cx, cy, jnp.zeros_like(cx)], -1)
+    cc = [(qx - cx, qy - cy) for qx, qy in corners]   # centered bounds
+    valid = jnp.ones(B, bool)
+    n_s = 1 if rear_only else cam.ml_n_surfaces
+    for k in range(n_s):
+        kind = cam.ml_surface_kinds[k]
+        t, n, ok = _intersect_surface(
+            ol, d, cam.ml_z[k], cam.ml_curv_x[k], cam.ml_curv_y[k],
+            cam.ml_conic_x[k], cam.ml_conic_y[k], cam.ml_asph[k],
+            kind == "flat", kind == "biconic")
+        p = ol + t[:, None] * d
+        r2 = p[:, 0] ** 2 + p[:, 1] ** 2
+        ok = ok & (r2 <= cam.ml_aperture[k] ** 2)
+        ok = ok & _in_quad(p[:, 0], p[:, 1], cc)
+        if rear_only:
+            return t, valid & ok
+        eta_i = cam.ml_eta[k]
+        eta_t = cam.ml_eta[k + 1] if k + 1 < cam.ml_n_surfaces else 1.0
+        if cam.ca_enabled:
+            shift = (wavelength - 550.0) * (-0.04 / 300.0)
+            eta_i = jnp.where(eta_i > 1.0001, eta_i + shift, eta_i)
+            eta_t = jnp.where(eta_t > 1.0001, eta_t + shift, eta_t)
+        ratio = eta_i / jnp.maximum(eta_t, 1e-6)
+        if kind != "flat":
+            can, wt = geom.refract(-d, n, jnp.broadcast_to(ratio, (B,)))
+            new_d = jnp.where(can[:, None], geom.normalize(wt), d)
+            ok = ok & can
+        else:
+            new_d = d
+        d = jnp.where(valid[:, None], new_d, d)
+        ol = jnp.where(valid[:, None], p, ol)
+        valid = valid & ok
+    o_out = ol + jnp.stack([cx, cy, jnp.zeros_like(cx)], -1)
+    return o_out, d, valid
+
+
+def _ml_sample_pupil(cam, px, py, u_lens, fw, fh):
+    """Sample the (2R+1)^2-cell neighborhood on the microlens plane
+    (omni.cpp SampleMicrolensPupil:972)."""
+    nx, ny = cam.ml_dims
+    R = cam.ml_sim_radius
+    ix, iy = _ml_index(cam, px, py, fw, fh)
+    diam = 2.0 * R + 1.0
+    sx = ((ix - R + u_lens[:, 0] * diam) / nx - 0.5) * fw
+    sy = ((iy - R + u_lens[:, 1] * diam) / ny - 0.5) * fh
+    area = fw * fh * diam * diam / (nx * ny)
+    return jnp.stack([sx, sy,
+                      jnp.full_like(sx, 0.0) + cam.ml_offset_sensor], -1), \
+        area
+
+
+def _ml_full_trace(cam, o, d, wavelength, fw, fh):
+    """Pick the first microlens element the ray actually crosses among the
+    (2R+1)^2 neighborhood, trace its stack, then the main stack
+    (omni.cpp TraceFullLensSystemFromFilm:1074-1110)."""
+    B = o.shape[0]
+    # cell under the point where the ray crosses the microlens plane
+    tz = cam.ml_offset_sensor / jnp.where(jnp.abs(d[:, 2]) > 1e-12,
+                                          d[:, 2], 1e-12)
+    pmx = o[:, 0] + tz * d[:, 0]
+    pmy = o[:, 1] + tz * d[:, 1]
+    cix, ciy = _ml_index(cam, pmx, pmy, fw, fh)
+    R = cam.ml_sim_radius
+    best_t = jnp.full(B, jnp.inf)
+    best = None
+    for dy in range(-R, R + 1):
+        for dx in range(-R, R + 1):
+            ix, iy = cix + dx, ciy + dy
+            cx, cy = _ml_center(cam, ix, iy, fw, fh)
+            corners = _ml_cell_corners(cam, ix, iy, fw, fh)
+            t, ok = _ml_trace_stack(cam, o, d, wavelength, cx, cy,
+                                    corners, rear_only=True)
+            t = jnp.where(ok, t, jnp.inf)
+            take = t < best_t
+            if best is None:
+                best = (cx, cy) + tuple(c for q in corners for c in q)
+            else:
+                best = tuple(jnp.where(take, new, old) for new, old in zip(
+                    (cx, cy) + tuple(c for q in corners for c in q), best))
+            best_t = jnp.minimum(best_t, t)
+    bcx, bcy = best[0], best[1]
+    bcorners = [(best[2 + 2 * i], best[3 + 2 * i]) for i in range(4)]
+    o1, d1, ok1 = _ml_trace_stack(cam, o, d, wavelength, bcx, bcy, bcorners)
+    ok1 = ok1 & jnp.isfinite(best_t)
+    o2, d2, ok2 = trace_lenses_from_film(cam, o1, d1, wavelength)
+    return o2, d2, ok1 & ok2
+
+
 def _gauss_from_bits(key_bits, salt):
     u1 = prng.uniform_float(key_bits, prng._u32(salt))
     u2 = prng.uniform_float(key_bits, prng._u32(salt + 977))
@@ -519,6 +785,39 @@ def generate_rays(cam: LensCamera, pfilm, u_lens, u_time=None,
         o = jnp.stack([x, y, zs], -1)
     else:
         o = jnp.stack([sx, sy, jnp.zeros(B)], -1)
+    if wavelength is None:
+        wavelength_b = jnp.full(B, 550.0)
+    else:
+        wavelength_b = jnp.broadcast_to(jnp.asarray(wavelength, jnp.float32),
+                                        (B,))
+    if cam.ml_n_surfaces > 0:
+        # microlens path (omni.cpp GenerateRay:1135-1186): sample the cell
+        # neighborhood on the microlens plane instead of the exit pupil,
+        # trace micro stack then main stack
+        fw_e, fh_e = _ml_extent(cam, width, height)
+        p_rear, bounds_area = _ml_sample_pupil(cam, o[:, 0], o[:, 1],
+                                               u_lens, fw_e, fh_e)
+        d = geom.normalize(p_rear - o)
+        o2, d2, ok = _ml_full_trace(cam, o, d, wavelength_b, fw_e, fh_e)
+        wo = tfm.xform_point(cam.cam_to_world, o2)
+        wd = geom.normalize(tfm.xform_vector(cam.cam_to_world, d2))
+        cos_t = geom.absdot(geom.normalize(p_rear - o),
+                            jnp.asarray([0.0, 0.0, 1.0]))
+        R = cam.ml_sim_radius
+        if cam.simple_weighting:
+            weight = jnp.where(ok, cos_t ** 4 * float((2 * R + 1) ** 2), 0.0)
+        else:
+            rear_z = cam.z_pos[0]
+            weight = jnp.where(
+                ok, (cam.shutter_close - cam.shutter_open) * cos_t ** 4
+                * bounds_area / jnp.maximum(rear_z * rear_z, 1e-12), 0.0)
+        if u_time is None:
+            time = jnp.broadcast_to(cam.shutter_open, (B,))
+        else:
+            time = cam.shutter_open + u_time * (cam.shutter_close
+                                                - cam.shutter_open)
+        ray = geom.Ray.make(wo, wd, wavelength=wavelength_b, time=time)
+        return ray.replace(tmax=jnp.where(ok, ray.tmax, -1.0)), weight
     # sample the precomputed exit pupil for this film radius (reference
     # SampleExitPupil, realistic.cpp:855+), rotated to the film azimuth
     nz = cam.pupil_bounds.shape[0]
@@ -594,7 +893,11 @@ def make_lens_camera(job, width, height):
             film_diag=job.film_diagonal * 1e-3,
             ca_enabled=bool(cp.get("chromaticAberrationEnabled", False)),
             shutter_open=cp.get("shutteropen", 0.0),
-            shutter_close=cp.get("shutterclose", 1.0))
+            shutter_close=cp.get("shutterclose", 1.0),
+            microlens=microlens,
+            microlens_sensor_offset=cp.get("microlenssensoroffset", 0.001),
+            microlens_sim_radius=int(cp.get("microlenssimulationradius",
+                                            0)))
     if kind in ("realisticEye", "realisticeye", "humaneye"):
         specfile = cp.get("specfile", "") or lensfile
         if not specfile:

@@ -155,3 +155,138 @@ def test_realistic_camera_renders(singlet):
     img = np.asarray(filmmod.develop_spectral(film))
     assert img.max() > 1.0, img.max()  # the quad is imaged
     assert np.isfinite(img).all()
+
+
+def _omni_with_microlens(tmp_path, singlet, dims=16, sim_radius=0,
+                         offsets=None, ml_radius=2.0, ml_semi_ap=1.0):
+    from pbrt_tpu.tools import lenstool
+    out = tmp_path / "omni.json"
+    lenstool.convert(singlet, str(out))
+    j = json.loads(out.read_text())
+    nx = ny = dims
+    # cell on a 35mm-diag film is ~1.5mm at 16x16: pick the microlens
+    # aperture/curvature at cell scale so most pupil samples survive
+    j["microlens"] = {
+        "dimensions": [nx, ny],
+        "offsets": offsets if offsets is not None
+        else [[0.0, 0.0]] * (nx * ny),
+        "surfaces": [{"radius": ml_radius, "thickness": 0.4, "ior": 1.5,
+                      "semi_aperture": ml_semi_ap, "conic_constant": 0.0}],
+    }
+    out.write_text(json.dumps(j))
+    surfs, micro = lens.read_json_lens(str(out))
+    return lens.build_lens_camera(
+        "omni", tfm.Transform(), surfs, focus_distance=1e6,
+        film_diag=0.035, microlens=micro,
+        microlens_sensor_offset=0.001, microlens_sim_radius=sim_radius)
+
+
+def test_microlens_attach(tmp_path, singlet):
+    cam = _omni_with_microlens(tmp_path, singlet)
+    assert cam.ml_n_surfaces == 1
+    assert cam.ml_dims == (16, 16)
+    assert cam.ml_surface_kinds == ("sphere",)
+    # rear-first z accumulation: single surface sits at its own thickness
+    assert np.isclose(float(cam.ml_z[0]), 0.4e-3)
+    assert not cam.ml_has_offsets
+
+
+def test_microlens_pupil_sampling_is_cellwise(tmp_path, singlet):
+    """SampleMicrolensPupil (omni.cpp:972): all film points within one
+    cell sample the SAME cell-sized region of the microlens plane."""
+    cam = _omni_with_microlens(tmp_path, singlet, dims=8)
+    fw, fh = lens._ml_extent(cam, 64, 64)
+    fw, fh = float(fw), float(fh)
+    cell = fw / 8
+    # two film points inside cell (4,4), one in cell (5,4)
+    px = jnp.asarray([cell * 0.1, cell * 0.4, cell * 1.2])
+    py = jnp.asarray([cell * 0.25, cell * 0.25, cell * 0.25])
+    u = jnp.asarray([[0.5, 0.5]] * 3)
+    p, area = lens._ml_sample_pupil(cam, px, py, u, fw, fh)
+    p = np.asarray(p)
+    assert np.allclose(p[0], p[1])
+    assert not np.allclose(p[0], p[2])
+    assert np.allclose(p[:, 2], 1e-3)
+    assert np.isclose(float(area), fw * fh / 64)
+
+
+def test_microlens_rays_render_and_differ(tmp_path, singlet):
+    """A microlens array must change the generated ray field vs the same
+    main stack without it (the fork's light-field camera feature)."""
+    # 64x64 lenslets (0.39mm cells), f = R/(n-1) = 0.5mm ~ the 0.4mm
+    # film->lens gap: near-collimating, so survivors reach the main stack
+    cam_ml = _omni_with_microlens(tmp_path, singlet, dims=64,
+                                  ml_radius=0.25, ml_semi_ap=0.2)
+    surfs = lens.read_dat_lens(singlet)
+    cam_plain = lens.build_lens_camera("omni", tfm.Transform(), surfs,
+                                       focus_distance=1e6, film_diag=0.035)
+    B = 512
+    rs = np.random.RandomState(1)
+    pf = jnp.asarray(rs.rand(B, 2).astype(np.float32) * 64)
+    ul = jnp.asarray(rs.rand(B, 2).astype(np.float32))
+    ray_ml, w_ml = lens.generate_rays(cam_ml, pf, ul, width=64, height=64)
+    ray_pl, w_pl = lens.generate_rays(cam_plain, pf, ul, width=64, height=64)
+    frac = float((np.asarray(w_ml) > 0).mean())
+    assert frac > 0.05, frac  # TIR + main-aperture vignetting is expected
+    both = (np.asarray(w_ml) > 0) & (np.asarray(w_pl) > 0)
+    assert both.sum() > 20
+    dd = np.abs(np.asarray(ray_ml.d)[both] - np.asarray(ray_pl.d)[both])
+    assert dd.max() > 1e-3           # the array visibly redirects rays
+
+
+def test_microlens_refracts_toward_cell_axis(tmp_path, singlet):
+    """A positive microlens bends a +z ray hitting off its cell center
+    toward the cell axis (in the micro stack alone)."""
+    cam = _omni_with_microlens(tmp_path, singlet, dims=8)
+    fw, fh = lens._ml_extent(cam, 64, 64)
+    fw, fh = float(fw), float(fh)
+    cellw, cellh = fw / 8, fh / 8
+    # cell (4,4) center, offset +0.3 cell in x; ray straight up (+z)
+    cx = -fw / 2 + 4.5 * cellw
+    cy = -fh / 2 + 4.5 * cellh
+    o = jnp.asarray([[cx + 0.3 * cellw, cy, 0.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    corners = [(cx - cellw / 2, cy - cellh / 2),
+               (cx + cellw / 2, cy - cellh / 2),
+               (cx + cellw / 2, cy + cellh / 2),
+               (cx - cellw / 2, cy + cellh / 2)]
+    o2, d2, ok = lens._ml_trace_stack(
+        cam, o, d, jnp.full(1, 550.0), jnp.full(1, cx), jnp.full(1, cy),
+        [(jnp.full(1, a), jnp.full(1, b)) for a, b in corners])
+    assert bool(ok[0])
+    assert float(d2[0, 0]) < -1e-4   # bent back toward the cell axis (-x)
+
+
+def test_microlens_sim_radius_neighbor_selection(tmp_path, singlet):
+    """simulationRadius=1 searches neighbor elements: a tilted ray whose
+    microlens-plane crossing (z=1mm) lands in cell (5,4) but whose actual
+    surface hit (z=0.4mm) is still inside cell (4,4) dies at R=0 (wrong
+    element's quad bounds) and survives at R=1 (omni.cpp
+    TraceFullLensSystemFromFilm:1074-1096 neighbor search)."""
+    def build(sim_radius):
+        cam = _omni_with_microlens(tmp_path, singlet, dims=16,
+                                   sim_radius=sim_radius)
+        # replace the main stack with one wide-open flat stop so only the
+        # microlens decides survival
+        return cam.replace(
+            curv_x=jnp.zeros(1), curv_y=jnp.zeros(1),
+            conic_x=jnp.zeros(1), conic_y=jnp.zeros(1),
+            z_pos=jnp.asarray([0.05]), aperture=jnp.asarray([10.0]),
+            is_stop=jnp.asarray([True]), eta_const=jnp.ones(1),
+            eta_idx=jnp.full(1, -1, jnp.int32), asph=jnp.zeros((1, 4)),
+            n_surfaces=1, surface_kinds=("flat",))
+    cam0, cam1 = build(0), build(1)
+    fw, fh = lens._ml_extent(cam0, 64, 64)
+    fw, fh = float(fw), float(fh)
+    cellw = fw / 16
+    cx4 = -fw / 2 + 4.5 * cellw       # cell (4,*) center
+    # slope 0.25 cell/mm: crossing at z=1mm is at 0.55 cell (-> cell 5),
+    # surface hit at z~0.4mm is at ~0.4 cell (inside cell 4)
+    o = jnp.asarray([[cx4 + 0.3 * cellw, 0.0, 0.0]], jnp.float32)
+    d = jnp.asarray([[0.25 * cellw / 1e-3, 0.0, 1.0]], jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    wl = jnp.full(1, 550.0)
+    _, _, ok0 = lens._ml_full_trace(cam0, o, d, wl, fw, fh)
+    _, _, ok1 = lens._ml_full_trace(cam1, o, d, wl, fw, fh)
+    assert not bool(ok0[0])   # wrong element at R=0: quad bounds cull
+    assert bool(ok1[0])       # R=1 finds the true first-hit element
