@@ -421,7 +421,7 @@ def intersect(scene: SceneData, ray: geom.Ray, any_hit: bool = False,
     return _intersect_bvh(scene, ray, any_hit)
 
 
-def _coherence_order(scene: SceneData, o, d, tmax):
+def _coherence_key(scene: SceneData, o, d, tmax):
     """Sort key packing (dead, direction octant, coarse Morton cell).
 
     Bounce/shadow batches arrive incoherent, so every 512-ray tile touches
@@ -429,7 +429,7 @@ def _coherence_order(scene: SceneData, o, d, tmax):
     of similar origin+octant into the same tile, restoring the cull for
     secondary rays; dead lanes (tmax<=0) sink to the back where whole
     tiles drop out of the queue.  Camera batches are near-sorted already
-    and pass through unharmed.
+    and pass through unharmed.  13 bits: dead | octant(3) | morton(9).
     """
     lo = scene.dense_cb[:, 0:3].min(0)
     hi = scene.dense_cb[:, 4:7].max(0)
@@ -443,14 +443,18 @@ def _coherence_order(scene: SceneData, o, d, tmax):
               | ((d[:, 1] < 0).astype(jnp.int32) << 1)
               | ((d[:, 2] < 0).astype(jnp.int32) << 2))
     key = (octant << 9) | m
-    key = jnp.where(tmax > 0, key, 1 << 14)
-    # pack key | lane into ONE int32 and single-array-sort it: ~7x faster
-    # than argsort's (key, payload) variadic sort on TPU (B < 2^17)
+    return jnp.where(tmax > 0, key, 1 << 12)
+
+
+def _coherence_order(scene: SceneData, o, d, tmax):
+    """Permutation that groups rays by _coherence_key (used by tests and
+    the huge-batch fallback; the main path rides _sorted_pipeline)."""
+    key = _coherence_key(scene, o, d, tmax)
     B = key.shape[0]
-    if B <= (1 << 17):
+    if B <= (1 << 18):
         lane = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
-        packed = (key << 17) | lane
-        return jax.lax.sort(packed) & ((1 << 17) - 1)
+        packed = (key << 18) | lane
+        return jax.lax.sort(packed) & ((1 << 18) - 1)
     return jnp.argsort(key.astype(jnp.int32)).astype(jnp.int32)
 
 
@@ -465,12 +469,39 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False,
                                             time=ray.time)
         t_init = jnp.where(qhit, tq, t_init)
         prim_init = jnp.where(qhit, qprim, prim_init)
-    r16 = pdense.ray_vectors(o, d, scene.dense_center, anyhit=anyhit_mask)
     if presorted:
+        r16 = pdense.ray_vectors(o, d, scene.dense_center,
+                                 anyhit=anyhit_mask)
         t, prim = pdense.dense_intersect_loop(r16, t_init, scene.dense_w,
                                               scene.dense_cb,
                                               scene.dense_npad)
+    elif o.shape[0] <= (1 << 18):
+        # the permutation rides the SORT NETWORK both ways: a variadic
+        # sort carrying the 8 ray columns costs ~0.5ms at 2^18 on TPU
+        # where the equivalent row gather costs ~2.6ms, and the unsort is
+        # another ~0.2ms sort keyed on the original lane index vs ~2.1ms
+        # for scatters.  TPU gathers/scatters are row-serial; sorts are
+        # O(B log^2 B) well-shaped VPU passes — on this hardware the
+        # extra FLOPs win by ~5x.  Lane index packed into the key's low
+        # bits keeps the sort single-key, stable and invertible.
+        B = o.shape[0]
+        key = _coherence_key(scene, o, d, t_init)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
+        flag = (jnp.zeros(B, jnp.float32) if anyhit_mask is None
+                else anyhit_mask.astype(jnp.float32))
+        packed, o0, o1, o2, d0, d1, d2, ts, fs = jax.lax.sort(
+            ((key << 18) | lane, o[:, 0], o[:, 1], o[:, 2],
+             d[:, 0], d[:, 1], d[:, 2], t_init, flag), num_keys=1)
+        order = packed & ((1 << 18) - 1)
+        r16s = pdense.ray_vectors(jnp.stack([o0, o1, o2], -1),
+                                  jnp.stack([d0, d1, d2], -1),
+                                  scene.dense_center, anyhit=fs > 0.5)
+        t_s, prim_s = pdense.dense_intersect_loop(
+            r16s, ts, scene.dense_w, scene.dense_cb, scene.dense_npad)
+        _, t, prim = jax.lax.sort((order, t_s, prim_s), num_keys=1)
     else:
+        r16 = pdense.ray_vectors(o, d, scene.dense_center,
+                                 anyhit=anyhit_mask)
         order = _coherence_order(scene, o, d, t_init)
         t_s, prim_s = pdense.dense_intersect_loop(
             r16[order], t_init[order], scene.dense_w, scene.dense_cb,
