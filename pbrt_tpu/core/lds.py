@@ -118,6 +118,33 @@ def halton_sample(index, dim, perm_seed=None):
 # (reference: lowdiscrepancy.h Sample02/VanDerCorput, zerotwosequence sampler)
 # ---------------------------------------------------------------------------
 
+_MAXMIN_NP = np.load(os.path.join(_DATA, "maxmindist.npz"))["C"]  # [17,32]
+
+
+def maxmin_matrix(log2_spp):
+    """CMaxMinDist generator matrix for 2^log2_spp samples (data constants
+    from the reference, lowdiscrepancy.cpp:249 / Gruenschloss & Keller's
+    maximized-minimal-distance (0,2) constructions)."""
+    return _MAXMIN_NP[min(max(log2_spp, 0), 16)]
+
+
+def generator_matrix_sample(index, matrix_rows, scramble=None):
+    """SampleGeneratorMatrix (lowdiscrepancy.h:MultiplyGenerator): XOR of
+    matrix rows selected by the index bits; matrix_rows is a static
+    numpy [32] uint32 row list."""
+    idx = jnp.asarray(index).astype(_U32)
+    v = jnp.zeros_like(idx)
+    for b in range(32):
+        row = int(matrix_rows[b])
+        if row == 0:
+            continue
+        v = jnp.where((idx >> _U32(b)) & _U32(1) > 0, v ^ _U32(row), v)
+    if scramble is not None:
+        v = v ^ _rng._u32(scramble)
+    inv = jnp.float32(2.3283064365386963e-10)
+    return jnp.minimum(v.astype(jnp.float32) * inv, _rng.ONE_MINUS_EPS)
+
+
 def sample_02(index, scramble_x, scramble_y):
     """2D (0,2)-sequence point with xor-scrambles (uint32 each axis)."""
     x_bits = _rng.reverse_bits32(jnp.asarray(index).astype(_U32)) ^ _rng._u32(scramble_x)

@@ -39,18 +39,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 RAY_TILE = int(_os.environ.get("PBRT_TPU_RAY_TILE", "512"))
-CHUNK = int(_os.environ.get("PBRT_TPU_CHUNK", "1024"))   # tris per chunk
-LANE_BITS = (CHUNK - 1).bit_length()   # low mantissa bits holding the lane
+CHUNK = int(_os.environ.get("PBRT_TPU_CHUNK", "256"))    # tris per chunk
+# chunks visited per loop iteration: the dot stays PICK*4*CHUNK = 4096
+# columns wide, but its PICK chunks are chosen INDEPENDENTLY from the
+# tile's front-to-back list — finer chunks cull better (on killeroo
+# bounce batches 4x256 needs ~1.7x fewer full-width steps than 1x1024,
+# measured in /tmp/exp_na_chunk) while the loop/DMA/early-exit machinery
+# still amortizes over a full-width step.
+PICK = int(_os.environ.get("PBRT_TPU_PICK", str(max(1, 1024 // CHUNK))))
+# low mantissa bits of t hold the winner's (pick, lane) id
+LANE_BITS = (CHUNK * PICK - 1).bit_length()
 LANE_MASK = (1 << LANE_BITS) - 1
-# NOTE(perf, measured on v5e): two finer-culling variants of this kernel
-# were tried and both LOST to the single chunk-level AABB + one big dot:
-# (a) four gated 256-tri sub-dots per chunk (97ms vs 76ms/pass on the
-# cornell bench — the serialized small dots + per-sub epilogues cost more
-# than the skipped work), and (b) one dot gated by the OR of four
-# sub-chunk slab tests (85ms — 4x the lane-3-shaped [T,3] slab math per
-# step).  Per-step cost splits ~2.3us machinery+MXU / ~2.4us epilogue
-# (scripts/ablate_kernel_step.py), so step COUNT, not per-step width, is
-# the lever that matters.
+LANE_BITS_CHUNK = (CHUNK - 1).bit_length()   # lane-within-chunk bits
+# NOTE(perf, measured on v5e): finer culling only pays when the loop
+# machinery still amortizes over a full-width step.  Two earlier
+# variants LOST: (a) four GATED 256-tri sub-dots per chunk (lax.cond
+# serialization), (b) one dot gated by the OR of four sub-chunk slab
+# tests (4x the [T,3]-shaped slab math).  The PICK design wins instead:
+# each iteration runs PICK unconditional 4*CHUNK-wide dots+epilogues on
+# independently CHOSEN fine chunks — same per-iteration width and one
+# early-exit/DMA-wait, but each ray tests far fewer irrelevant tris.
 F32_MAX = 3.4e38     # python float: jnp scalars would be captured kernel consts
 # ablation knob: disable the front-to-back early exit in the loop kernel
 EARLY_EXIT = _os.environ.get("PBRT_TPU_EARLY_EXIT", "1") != "0"
@@ -265,128 +273,146 @@ def _kernel(wq_tile_ref, wq_chunk_ref, wq_flag_ref, r16_ref, tmax_ref,
 def _kernel_loop(cl_ref, na_ref, nl_ref, r16_ref, tmax_ref, w_hbm, cb_ref,
                  t_ref, prim_ref, wbuf, sems, *, resident):
     """Chunk-loop kernel: ONE grid step per ray tile; the tile's active
-    chunks (front-to-back) are visited by an in-kernel while_loop with
-    FRONT-TO-BACK EARLY EXIT: entry j's near_list value lower-bounds every
-    lane's slab entry t for this and all later chunks (sorted), so once
-    max-lane t_best <= that bound no remaining chunk can improve any lane
-    and the loop stops (the reference's ordered traversal + shrinking
-    tMax, bvh.cpp:662-700, recovered at tile granularity).
+    chunks (front-to-back) are visited in GROUPS of PICK chunks by an
+    in-kernel while_loop with FRONT-TO-BACK EARLY EXIT: group j's
+    near_list value lower-bounds every lane's slab entry t for this and
+    all later groups (sorted), so once max-lane t_best <= that bound no
+    remaining chunk can improve any lane and the loop stops (the
+    reference's ordered traversal + shrinking tMax, bvh.cpp:662-700,
+    recovered at tile granularity).  The PICK chunks of a group are
+    independently chosen fine chunks — same MXU/epilogue width per
+    iteration as one fat chunk, but far fewer triangles tested per ray.
 
-    resident=True keeps the whole W table in VMEM (small scenes) and
-    slices chunks directly — no DMA at all; resident=False streams W
-    slabs from HBM with double-buffered DMA (large scenes).  The dot is
-    UNCONDITIONAL: an ablation showed lax.cond costs ~2us/step on v5e —
-    more than the dots it skips on bounce workloads — so per-ray culling
-    happens only through the shrinking t_best in the epilogue mask.
+    resident=True keeps the whole W table in VMEM (small scenes), so the
+    group assembly copies are VMEM->VMEM; resident=False streams W slabs
+    from HBM.  Either way the picks double-buffer into one contiguous
+    scratch operand.  The dot is UNCONDITIONAL: an ablation showed
+    lax.cond costs ~2us/step on v5e — more than the dots it skips on
+    bounce workloads — so per-ray culling happens only through the
+    shrinking t_best in the epilogue mask.
     """
+    del resident
     i = pl.program_id(0)
-    na = na_ref[i]
+    ng = na_ref[i]                       # number of ACTIVE GROUPS
     r = r16_ref[0]                       # [T,16]
     # bf16x2 split once per tile: [r_hi | r_lo | r_hi] (see build_dense_tables)
     r_hi = r.astype(jnp.bfloat16)
     r_lo = (r - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     r48 = jnp.concatenate([r_hi, r_lo, r_hi], axis=1)
-    # all per-ray state rides as [1, T] rows (Mosaic wants >=2D vectors
-    # in loop carries)
-    oc0 = r[:, 6][None, :]
-    oc1 = r[:, 7][None, :]
-    oc2 = r[:, 8][None, :]
-    iv0 = r[:, 9][None, :]
-    iv1 = r[:, 10][None, :]
-    iv2 = r[:, 11][None, :]
     anyhit = r[:, 12][None, :] > 0.5
 
-    def dma(slot, j):
-        c = cl_ref[i, j]
+    def entry(j, s):
+        # fine-chunk list is PACKED two u16 ids per i32 word and stored
+        # TRANSPOSED [words, n_tiles] (SMEM is 1MB on v5e; an unpacked
+        # [n_tiles, C] list at 256-tri chunks pads past it); the list is
+        # padded so group j's picks are always in range
+        idx = j * PICK + s
+        word = cl_ref[idx >> 1, i]
+        return jax.lax.select((idx & 1) == 0, word & 0xFFFF,
+                              (word >> 16) & 0xFFFF)
+
+    def dma(slot, j, s):
+        # each pick lands CONTIGUOUSLY at cols s*(4*CHUNK): a chunk's
+        # four sections are adjacent in W, so the group assembles into
+        # ONE [48, PICK*4*CHUNK] operand for a single MXU pass (PICK
+        # separate small dots+epilogues measured ~1.7x SLOWER than one
+        # wide dot — per-dot fixed costs dominate at N=1024)
+        c = entry(j, s)
         return pltpu.make_async_copy(
             w_hbm.at[:, pl.ds(c * (4 * CHUNK), 4 * CHUNK)],
-            wbuf.at[slot], sems.at[slot])
+            wbuf.at[slot, :, pl.ds(s * (4 * CHUNK), 4 * CHUNK)],
+            sems.at[slot, s])
 
-    if not resident:
-        @pl.when(na > 0)
-        def _():
-            dma(0, 0).start()
+    @pl.when(ng > 0)
+    def _():
+        for s in range(PICK):
+            dma(0, 0, s).start()
+
+    BIG = jnp.int32(0x7F7FFFFF)
+    dn = (((1,), (0,)), ((), ()))
 
     def body(state):
         j, t_best, prim = state                  # t_best/prim [1,T]
-        c = cl_ref[i, j]
 
-        if not resident:
-            @pl.when(j + 1 < na)
-            def _():
-                dma((j + 1) % 2, j + 1).start()
-            dma(j % 2, j).wait()
+        @pl.when(j + 1 < ng)
+        def _():
+            for s in range(PICK):
+                dma((j + 1) % 2, j + 1, s).start()
+        for s in range(PICK):
+            dma(j % 2, j, s).wait()
 
-        ta0 = (cb_ref[c, 0] - oc0) * iv0
-        tb0 = (cb_ref[c, 4] - oc0) * iv0
-        ta1 = (cb_ref[c, 1] - oc1) * iv1
-        tb1 = (cb_ref[c, 5] - oc1) * iv1
-        ta2 = (cb_ref[c, 2] - oc2) * iv2
-        tb2 = (cb_ref[c, 6] - oc2) * iv2
-        tnear = jnp.maximum(jnp.maximum(jnp.minimum(ta0, tb0),
-                                        jnp.minimum(ta1, tb1)),
-                            jnp.minimum(ta2, tb2))
-        tfar = jnp.minimum(jnp.minimum(jnp.maximum(ta0, tb0),
-                                       jnp.maximum(ta1, tb1)),
-                           jnp.maximum(ta2, tb2))
-        box_hit = (tnear <= tfar * 1.0001 + 1e-5) & (tnear < t_best) & \
-                  (tfar > 0) & (t_best > 0)
-
-        w = (w_hbm[:, pl.ds(c * (4 * CHUNK), 4 * CHUNK)] if resident
-             else wbuf[j % 2])
-        dn = (((1,), (0,)), ((), ()))
-        out = jax.lax.dot_general(r48, w, dn,
+        out = jax.lax.dot_general(r48, wbuf[j % 2], dn,
                                   preferred_element_type=jnp.float32)
-        s1 = out[:, 0 * CHUNK:1 * CHUNK]
-        s2 = out[:, 1 * CHUNK:2 * CHUNK]
-        num = out[:, 2 * CHUNK:3 * CHUNK]
-        nd = out[:, 3 * CHUNK:4 * CHUNK]
+        # out cols are pick-major: [pick][s1|s2|num|nd][lane].  The
+        # cross-section arithmetic runs on the [T, PICK, 4, CHUNK] view
+        # (pure elementwise — Mosaic handles minor-dims reshapes), then
+        # collapses back to [T, PICK*CHUNK] so the t_best compare and the
+        # min-reduce keep the proven 2D pattern.
+        T = out.shape[0]
+        o4 = out.reshape(T, PICK, 4, CHUNK)
+        s1 = o4[:, :, 0, :]
+        s2 = o4[:, :, 1, :]
+        num = o4[:, :, 2, :]
+        nd = o4[:, :, 3, :]
         s0 = nd - s1 - s2
         i0 = s0.view(jnp.int32)
         i1 = s1.view(jnp.int32)
         i2 = s2.view(jnp.int32)
-        inside = ((i0 ^ i1) | (i0 ^ i2)) >= 0
-        t = num * pl.reciprocal(nd, approx=True)
-        tb = jnp.where(box_hit, t_best, -F32_MAX)   # [1,T]
+        inside = (((i0 ^ i1) | (i0 ^ i2)) >= 0).reshape(T, PICK * CHUNK)
+        t = (num * pl.reciprocal(nd, approx=True)).reshape(T, PICK * CHUNK)
+        # NOTE: no per-pick AABB slab test — with an unconditional dot the
+        # acceptance below (t < t_best, t_best > 0) already implies every
+        # predicate the slab test checked; t_best <= 0 parks shadow
+        # winners and dead lanes
+        tb = jnp.where(t_best > 0, t_best, -F32_MAX)    # [1,T]
         hit = inside & (t > 1e-4) & (t < tb[0][:, None])
+        # the lane id IS the (pick, in-chunk lane) pair: cols are already
+        # pick-major so a flat iota encodes pick*CHUNK + lane directly
         lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
         key = (t.view(jnp.int32) & jnp.int32(~LANE_MASK)) | lane
-        BIG = jnp.int32(0x7F7FFFFF)
         kmin = jnp.min(jnp.where(hit, key, BIG), axis=1)[None, :]
         upd = kmin < BIG
         t_new = (kmin & jnp.int32(~LANE_MASK)).view(jnp.float32)
         k = kmin & jnp.int32(LANE_MASK)
         t_new = jnp.where(anyhit, -1.0, t_new)
+        # winner's fine chunk: the pick index rides in k's high bits
+        if PICK == 1:
+            c_win = entry(j, 0)
+        else:
+            s_win = k >> LANE_BITS_CHUNK
+            c_win = jnp.full_like(k, entry(j, 0))
+            for s in range(1, PICK):
+                c_win = jnp.where(s_win == s, entry(j, s), c_win)
         return (j + 1,
                 jnp.where(upd, t_new, t_best),
-                jnp.where(upd, c * CHUNK + k, prim))
+                jnp.where(upd, c_win * CHUNK + (k & (CHUNK - 1)), prim))
 
     def cond(state):
-        # continue iff some lane could still be improved by entry j:
+        # continue iff some lane could still be improved by group j:
         # near_list[i, j] lower-bounds every lane's entry t for this and
-        # all later chunks, so max-lane t_best <= bound ends the tile.
+        # all later groups, so max-lane t_best <= bound ends the tile.
         # Shadow lanes park at t=-1 on first hit and dead lanes start at
         # tmax=-1, so both drop out of the max automatically.
         j, t_best, _ = state
         if not EARLY_EXIT:
-            return j < na
-        # & is not short-circuit: when the loop runs out (j == na == C) the
-        # nl read would be out of bounds — clamp (the j<na term already
-        # kills the result there)
-        jc = jnp.minimum(j, nl_ref.shape[1] - 1)
-        return (j < na) & (jnp.max(t_best) > nl_ref[i, jc])
+            return j < ng
+        # & is not short-circuit: when the loop runs out (j == ng) the
+        # nl read would be out of bounds — clamp (the j<ng term already
+        # kills the result there).  near_g is transposed [G, n_tiles].
+        jc = jnp.minimum(j, nl_ref.shape[0] - 1)
+        return (j < ng) & (jnp.max(t_best) > nl_ref[jc, i])
 
     t_init = tmax_ref[0]                 # [1,T]
     prim_init = jnp.full(t_init.shape, -1, jnp.int32)
     j_end, t_best, prim = jax.lax.while_loop(
         cond, body, (jnp.int32(0), t_init, prim_init))
-    if not resident:
-        # the body speculatively prefetches entry j+1; on early exit that
-        # copy (slot j_end%2, entry j_end) is still in flight — drain it
-        # so the semaphore/scratch state is clean for the next grid step
-        @pl.when(j_end < na)
-        def _():
-            dma(j_end % 2, j_end).wait()
+    # the body speculatively prefetches group j+1; on early exit those
+    # copies (slot j_end%2) are still in flight — drain them so the
+    # semaphore/scratch state is clean for the next grid step
+    @pl.when(j_end < ng)
+    def _():
+        for s in range(PICK):
+            dma(j_end % 2, j_end, s).wait()
     t_ref[0] = t_best
     prim_ref[0] = prim
 
@@ -410,10 +436,31 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad):
     tmax2 = tmax.reshape(n_tiles, 1, RAY_TILE)
     chunk_list, n_active, near_list = _tile_chunk_lists(r16t, tmax_t,
                                                         chunk_bounds)
+    # group the fine-chunk list into PICK-wide loop iterations: pad the
+    # list length to a multiple of 2*PICK (repeating the last column — a
+    # duplicated chunk can't double-count: t updates are strictly-less),
+    # count ACTIVE GROUPS, and take each group's first (nearest) entry as
+    # its early-exit lower bound.  The list is packed two u16 ids per i32
+    # word and TRANSPOSED [words, n_tiles]: SMEM is 1MB and an unpacked
+    # [n_tiles, C] layout pads its minor dim to 128-col multiples.
+    C = chunk_list.shape[1]
+    G = (C + PICK - 1) // PICK
+    CP = G * PICK + (G * PICK) % 2
+    if CP != C:
+        chunk_list = jnp.concatenate(
+            [chunk_list, jnp.repeat(chunk_list[:, -1:], CP - C, 1)], 1)
+    cl_packed = (chunk_list[:, 0::2]
+                 | (chunk_list[:, 1::2] << 16)).T  # [CP//2, n_tiles]
+    n_groups = (n_active + PICK - 1) // PICK
+    near_g = near_list[:, ::PICK]
+    if near_g.shape[1] < G:
+        near_g = jnp.concatenate(
+            [near_g, jnp.full((n_tiles, G - near_g.shape[1]), F32_MAX)], 1)
+    near_g = near_g.T                              # [G, n_tiles]
     resident = (W.size * 2) <= VMEM_RESIDENT_BYTES
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,             # chunk_list, n_active, near_list
+        num_scalar_prefetch=3,             # chunk_list, n_groups, near_g
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, RAY_TILE, 16),
@@ -429,8 +476,8 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad):
             pl.BlockSpec((1, 1, RAY_TILE), lambda i, cl, na, nl: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 48, 4 * CHUNK), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 48, PICK * 4 * CHUNK), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, PICK)),
         ],
     )
     t_out, prim_out = pl.pallas_call(
@@ -440,7 +487,7 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad):
             jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.int32),
         ],
-    )(chunk_list, n_active, near_list, r16t, tmax2, W, chunk_bounds)
+    )(cl_packed, n_groups, near_g, r16t, tmax2, W, chunk_bounds)
     return t_out.reshape(-1)[:B], prim_out.reshape(-1)[:B]
 
 

@@ -29,13 +29,10 @@ def build_camera(job, width, height):
     kind = job.camera_kind
     if kind in ("realistic", "omni", "realisticEye", "realisticeye", "humaneye"):
         from pbrt_tpu.cameras import lens as lenscam
-        try:
-            return lenscam.make_lens_camera(job, width, height)
-        except Exception as e:
-            logging.getLogger("pbrt_tpu").warning(
-                "lens camera %r failed (%s); falling back to perspective",
-                kind, e)
-            kind = "perspective"
+        # a broken lens description is a scene error, not something to
+        # paper over with a perspective render (the reference Error()s
+        # out, api.cpp MakeCamera) — let it propagate
+        return lenscam.make_lens_camera(job, width, height)
     if kind == "orthographic":
         return projective.make_orthographic(
             job.cam_to_world, width, height,

@@ -130,3 +130,39 @@ def test_distribution_2d():
     # pdf consistency at sampled points
     pdf2 = np.asarray(d2.pdf(jnp.asarray(us), jnp.asarray(vs)))
     assert np.allclose(pdf, pdf2, rtol=1e-3, atol=1e-3)
+
+
+def test_maxmindist_generator_matrix_set():
+    """maxmindist pixel samples must be exactly the reference's point set:
+    dim0 = {i/spp}, dim1 = {MultiplyGenerator(CMaxMinDist[log2 spp], i)}
+    (maxmin.cpp StartPixel; the per-pixel shuffle only permutes order)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pbrt_tpu.samplers.samplers import SamplerConfig, sample_dim
+    from pbrt_tpu.core import lds
+    spp = 16
+    cfg = SamplerConfig(kind="maxmindist", seed=3, spp=spp)
+    pid = jnp.full(spp, 77, jnp.uint32)
+    sidx = jnp.arange(spp, dtype=jnp.uint32)
+    x = np.sort(np.asarray(sample_dim(cfg, pid, sidx, 0)))
+    y = np.sort(np.asarray(sample_dim(cfg, pid, sidx, 1)))
+    assert np.allclose(x, np.arange(spp) / spp, atol=1e-6)
+    C = lds.maxmin_matrix(4)
+    ref = []
+    for i in range(spp):
+        v = 0
+        for b in range(32):
+            if (i >> b) & 1:
+                v ^= int(C[b])
+        ref.append(v * 2.3283064365386963e-10)
+    assert np.allclose(y, np.sort(ref), atol=1e-6)
+    # different pixels get different orderings (the keyed bijection)
+    x2 = np.asarray(sample_dim(cfg, jnp.full(spp, 91, jnp.uint32), sidx, 0))
+    assert not np.allclose(x2, np.asarray(sample_dim(cfg, pid, sidx, 0)))
+    # dim0/dim1 pairing is the matrix construction: the pair set must be
+    # (i/spp, MG(C, i)) for the SAME index i
+    xi = np.asarray(sample_dim(cfg, pid, sidx, 0))
+    yi = np.asarray(sample_dim(cfg, pid, sidx, 1))
+    for a, b in zip(xi, yi):
+        i = int(round(a * spp))
+        assert np.isclose(b, ref[i], atol=1e-6)
