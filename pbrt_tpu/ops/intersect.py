@@ -31,6 +31,13 @@ from pbrt_tpu.scene.ir import (SceneData, PRIM_TRIANGLE, PRIM_SPHERE,
 
 F32_MAX = jnp.float32(3.4e38)
 
+# CI escape hatch: when True, `intersect()` routes dense-compiled scenes
+# through the Pallas TPU *interpreter* even off-TPU, so the dense kernel
+# (the production TPU path) is exercised by the CPU test suite
+# (tests/test_dense_kernel.py).  Tests toggling this must
+# jax.clear_caches() — the flag is read at trace time.
+FORCE_DENSE_INTERPRET = False
+
 
 @struct.dataclass
 class Hit:
@@ -413,11 +420,13 @@ def intersect(scene: SceneData, ray: geom.Ray, any_hit: bool = False,
     # packed material table) and transposition fails.  Material/light
     # gradients flow through shading, not through the hit search.
     ray = _jax.tree.map(_jax.lax.stop_gradient, ray)
-    if scene.use_dense and _jax.default_backend() != "cpu":
+    if scene.use_dense and (_jax.default_backend() != "cpu"
+                            or FORCE_DENSE_INTERPRET):
         if anyhit_mask is None and any_hit:
             anyhit_mask = jnp.ones(ray.o.shape[0], bool)
         return _intersect_dense(scene, ray, presorted=presorted,
-                                anyhit_mask=anyhit_mask)
+                                anyhit_mask=anyhit_mask,
+                                interpret=FORCE_DENSE_INTERPRET)
     return _intersect_bvh(scene, ray, any_hit)
 
 
@@ -459,7 +468,7 @@ def _coherence_order(scene: SceneData, o, d, tmax):
 
 
 def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False,
-                     anyhit_mask=None):
+                     anyhit_mask=None, interpret=False):
     from pbrt_tpu.ops import pallas_intersect as pdense
     o, d = ray.o, ray.d
     t_init = ray.tmax.astype(jnp.float32)
@@ -474,7 +483,8 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False,
                                  anyhit=anyhit_mask)
         t, prim = pdense.dense_intersect_loop(r16, t_init, scene.dense_w,
                                               scene.dense_cb,
-                                              scene.dense_npad)
+                                              scene.dense_npad,
+                                              interpret=interpret)
     elif o.shape[0] <= (1 << 18):
         # the permutation rides the SORT NETWORK both ways: a variadic
         # sort carrying the 8 ray columns costs ~0.5ms at 2^18 on TPU
@@ -497,7 +507,8 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False,
                                   jnp.stack([d0, d1, d2], -1),
                                   scene.dense_center, anyhit=fs > 0.5)
         t_s, prim_s = pdense.dense_intersect_loop(
-            r16s, ts, scene.dense_w, scene.dense_cb, scene.dense_npad)
+            r16s, ts, scene.dense_w, scene.dense_cb, scene.dense_npad,
+            interpret=interpret)
         _, t, prim = jax.lax.sort((order, t_s, prim_s), num_keys=1)
     else:
         r16 = pdense.ray_vectors(o, d, scene.dense_center,
@@ -505,7 +516,7 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False,
         order = _coherence_order(scene, o, d, t_init)
         t_s, prim_s = pdense.dense_intersect_loop(
             r16[order], t_init[order], scene.dense_w, scene.dense_cb,
-            scene.dense_npad)
+            scene.dense_npad, interpret=interpret)
         t = jnp.zeros_like(t_s).at[order].set(t_s)
         prim = jnp.zeros_like(prim_s).at[order].set(prim_s)
     # kernel only reports triangle wins; keep the quadric prehit otherwise

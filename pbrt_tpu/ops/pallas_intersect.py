@@ -358,7 +358,11 @@ def _kernel_loop(cl_ref, na_ref, nl_ref, r16_ref, tmax_ref, w_hbm, cb_ref,
         i0 = s0.view(jnp.int32)
         i1 = s1.view(jnp.int32)
         i2 = s2.view(jnp.int32)
-        inside = (((i0 ^ i1) | (i0 ^ i2)) >= 0).reshape(T, PICK * CHUNK)
+        # reshape the INT32 view before the >= 0 compare: Mosaic cannot
+        # lower a bool minor-dims shape cast ((T,PICK,CHUNK)i1 ->
+        # (T,PICK*CHUNK)i1, "infer-vector-layout: unsupported shape
+        # cast"), but the i32 reshape is a no-op relayout
+        inside = ((i0 ^ i1) | (i0 ^ i2)).reshape(T, PICK * CHUNK) >= 0
         t = (num * pl.reciprocal(nd, approx=True)).reshape(T, PICK * CHUNK)
         # NOTE: no per-pick AABB slab test — with an unconditional dot the
         # acceptance below (t < t_best, t_best > 0) already implies every
@@ -422,9 +426,15 @@ def _kernel_loop(cl_ref, na_ref, nl_ref, r16_ref, tmax_ref, w_hbm, cb_ref,
 VMEM_RESIDENT_BYTES = 6 * 1024 * 1024
 
 
-@partial(jax.jit, static_argnames=("n_pad",))
-def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad):
-    """Chunk-loop variant of dense_intersect (same contract)."""
+@partial(jax.jit, static_argnames=("n_pad", "interpret"))
+def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad,
+                         interpret=False):
+    """Chunk-loop variant of dense_intersect (same contract).
+
+    interpret=True runs the kernel under the Pallas TPU interpreter (any
+    backend) — the CI path that keeps kernel semantics testable on the
+    CPU suite (tests/test_dense_kernel.py); production never sets it.
+    """
     B = r16.shape[0]
     Bp = ((B + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
     if Bp != B:
@@ -487,6 +497,7 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad):
             jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.int32),
         ],
+        interpret=(pltpu.InterpretParams() if interpret else False),
     )(cl_packed, n_groups, near_g, r16t, tmax2, W, chunk_bounds)
     return t_out.reshape(-1)[:B], prim_out.reshape(-1)[:B]
 
@@ -583,11 +594,12 @@ def _queue_caps(S):
     return caps
 
 
-@partial(jax.jit, static_argnames=("n_pad",))
-def dense_intersect(r16, tmax, W, chunk_bounds, n_pad):
+@partial(jax.jit, static_argnames=("n_pad", "interpret"))
+def dense_intersect(r16, tmax, W, chunk_bounds, n_pad, interpret=False):
     """r16 [B,16], tmax [B]; W [48,4*Pp] bf16 stacked, chunk_bounds [C,8].
 
     Returns (t [B], prim [B]) with prim=-1 for misses.
+    interpret=True: Pallas TPU interpreter (CI path, any backend).
     """
     B = r16.shape[0]
     Bp = ((B + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
@@ -635,6 +647,7 @@ def dense_intersect(r16, tmax, W, chunk_bounds, n_pad):
                     jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.float32),
                     jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.int32),
                 ],
+                interpret=(pltpu.InterpretParams() if interpret else False),
             )(wt, wc, wf, r16, tmax2, W, chunk_bounds)
         return branch
 
