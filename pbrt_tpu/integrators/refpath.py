@@ -28,7 +28,9 @@ to the reference binary:
   with "uniform" strategy, integrator.cpp:99).
 
 Supported for parity: matte (sigma=0), plastic, mirror, smooth glass
-materials; mesh-triangle area lights; perspective camera; no media.
+materials; mesh-triangle AND sphere area lights (cone sampling,
+sphere.cpp:232+); perspective camera; no media.  This covers the
+BASELINE scene killeroo-simple.pbrt (sphere light, plastic+matte).
 """
 
 from __future__ import annotations
@@ -51,6 +53,11 @@ PI = float(np.pi)
 INV_PI = float(1.0 / np.pi)
 
 SUPPORTED_MATS = (ir.MAT_MATTE, ir.MAT_PLASTIC, ir.MAT_MIRROR, ir.MAT_GLASS)
+
+# ray-origin offset relative to |p|: pbrt offsets by the gamma-bound
+# pError (~gamma(7)*|p| ~ 1.5e-6 relative for triangle hits) — a larger
+# offset flips grazing self-shadow tests vs the reference
+REF_EPS_SCALE = 1.5e-6
 
 
 # ---------------------------------------------------------------------------
@@ -107,23 +114,43 @@ class RefLights(NamedTuple):
     L: jnp.ndarray         # [K,31]
     two_sided: jnp.ndarray  # [K] bool
     prim: jnp.ndarray      # [K] scene prim id (BVH order)
+    kind: jnp.ndarray      # [K] 0 = triangle, 1 = sphere
+    center: jnp.ndarray    # [K,3] sphere world center (0 for tris)
+    radius: jnp.ndarray    # [K] sphere world radius (0 for tris)
+    nsign: jnp.ndarray     # [K] sphere normal sign (reverseOrientation)
     count: int             # static K
 
 
 def build_ref_lights(scene: ir.SceneData) -> RefLights:
-    """Flatten mesh area lights into pbrt's per-triangle light list.
+    """Flatten area lights into pbrt's one-light-per-shape list.
 
     Host-side (scene arrays are concrete after build): walks
-    light_tri_idx in light-record order — matching pbrt's scene-file
-    light creation order (api.cpp:1609)."""
+    light_tri_idx / light_quad in light-record order — matching pbrt's
+    scene-file light creation order (api.cpp:1609).  Mesh lights yield
+    one entry per triangle (pbrt creates one DiffuseAreaLight per
+    Triangle shape); sphere lights one entry (sphere.cpp:232+ cone
+    sampling happens per entry in trace_ref)."""
     lt = np.asarray(scene.light_tri_idx)
+    lq = np.asarray(scene.light_quad)
     lL = np.asarray(scene.light_L)
     two = np.asarray(scene.light_two_sided)
+    sphc = np.asarray(scene.light_sph_center)
+    sphr = np.asarray(scene.light_sph_radius)
+    qprim = np.asarray(scene.quad_prim)
     tp = np.asarray(scene.tri_packed)
     sa = np.asarray(scene.shade_all)
     flips = sa[:, 29].view(np.int32)       # si[:,5] flip col of shade_all
     rows = []
+    Z3 = np.zeros(3, np.float32)
     for li in range(lt.shape[0]):
+        if lq[li] >= 0:
+            # sphere area light (Sphere::Area = 4*pi*r^2, sphere.cpp:217)
+            prim = int(qprim[lq[li]])
+            nsign = -1.0 if flips[prim] else 1.0
+            r = float(sphr[li])
+            rows.append((Z3, Z3, Z3, Z3, 4.0 * PI * r * r, lL[li],
+                         bool(two[li]), prim, 1, sphc[li], r, nsign))
+            continue
         for prim in lt[li]:
             if prim < 0:
                 continue
@@ -138,9 +165,9 @@ def build_ref_lights(scene: ir.SceneData) -> RefLights:
             if flips[prim]:
                 n = -n
             rows.append((v0, e1, e2, n, 0.5 * nl, lL[li], bool(two[li]),
-                         int(prim)))
+                         int(prim), 0, Z3, 0.0, 1.0))
     if not rows:
-        raise ValueError("refpath: scene has no mesh area lights")
+        raise ValueError("refpath: scene has no area lights")
     K = len(rows)
     return RefLights(
         p0=jnp.asarray(np.stack([r[0] for r in rows])),
@@ -151,6 +178,11 @@ def build_ref_lights(scene: ir.SceneData) -> RefLights:
         L=jnp.asarray(np.stack([r[5] for r in rows])),
         two_sided=jnp.asarray(np.asarray([r[6] for r in rows])),
         prim=jnp.asarray(np.asarray([r[7] for r in rows], np.int32)),
+        kind=jnp.asarray(np.asarray([r[8] for r in rows], np.int32)),
+        center=jnp.asarray(np.stack([np.asarray(r[9], np.float32)
+                                     for r in rows])),
+        radius=jnp.asarray(np.asarray([r[10] for r in rows], np.float32)),
+        nsign=jnp.asarray(np.asarray([r[11] for r in rows], np.float32)),
         count=K)
 
 
@@ -393,33 +425,148 @@ def ref_sample_all(mat, wo, u1, u2, ng_dot_wo):
 # the loop
 # ---------------------------------------------------------------------------
 
-def _tri_pdf_li(lt: RefLights, k, p_ref, wi):
-    """Triangle::Pdf(ref, wi) for chosen light tri k (shape.cpp:136):
-    intersect the ray with that triangle alone; dist^2/(|cos|*area)."""
+def _pbrt_coordinate_system(v1):
+    """pbrt's branching CoordinateSystem (geometry.h:232).  The sphere
+    cone sample measures phi in this exact frame, so the Duff branchless
+    frame in core.geometry cannot be used for parity."""
+    use_x = jnp.abs(v1[..., 0]) > jnp.abs(v1[..., 1])
+    z = jnp.zeros_like(v1[..., 0])
+    inv = 1.0 / jnp.sqrt(jnp.maximum(jnp.where(
+        use_x, v1[..., 0] ** 2 + v1[..., 2] ** 2,
+        v1[..., 1] ** 2 + v1[..., 2] ** 2), 1e-30))
+    v2 = jnp.where(
+        use_x[..., None],
+        jnp.stack([-v1[..., 2], z, v1[..., 0]], -1),
+        jnp.stack([z, v1[..., 2], -v1[..., 1]], -1)) * inv[..., None]
+    return v2, jnp.cross(v1, v2)
+
+
+def _sphere_sample_li(c, r, nsign, p_ref, u1, u2):
+    """Sphere::Sample(ref, u) (sphere.cpp:232+): cone sampling when the
+    reference point is outside, uniform area sampling inside.
+
+    Returns (p_world [B,3], n_world [B,3], pdf_solid_angle [B])."""
+    to_c = c - p_ref
+    dc2 = jnp.maximum(geom.length_sq(to_c), 1e-20)
+    inside = dc2 <= r * r
+    dc = jnp.sqrt(dc2)
+    # --- outside: uniform cone (sphere.cpp:255-291) ---
+    wc = to_c / dc[..., None]
+    wcx, wcy = _pbrt_coordinate_system(wc)
+    sin2max = r * r / dc2
+    cosmax = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2max))
+    cost = (1.0 - u1) + u1 * cosmax
+    sint = jnp.sqrt(jnp.maximum(0.0, 1.0 - cost * cost))
+    phi = u2 * 2.0 * PI
+    ds = dc * cost - jnp.sqrt(jnp.maximum(
+        0.0, r * r - dc2 * sint * sint))
+    cosa = (dc2 + r * r - ds * ds) / jnp.maximum(2.0 * dc * r, 1e-20)
+    sina = jnp.sqrt(jnp.maximum(0.0, 1.0 - cosa * cosa))
+    n_cone = (sina * jnp.cos(phi))[..., None] * (-wcx) \
+        + (sina * jnp.sin(phi))[..., None] * (-wcy) \
+        + cosa[..., None] * (-wc)
+    p_cone = c + r[..., None] * n_cone
+    pdf_cone = 1.0 / jnp.maximum(2.0 * PI * (1.0 - cosmax), 1e-20)
+    # --- inside: uniform area, converted to solid angle (:239-253) ---
+    zz = 1.0 - 2.0 * u1
+    rr = jnp.sqrt(jnp.maximum(0.0, 1.0 - zz * zz))
+    ph = 2.0 * PI * u2
+    n_in = jnp.stack([rr * jnp.cos(ph), rr * jnp.sin(ph), zz], -1)
+    p_in = c + r[..., None] * n_in
+    wi_in = p_in - p_ref
+    d2_in = jnp.maximum(geom.length_sq(wi_in), 1e-20)
+    wi_in_n = wi_in / jnp.sqrt(d2_in)[..., None]
+    area = 4.0 * PI * r * r
+    pdf_in = d2_in / jnp.maximum(
+        jnp.abs(geom.dot(n_in, -wi_in_n)) * area, 1e-20)
+    n = jnp.where(inside[..., None], n_in, n_cone) * nsign[..., None]
+    p = jnp.where(inside[..., None], p_in, p_cone)
+    pdf = jnp.where(inside, pdf_in, pdf_cone)
+    return p, n, pdf
+
+
+def _pdf_li(lt: RefLights, k, p_ref, wi):
+    """Light Pdf_Li for the BSDF-sampled estimator (integrator.cpp:174).
+
+    Triangle::Pdf(ref, wi) (shape.cpp:136): intersect the ray with that
+    triangle alone; dist^2/(|cos|*area).  Sphere::Pdf (sphere.cpp:299):
+    UniformConePdf outside, area-measure conversion inside."""
     from pbrt_tpu.ops import fetch
-    p0, e1, e2, n, area = fetch.fetch_many(
-        [lt.p0, lt.e1, lt.e2, lt.n, lt.area], k)
+    p0, e1, e2, n, area, kind, c, r = fetch.fetch_many(
+        [lt.p0, lt.e1, lt.e2, lt.n, lt.area,
+         lt.kind.astype(jnp.float32), lt.center, lt.radius], k)
     t, b1, b2, hit = isect.ray_triangle(
         p_ref, wi, p0[:, None], e1[:, None], e2[:, None],
         jnp.full(p_ref.shape[:1], 1e30))
     t = t[:, 0]
     hit = hit[:, 0]
     cos_l = jnp.abs(geom.dot(n, -wi))
-    pdf = t * t / jnp.maximum(cos_l * area, 1e-12)
-    return jnp.where(hit & (cos_l > 1e-12), pdf, 0.0), hit
+    pdf_tri = t * t / jnp.maximum(cos_l * area, 1e-12)
+    pdf_tri = jnp.where(hit & (cos_l > 1e-12), pdf_tri, 0.0)
+    # sphere branch
+    to_c = c - p_ref
+    dc2 = jnp.maximum(geom.length_sq(to_c), 1e-20)
+    inside = dc2 <= r * r
+    sin2max = r * r / dc2
+    cosmax = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2max))
+    pdf_cone = 1.0 / jnp.maximum(2.0 * PI * (1.0 - cosmax), 1e-20)
+    # inside: Shape::Pdf(ref, wi) — intersect & convert area->solid angle
+    oc = p_ref - c
+    bq = 2.0 * geom.dot(oc, wi)
+    cq = geom.length_sq(oc) - r * r
+    disc = bq * bq - 4.0 * cq
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = 0.5 * (-bq - sq)
+    t1 = 0.5 * (-bq + sq)
+    ts = jnp.where(t0 > 1e-5, t0, t1)
+    s_hit = (disc >= 0) & (ts > 1e-5)
+    ph = oc + ts[..., None] * wi
+    cos_s = jnp.abs(geom.dot(ph, -wi)) / jnp.maximum(r, 1e-20)
+    area_s = 4.0 * PI * r * r
+    pdf_in = jnp.where(
+        s_hit, ts * ts / jnp.maximum(cos_s * area_s, 1e-20), 0.0)
+    pdf_sph = jnp.where(inside, pdf_in, pdf_cone)
+    is_sph = kind > 0.5
+    return jnp.where(is_sph, pdf_sph, pdf_tri), jnp.where(is_sph, s_hit, hit)
 
 
-def _frame_from_dpdu(scene, hit):
-    """pbrt's BSDF shading frame: ss = Normalize(shading.dpdu),
-    ts = cross(ns, ss) (reflection.h:158).  dpdu from the triangle's uv
-    parameterization (triangle.cpp:206-230; default uvs (0,0),(1,0),(1,1))."""
+def _shading_frame(scene, hit):
+    """pbrt's shading geometry at the hit (triangle.cpp:297-380 +
+    SurfaceInteraction::SetShadingGeometry, interaction.cpp:73-85, +
+    the BSDF frame ss/ts, reflection.h:158).
+
+    Returns (ss, ts, ns, ng): the BSDF tangent frame, the shading
+    normal, and the geometric normal FACEFORWARDED toward the shading
+    normal when the mesh carries vertex normals (pbrt's
+    orientationIsAuthoritative branch) — the parity integrator's
+    reflect/transmit tests, eta-side choices and ray offsets all use
+    this corrected ng, exactly like the reference."""
     sa = scene.shade_all[hit.prim]
     e1 = sa[:, 0:3]
     e2 = sa[:, 3:6]
+    v0 = sa[:, 21:24]
+    n0 = sa[:, 6:9]
+    n1 = sa[:, 9:12]
+    n2 = sa[:, 12:15]
     uv0 = sa[:, 15:17]
     uv1 = sa[:, 17:19]
     uv2 = sa[:, 19:21]
-    # pbrt solves with dp02 = p0-p2, dp12 = p1-p2 (p1 = v0+e1, p2 = v0+e2)
+    flip = jax.lax.bitcast_convert_type(sa[:, 29], jnp.int32) != 0
+    # barycentrics of the hit (hit.uv is the TEXTURE uv — recover b1/b2
+    # from the hit position; hit.p = v0 + b1 e1 + b2 e2 exactly)
+    ngu = jnp.cross(e1, e2)
+    nn2 = jnp.maximum(geom.length_sq(ngu), 1e-30)
+    d0 = hit.p - v0
+    b1 = geom.dot(jnp.cross(d0, e2), ngu) / nn2
+    b2 = geom.dot(jnp.cross(e1, d0), ngu) / nn2
+    b0 = 1.0 - b1 - b2
+    ng = ngu / jnp.sqrt(nn2)[:, None]           # = Normalize(dp02 x dp12)
+    # shading normal: interpolated vertex normals when present
+    ns_i = b0[:, None] * n0 + b1[:, None] * n1 + b2[:, None] * n2
+    has_ns = geom.length_sq(ns_i) > 0
+    ns = jnp.where(has_ns[:, None], geom.normalize(
+        jnp.where(has_ns[:, None], ns_i, ng)), ng)
+    # dpdu from the uv parameterization (dp02 = p0-p2, dp12 = p1-p2)
     duv02 = uv0 - uv2
     duv12 = uv1 - uv2
     dp02 = -e2
@@ -428,13 +575,34 @@ def _frame_from_dpdu(scene, hit):
     degen = jnp.abs(det) < 1e-8
     inv = 1.0 / jnp.where(degen, 1.0, det)
     dpdu = (duv12[:, 1:2] * dp02 - duv02[:, 1:2] * dp12) * inv[:, None]
-    # degenerate uv: CoordinateSystem(ng) (triangle.cpp:225)
-    fb1, _ = geom.coordinate_system(hit.ns)
-    ss = jnp.where(degen[:, None], fb1, geom.normalize(dpdu))
-    # re-orthogonalize against ns (pbrt's mesh dpdu is already in-plane)
-    ss = geom.normalize(ss - hit.ns * geom.dot(ss, hit.ns)[:, None])
-    ts = jnp.cross(hit.ns, ss)
-    return ss, ts
+    fb1, _ = geom.coordinate_system(ns)
+    ss0 = jnp.where(degen[:, None], fb1, geom.normalize(dpdu))
+    # meshes WITH vertex normals go through SetShadingGeometry:
+    # ts = Normalize(ss x ns); ss = ts x ns (triangle.cpp:373-378) —
+    # note this lands ss OPPOSITE the Gram-Schmidt direction; then
+    # shading.n = Normalize(ss x ts) == ns with the reverseOrientation^
+    # swapsHandedness sign.  Meshes WITHOUT normals never call it: the
+    # BSDF frame is just ss = Normalize(dpdu) (reflection.h:158).
+    ts0 = jnp.cross(ss0, ns)
+    ts_ok = geom.length_sq(ts0) > 0
+    ts_n = geom.normalize(jnp.where(ts_ok[:, None], ts0, fb1))
+    ss_sg = jnp.where(ts_ok[:, None], jnp.cross(ts_n, ns), fb1)
+    ss = jnp.where(has_ns[:, None], ss_sg, ss0)
+    ns = jnp.where(flip[:, None] & has_ns[:, None], -ns, ns)
+    # orientationIsAuthoritative: n = Faceforward(n, shading.n) — only
+    # when shading normals exist (otherwise n stays geometric; the
+    # prim-level flip col already carries reverseOrientation)
+    ng = jnp.where(flip[:, None] & ~has_ns[:, None], -ng, ng)
+    ng = jnp.where((has_ns & (geom.dot(ng, ns) < 0))[:, None], -ng, ng)
+    # quadric lanes: fall back to the hit record's normals + Duff frame
+    is_tri = jax.lax.bitcast_convert_type(sa[:, 24], jnp.int32) \
+        == ir.PRIM_TRIANGLE
+    qb1, _ = geom.coordinate_system(hit.ns)
+    ss = jnp.where(is_tri[:, None], ss, qb1)
+    ns = jnp.where(is_tri[:, None], ns, hit.ns)
+    ng = jnp.where(is_tri[:, None], ng, hit.ng)
+    ts = jnp.cross(ns, ss)                      # BSDF frame ts = ns x ss
+    return ss, ts, ns, ng
 
 
 def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
@@ -469,8 +637,8 @@ def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
 
         mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv,
                                     p=hit.p)
-        ss, ts = _frame_from_dpdu(scene, hit)
-        wo_l = geom.world_to_frame(ss, ts, hit.ns, hit.wo)
+        ss, ts, nss, ngg = _shading_frame(scene, hit)
+        wo_l = geom.world_to_frame(ss, ts, nss, hit.wo)
         n_ns = _nonspec_counts(mat)
         do_nee = alive & (n_ns > 0)
 
@@ -480,72 +648,83 @@ def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
         ul2 = sampler.dim(idx, dim + 2)
         us1 = sampler.dim(idx, dim + 3)
         us2 = sampler.dim(idx, dim + 4)
-        # uniform selection over the flattened per-triangle light list
+        # uniform selection over the flattened per-shape light list
         k = jnp.minimum((u_sel * K).astype(jnp.int32), K - 1)
         from pbrt_tpu.ops import fetch
-        lp0, le1, le2, ln, larea, lL, ltwo = fetch.fetch_many(
-            [lt.p0, lt.e1, lt.e2, lt.n, lt.area, lt.L,
-             lt.two_sided.astype(jnp.float32)], k)
+        lp0, le1, le2, ln, larea, lL, ltwo, lkind, lc, lr, lsg = \
+            fetch.fetch_many(
+                [lt.p0, lt.e1, lt.e2, lt.n, lt.area, lt.L,
+                 lt.two_sided.astype(jnp.float32),
+                 lt.kind.astype(jnp.float32), lt.center, lt.radius,
+                 lt.nsign], k)
         ltwo = ltwo > 0.5
+        is_sph = lkind > 0.5
         # Triangle::Sample (triangle.cpp:470): UniformSampleTriangle
         su = jnp.sqrt(jnp.maximum(ul1, 0.0))
         b0 = 1.0 - su
         b1 = ul2 * su
         # p = b0*p0 + b1*p1 + (1-b0-b1)*p2 with p1 = p0+e1, p2 = p0+e2
-        p_l = lp0 + b1[:, None] * le1 + (1.0 - b0 - b1)[:, None] * le2
+        p_tri = lp0 + b1[:, None] * le1 + (1.0 - b0 - b1)[:, None] * le2
+        # Sphere::Sample(ref, u) cone sampling (sphere.cpp:232+)
+        p_sph, n_sph, pdf_sph = _sphere_sample_li(lc, lr, lsg, hit.p,
+                                                  ul1, ul2)
+        p_l = jnp.where(is_sph[:, None], p_sph, p_tri)
+        ln_eff = jnp.where(is_sph[:, None], n_sph, ln)
         to_l = p_l - hit.p
         dist2 = jnp.maximum(geom.length_sq(to_l), 1e-20)
         dist = jnp.sqrt(dist2)
         wi_L = to_l / dist[:, None]
-        cos_l = geom.dot(ln, -wi_L)
+        cos_l = geom.dot(ln_eff, -wi_L)
         li = jnp.where((ltwo | (cos_l > 0))[:, None], lL, 0.0)
-        # Shape::Sample(ref) solid-angle pdf (shape.cpp:58)
-        pdf_light = dist2 / jnp.maximum(jnp.abs(cos_l) * larea, 1e-12)
-        wi_Ll = geom.world_to_frame(ss, ts, hit.ns, wi_L)
-        reflect_geo = (geom.dot(wi_L, hit.ng) * geom.dot(hit.wo, hit.ng)) > 0
+        # Shape::Sample(ref) solid-angle pdf (shape.cpp:58); spheres carry
+        # their cone pdf directly
+        pdf_tri = dist2 / jnp.maximum(jnp.abs(cos_l) * larea, 1e-12)
+        pdf_light = jnp.where(is_sph, pdf_sph, pdf_tri)
+        wi_Ll = geom.world_to_frame(ss, ts, nss, wi_L)
+        reflect_geo = (geom.dot(wi_L, ngg) * geom.dot(hit.wo, ngg)) > 0
         f_l = ref_f(mat, wo_l, wi_Ll, reflect_geo) \
-            * geom.absdot(wi_L, hit.ns)[:, None]
+            * geom.absdot(wi_L, nss)[:, None]
         pdf_scat_l = ref_pdf(mat, wo_l, wi_Ll)
         cand_l = do_nee & (pdf_light > 0) & ~spec.is_black(li) \
             & ~spec.is_black(f_l)
-        sray = isect.spawn_shadow_ray(hit.p, hit.ng, wi_L, dist, cand_l,
+        sray = isect.spawn_shadow_ray(hit.p, ngg, wi_L, dist, cand_l,
                                       ray.wavelength, time=ray.time,
-                                      eps_scale=1e-5, shave=1.0 - 1e-4)
+                                      eps_scale=REF_EPS_SCALE, shave=1.0 - 1e-4)
         w_l = sampling_power(pdf_light, pdf_scat_l)
         contrib_l = beta * f_l * li * (
             w_l / jnp.maximum(pdf_light, 1e-20))[:, None] * float(K)
 
         # scattering estimator: sample BSDF (~SPECULAR), probe to light
         wi_S_l, f_s, pdf_scat, ok_s = ref_sample_nonspec(mat, wo_l, us1, us2)
-        wi_S = geom.frame_to_world(ss, ts, hit.ns, wi_S_l)
-        f_s = f_s * geom.absdot(wi_S, hit.ns)[:, None]
-        pdf_light_s, tri_hit = _tri_pdf_li(lt, k, hit.p, wi_S)
+        wi_S = geom.frame_to_world(ss, ts, nss, wi_S_l)
+        f_s = f_s * geom.absdot(wi_S, nss)[:, None]
+        pdf_light_s, light_hit_s = _pdf_li(lt, k, hit.p, wi_S)
         cand_s = do_nee & ok_s & ~spec.is_black(f_s) & (pdf_light_s > 0)
         w_s = sampling_power(pdf_scat, pdf_light_s)
-        pray = isect.spawn_ray(hit.p, hit.ng, wi_S, ray.wavelength,
-                               time=ray.time, eps_scale=1e-5)
+        pray = isect.spawn_ray(hit.p, ngg, wi_S, ray.wavelength,
+                               time=ray.time, eps_scale=REF_EPS_SCALE)
         pray = pray.replace(tmax=jnp.where(cand_s, pray.tmax, -1.0))
-        # Le of the chosen tri seen from -wi_S
-        li_s = jnp.where((ltwo | (geom.dot(ln, -wi_S) > 0))[:, None], lL, 0.0)
-        contrib_s = beta * f_s * li_s * (
+        # Le orientation: triangles use the fixed normal; spheres need the
+        # probe's hit point (resolved after the trace below)
+        contrib_s = beta * f_s * lL * (
             w_s / jnp.maximum(pdf_scat, 1e-20))[:, None] * float(K)
 
         # ---- path continuation Sample_f (path.cpp:131) -----------------
         dim_b = dim + jnp.where(do_nee, 5, 0)
         ub1 = sampler.dim(idx, dim_b)
         ub2 = sampler.dim(idx, dim_b + 1)
-        ng_dot_wo = geom.dot(hit.wo, hit.ng)
+        ng_dot_wo = geom.dot(hit.wo, ngg)
         wi_c_l, f_c, pdf_c, is_spec, eta_fac, ok_c = ref_sample_all(
             mat, wo_l, ub1, ub2, ng_dot_wo)
-        wi_c = geom.frame_to_world(ss, ts, hit.ns, wi_c_l)
+        wi_c = geom.frame_to_world(ss, ts, nss, wi_c_l)
         alive = alive & ok_c & ~spec.is_black(f_c)
-        beta_new = beta * f_c * (geom.absdot(wi_c, hit.ns)
+        beta_new = beta * f_c * (geom.absdot(wi_c, nss)
                                  / jnp.maximum(pdf_c, 1e-20))[:, None]
         beta = jnp.where(alive[:, None], beta_new, beta)
         eta_scale = eta_scale * jnp.where(alive, eta_fac, 1.0)
         specular = is_spec
-        nray = isect.spawn_ray(hit.p, hit.ng, wi_c, ray.wavelength,
-                               time=ray.time, eps_scale=1e-5)
+        nray = isect.spawn_ray(hit.p, ngg, wi_c, ray.wavelength,
+                               time=ray.time, eps_scale=REF_EPS_SCALE)
         nray = nray.replace(tmax=jnp.where(alive, nray.tmax, -1.0))
         dim = dim + jnp.where(do_nee, 7, 2)
 
@@ -579,8 +758,16 @@ def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
         # light estimator lands if unoccluded
         L = L + jnp.where((cand_l & ~occ)[:, None], contrib_l, 0.0)
         # scattering estimator lands if the probe's closest hit IS the
-        # chosen light triangle (integrator.cpp:205-210)
-        probe_ok = cand_s & probe_found & (probe_prim == lt.prim[k])
+        # chosen light shape (integrator.cpp:205-210) and its Le faces
+        # the probe (diffuse.h:66: twoSided || dot(n, w) > 0) — for
+        # spheres the normal comes from the probe's actual hit point
+        p_probe = pray.o + t3[B:2 * B][:, None] * wi_S
+        n_probe = geom.normalize(p_probe - lc) * lsg[:, None]
+        orient_s = ltwo | jnp.where(is_sph,
+                                    geom.dot(n_probe, -wi_S) > 0,
+                                    geom.dot(ln, -wi_S) > 0)
+        probe_ok = cand_s & probe_found & (probe_prim == lt.prim[k]) \
+            & orient_s
         L = L + jnp.where(probe_ok[:, None], contrib_s, 0.0)
 
     L = jnp.where(jnp.isfinite(L), L, 0.0)

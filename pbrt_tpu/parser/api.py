@@ -976,8 +976,8 @@ class PbrtAPI:
             idx = ps.find_ints("indices").reshape(-1, 3)
             levels = ps.find_one_int("levels",
                                      ps.find_one_int("nlevels", 3))
-            verts, idx = loop_subdivide(verts, idx, levels)
-            record_or_add_mesh(verts, idx)
+            verts, idx, norms = loop_subdivide(verts, idx, levels)
+            record_or_add_mesh(verts, idx, norms=norms)
         elif sname == "heightfield":
             nu = ps.find_one_int("nu", 2)
             nv = ps.find_one_int("nv", 2)

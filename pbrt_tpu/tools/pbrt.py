@@ -156,8 +156,14 @@ def _shape_to_ply(g, base, n_ply):
 
 def run_job(job, spp=None, max_depth=None, quiet=False,
             max_rays_per_pass=1 << 18, progress=True,
-            checkpoint_path=None, checkpoint_every=60.0):
-    """Render a RenderJob -> (film, integrator_kind)."""
+            checkpoint_path=None, checkpoint_every=60.0,
+            sampler_override=None):
+    """Render a RenderJob -> (film, integrator_kind).
+
+    sampler_override="refsobol" selects the matched-RNG parity mode
+    (integrators/refpath.py): pbrt's exact GlobalSampler Sobol stream +
+    reference-exact estimator structure, pixel-level comparable to the
+    reference binary at equal spp."""
     from pbrt_tpu.film import film as filmmod
     from pbrt_tpu.integrators import path as pathint
     from pbrt_tpu.integrators import dispatch
@@ -171,6 +177,14 @@ def run_job(job, spp=None, max_depth=None, quiet=False,
     spp = spp or job.spp
     cfg = SamplerConfig(kind=job.sampler_kind, seed=0, spp=spp)
     max_depth = max_depth or job.integrator_params["maxdepth"]
+    if sampler_override == "refsobol":
+        from pbrt_tpu.integrators import refpath
+        from pbrt_tpu.cameras import projective
+        film = refpath.render_ref(
+            job.scene, camera, film, W, H, spp, max_depth=max_depth,
+            generate_rays=projective.generate_rays,
+            max_rays_per_pass=min(max_rays_per_pass, 1 << 17))
+        return film, camera
 
     t0 = time.time()
     last = [0.0]
@@ -238,6 +252,10 @@ def main(argv=None):
     ap.add_argument("--spp", type=int, default=None)
     ap.add_argument("--maxdepth", type=int, default=None)
     ap.add_argument("--cropwindow", type=float, nargs=4, default=None)
+    ap.add_argument("--sampler", default=None, choices=["refsobol"],
+                    help="override the scene sampler; 'refsobol' runs "
+                         "the matched-RNG parity integrator (pbrt-exact "
+                         "Sobol stream + estimator structure)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--nthreads", type=int, default=0,
                     help="accepted for reference CLI parity (ignored: "
@@ -281,7 +299,8 @@ def main(argv=None):
         film, camera = run_job(job, spp=spp, max_depth=max_depth,
                                quiet=args.quiet,
                                checkpoint_path=args.checkpoint,
-                               checkpoint_every=args.checkpoint_interval)
+                               checkpoint_every=args.checkpoint_interval,
+                               sampler_override=args.sampler)
         # drain async dispatches so the phase accounting is honest
         # (otherwise the render work completes inside "Film output")
         import jax

@@ -56,7 +56,7 @@ def run_case(n_tris, n_rays, seed, coherent):
     r16 = pdense.ray_vectors(jnp.asarray(o, jnp.float32),
                              jnp.asarray(d, jnp.float32),
                              jnp.asarray(tab["center"]))
-    t, prim = pdense.dense_intersect(
+    t, prim = pdense.dense_intersect_loop(
         r16, jnp.asarray(tmax),
         jnp.asarray(tab["W"]),
         jnp.asarray(tab["chunk_bounds"]), tab["n_pad"])

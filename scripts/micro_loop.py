@@ -43,8 +43,14 @@ d = rs.randn(B, 3).astype(np.float32)
 d /= np.linalg.norm(d, axis=-1, keepdims=True)
 r16 = pdense.ray_vectors(jnp.asarray(o), jnp.asarray(d),
                          jnp.asarray(tab["center"]))
-r16t = jax.device_put(r16.reshape(N_TILES, RAY_TILE, 16))
-tmax2 = jax.device_put(jnp.full((N_TILES, 1, RAY_TILE), 1e30, jnp.float32))
+r_hi = r16.astype(jnp.bfloat16)
+r_lo = (r16 - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+r48t = jax.device_put(jnp.concatenate([r_hi, r_lo, r_hi], -1)
+                      .reshape(N_TILES, RAY_TILE, 48))
+tmax_t = jnp.full((N_TILES, RAY_TILE), 1e30, jnp.float32)
+meta = jax.device_put(jnp.stack(
+    [tmax_t, r16.reshape(N_TILES, RAY_TILE, 16)[:, :, 12]], 1))
+TPG = pdense.TPG
 
 
 def run_g(g, n=16):
@@ -59,26 +65,30 @@ def run_g(g, n=16):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(N_TILES,),
+        grid=(N_TILES // TPG,),
         in_specs=[
-            pl.BlockSpec((1, RAY_TILE, 16), lambda i, cl_, na, nl: (i, 0, 0)),
-            pl.BlockSpec((1, 1, RAY_TILE), lambda i, cl_, na, nl: (i, 0, 0)),
+            pl.BlockSpec((TPG, RAY_TILE, 48),
+                         lambda i, cl_, na, nl: (i, 0, 0)),
+            pl.BlockSpec((TPG, 2, RAY_TILE),
+                         lambda i, cl_, na, nl: (i, 0, 0)),
             pl.BlockSpec(memory_space=(pltpu.VMEM if resident
                                        else pltpu.ANY)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, RAY_TILE), lambda i, cl_, na, nl: (i, 0, 0)),
-            pl.BlockSpec((1, 1, RAY_TILE), lambda i, cl_, na, nl: (i, 0, 0)),
+            pl.BlockSpec((TPG, 1, RAY_TILE),
+                         lambda i, cl_, na, nl: (i, 0, 0)),
+            pl.BlockSpec((TPG, 1, RAY_TILE),
+                         lambda i, cl_, na, nl: (i, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 48, PICK * 4 * CHUNK), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, PICK)),
+            pltpu.SemaphoreType.DMA((2, 4 * PICK)),
         ],
     )
 
     @jax.jit
-    def go(cl_packed, ng, near, r16t, tmax2):
+    def go(cl_packed, ng, near, r48t, meta):
         return pl.pallas_call(
             partial(pdense._kernel_loop, resident=resident),
             grid_spec=grid_spec,
@@ -86,12 +96,12 @@ def run_g(g, n=16):
                 jax.ShapeDtypeStruct((N_TILES, 1, RAY_TILE), jnp.float32),
                 jax.ShapeDtypeStruct((N_TILES, 1, RAY_TILE), jnp.int32),
             ],
-        )(cl_packed, ng, near, r16t, tmax2, W, cb)
+        )(cl_packed, ng, near, r48t, meta, W, cb)
 
-    out = jax.block_until_ready(go(cl_packed, ng, near, r16t, tmax2))
+    out = jax.block_until_ready(go(cl_packed, ng, near, r48t, meta))
     t0 = time.time()
     for _ in range(n):
-        out = go(cl_packed, ng, near, r16t, tmax2)
+        out = go(cl_packed, ng, near, r48t, meta)
     jax.block_until_ready(out)
     return (time.time() - t0) / n
 

@@ -67,15 +67,15 @@ def _rays(n_rays=1024, seed=1, coherent=False):
     return o.astype(np.float32), d.astype(np.float32)
 
 
-def _run_dense(v0, e1, e2, o, d, tmax, anyhit=None, loop=True):
+def _run_dense(v0, e1, e2, o, d, tmax, anyhit=None):
     tab = pdense.build_dense_tables(v0, e1, e2)
     am = None if anyhit is None else jnp.asarray(anyhit)
     r16 = pdense.ray_vectors(jnp.asarray(o), jnp.asarray(d),
                              jnp.asarray(tab["center"]), anyhit=am)
-    fn = pdense.dense_intersect_loop if loop else pdense.dense_intersect
-    t, prim = fn(r16, jnp.asarray(tmax, jnp.float32),
-                 jnp.asarray(tab["W"]), jnp.asarray(tab["chunk_bounds"]),
-                 tab["n_pad"], interpret=True)
+    t, prim = pdense.dense_intersect_loop(
+        r16, jnp.asarray(tmax, jnp.float32),
+        jnp.asarray(tab["W"]), jnp.asarray(tab["chunk_bounds"]),
+        tab["n_pad"], interpret=True)
     return np.asarray(t), np.asarray(prim)
 
 
@@ -83,17 +83,16 @@ def _check_closest(v0, e1, e2, o, d):
     tmax = np.full(o.shape[0], 3.0e38, np.float32)
     tb, pb = _brute(v0, e1, e2, o.astype(np.float64),
                     d.astype(np.float64), tmax)
-    for loop in (True, False):
-        t, prim = _run_dense(v0, e1, e2, o, d, tmax, loop=loop)
-        found = prim >= 0
-        assert (found == (pb >= 0)).all(), f"found mismatch (loop={loop})"
-        # kernel t is bf16x2-quantized with lane bits in the low mantissa
-        # (~1.3e-4 rel on chip; the interpreter's bf16 emulation is a bit
-        # coarser — this CI guards semantics, make_hit re-derives exact t)
-        rel = np.abs(t[found] - tb[found]) / np.maximum(tb[found], 1e-6)
-        assert rel.max() < 5e-3, f"t rel err {rel.max()} (loop={loop})"
-        # prim may differ only at near-equal t (quantization ties)
-        assert (prim == pb).mean() > 0.99
+    t, prim = _run_dense(v0, e1, e2, o, d, tmax)
+    found = prim >= 0
+    assert (found == (pb >= 0)).all(), "found mismatch"
+    # kernel t is bf16x2-quantized with lane bits in the low mantissa
+    # (~1.3e-4 rel on chip; the interpreter's bf16 emulation is a bit
+    # coarser — this CI guards semantics, make_hit re-derives exact t)
+    rel = np.abs(t[found] - tb[found]) / np.maximum(tb[found], 1e-6)
+    assert rel.max() < 5e-3, f"t rel err {rel.max()}"
+    # prim may differ only at near-equal t (quantization ties)
+    assert (prim == pb).mean() > 0.99
 
 
 def test_closest_hit_coherent():

@@ -52,3 +52,75 @@ def test_two_process_render_matches_single():
     from pbrt_tpu.parallel.multihost import render_flagship_distributed
     img = np.asarray(render_flagship_distributed(16, 16, 2))
     assert abs(img.mean() - mean_2proc) < 1e-4, (img.mean(), mean_2proc)
+
+
+def test_weak_scaling_efficiency():
+    """Weak scaling on the 8-device virtual mesh: the N=8 sharded pass
+    must reach >=85% of the unsharded same-total-work pass (BASELINE.md
+    multi-host scaling target, measured without N real chips — all
+    virtual devices share the host cores, so the ratio of equal-work
+    runs isolates partitioning + dispatch + the film psum; see
+    scripts/scaling_bench.py and docs/SCALING.md for the full curve)."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from pbrt_tpu.models import flagship
+    from pbrt_tpu.film import film as filmmod
+    from pbrt_tpu.integrators import path as pathint
+    from pbrt_tpu.parallel import mesh as pmesh
+    from pbrt_tpu.samplers.samplers import SamplerConfig
+    from pbrt_tpu.cameras import projective
+
+    scene, cam_ctor = flagship.cornell(tessellate=False)
+    W = H = 64
+    camera = cam_ctor(W, H)
+    cfg = SamplerConfig(kind="sobol", seed=0, spp=1)
+    film = filmmod.make_film(W, H, "box")
+    B = 8 * 2048
+    ids = jnp.asarray(np.arange(B, dtype=np.uint32) % (W * H))
+    mesh = pmesh.make_mesh(8)
+    axis = mesh.axis_names[0]
+
+    @jax.jit
+    def unsharded(film, ids):
+        ray, weight, pfilm, pid, sidx = pathint.camera_rays_for_pixels(
+            camera, W, H, cfg, ids, jnp.uint32(0),
+            projective.generate_rays)
+        L = pathint.trace_paths(scene, ray, pid, sidx, cfg, max_depth=3)
+        return filmmod.add_samples(film, pfilm, L, weight)
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis), P()),
+             out_specs=P())
+    def sharded(film, ids, s):
+        ray, weight, pfilm, pid, sidx = pathint.camera_rays_for_pixels(
+            camera, W, H, cfg, ids, s, projective.generate_rays)
+        L = pathint.trace_paths(scene, ray, pid, sidx, cfg, max_depth=3)
+        local = filmmod.add_samples(
+            film.replace(weighted=jnp.zeros_like(film.weighted),
+                         weight=jnp.zeros_like(film.weight),
+                         raw=jnp.zeros_like(film.raw),
+                         splat=jnp.zeros_like(film.splat)),
+            pfilm, L, weight)
+        return film.replace(
+            weighted=film.weighted + jax.lax.psum(local.weighted, axis),
+            weight=film.weight + jax.lax.psum(local.weight, axis),
+            raw=film.raw + jax.lax.psum(local.raw, axis),
+            splat=film.splat + jax.lax.psum(local.splat, axis))
+
+    def timed(fn, *a, n=3):
+        jax.block_until_ready(fn(*a))
+        t0 = time.time()
+        for _ in range(n):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / n
+
+    t_un = timed(unsharded, film, ids)
+    with mesh:
+        t_sh = timed(sharded, film, ids, jnp.uint32(0))
+    eff = t_un / t_sh
+    assert eff >= 0.85, f"weak-scaling efficiency {eff:.3f} < 0.85"
