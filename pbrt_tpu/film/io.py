@@ -114,10 +114,11 @@ def _exr_unpredict(raw):
 
 
 def read_exr(path):
-    """Scanline EXR reader: NONE / ZIPS / ZIP compression, HALF / FLOAT /
-    UINT channels (reference: imageio.cpp:124+ via OpenEXR; this covers
-    the compression used by pbrt scene assets' environment maps).
-    PIZ/PXR24/B44 are not implemented."""
+    """Scanline EXR reader: NONE / ZIPS / ZIP decoded in pure numpy,
+    HALF / FLOAT / UINT channels; every other compression (PIZ, PXR24,
+    B44, DWA...) decodes through the system OpenEXR via the native shim
+    (native/exr_reader.cc) — the same library the reference uses for ALL
+    its EXR io (imageio.cpp:124+)."""
     import zlib
     with open(path, "rb") as f:
         data = f.read()
@@ -137,6 +138,10 @@ def read_exr(path):
     w, h = x1 - x0 + 1, y1 - y0 + 1
     comp = attrs["compression"][1][0]
     if comp not in (0, 2, 3):
+        from pbrt_tpu.native.build import read_exr_native
+        rgba = read_exr_native(path)
+        if rgba is not None:
+            return rgba[..., :3].astype(np.float32)
         raise ValueError(f"EXR compression {comp} not supported "
                          "(NONE/ZIPS/ZIP only)")
     lines_per_block = {0: 1, 2: 1, 3: 16}[comp]

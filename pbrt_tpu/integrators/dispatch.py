@@ -11,7 +11,8 @@ log = logging.getLogger("pbrt_tpu")
 
 def render_with_integrator(job, camera, film, cfg, spp, max_depth,
                            max_rays_per_pass=1 << 18, progress=None,
-                           checkpoint_path=None, checkpoint_every=60.0):
+                           checkpoint_path=None, checkpoint_every=60.0,
+                           stats=None):
     kind = job.integrator_kind
     ip = job.integrator_params
     trace_fn = None
@@ -91,7 +92,7 @@ def render_with_integrator(job, camera, film, cfg, spp, max_depth,
         log.warning("unknown integrator %r; using path", kind)
     from pbrt_tpu.film.film import INF_LUMINANCE
     msl = getattr(job, "max_sample_luminance", None)
-    return pathmod.render(job.scene, camera, film, cfg, spp,
+    return pathmod.render(job.scene, camera, film, cfg, spp, stats=stats,
                           max_depth=max_depth, trace_fn=trace_fn,
                           generate_rays=_generate_fn(camera),
                           progress=progress,

@@ -141,7 +141,8 @@ def _sss_event(scene, hit, mat, beta, alive, ss, ts, pixel_id, sample_idx,
         pray = geom.Ray.make(cur_o, pdir, tmax=remaining,
                              wavelength=wavelength)
         if count_rays:
-            n_rays = n_rays + jnp.sum((remaining > 0).astype(jnp.float32))
+            n_rays = n_rays.at[0].add(
+                jnp.sum((remaining > 0).astype(jnp.float32)))
         tt, prim, uu, vv, found = isect.intersect(scene, pray)
         pm = scene.prim_material[jnp.clip(prim, 0, P - 1)]
         match = found & (pm == hit.material)
@@ -249,9 +250,13 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
     n_lights = max(scene.n_lights, 1)
     from pbrt_tpu.lights import distrib
 
-    n_rays = jnp.zeros((), jnp.float32)
+    # measured work counters [closest, shadow, camera, path vertices]
+    # (the reference's STAT_COUNTER family, stats.cpp; count_rays="full"
+    # returns the vector, True the closest+shadow total for bench.py)
+    n_rays = jnp.zeros((4,), jnp.float32)
     if count_rays:
-        n_rays = n_rays + jnp.sum((ray.tmax > 0).astype(jnp.float32))
+        n_cam = jnp.sum((ray.tmax > 0).astype(jnp.float32))
+        n_rays = n_rays.at[0].add(n_cam).at[2].add(n_cam)
     # camera-ray closest hit; every later bounce traces its closest-hit
     # and NEE shadow rays through ONE combined batch (_trace_pair) so the
     # sparse kernel pays one sort + one queue + one launch per bounce
@@ -289,6 +294,8 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
                               beta * env * w_env[:, None], 0.0)
 
         alive = alive & hit.valid
+        if count_rays:
+            n_rays = n_rays.at[3].add(jnp.sum(alive.astype(jnp.float32)))
         if bounce == max_depth:
             break
 
@@ -357,7 +364,8 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
                                 * (w_l / jnp.maximum(pdf_l, 1e-12))[:, None])
                 cands.append(ci)
                 if count_rays:
-                    n_rays = n_rays + jnp.sum(ci.astype(jnp.float32))
+                    n_rays = n_rays.at[1].add(
+                        jnp.sum(ci.astype(jnp.float32)))
             sray = jax.tree.map(lambda *a: jnp.concatenate(a, 0), *srays)
             cand = jnp.stack(cands)          # [n_l, B]
             contrib = jnp.stack(contribs)    # [n_l, B, 31]
@@ -378,7 +386,7 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
             sray = isect.spawn_shadow_ray(hit.p, hit.ng, wi, dist, cand,
                                           ray.wavelength, time=ray.time)
             if count_rays:
-                n_rays = n_rays + jnp.sum(cand.astype(jnp.float32))
+                n_rays = n_rays.at[1].add(jnp.sum(cand.astype(jnp.float32)))
             pdf_b = bsdf.pdf_f(mat, wo_l, wi_l)
             w_l = jnp.where(delta_l, 1.0,
                             sampling.power_heuristic(1.0, pdf_l, 1.0, pdf_b))
@@ -427,7 +435,8 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
 
         # ---- combined trace: next closest-hit + this bounce's shadow -----
         if count_rays:
-            n_rays = n_rays + jnp.sum((ray.tmax > 0).astype(jnp.float32))
+            n_rays = n_rays.at[0].add(
+                jnp.sum((ray.tmax > 0).astype(jnp.float32)))
         if light_strategy == "all" and scene.n_lights > 0:
             hit, occ = isect.trace_pair(scene, ray, sray)
             n_l = scene.light_L.shape[0]
@@ -444,8 +453,10 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
     # NaN/Inf scrub (reference: integrator.cpp:295-316)
     L = jnp.where(jnp.isfinite(L), L, 0.0)
     L = jnp.maximum(L, 0.0)
-    if count_rays:
+    if count_rays == "full":
         return L, n_rays
+    if count_rays:
+        return L, n_rays[0] + n_rays[1]
     return L
 
 
@@ -499,12 +510,16 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
            generate_rays=None, trace_fn=None, progress=None,
            max_rays_per_pass=1 << 18, trace_kwargs=None,
            crop_window=None, max_sample_luminance=None,
-           checkpoint_path=None, checkpoint_every=60.0):
+           checkpoint_path=None, checkpoint_every=60.0, stats=None):
     """Full render: loops over (sample, pixel-tile) passes, jitting one
     fixed-shape pass (the analog of the reference's 16x16-tile ParallelFor2D,
     integrator.cpp:235-241 — tiles here are flat pixel-id chunks).
 
     Returns the accumulated Film.
+    stats: optional utils.stats.Stats — records MEASURED work counters
+    (closest-hit rays actually traced, shadow-ray candidates, path
+    vertices shaded: the reference's STAT_COUNTER family, stats.cpp)
+    when the trace function supports count_rays.
     """
     from pbrt_tpu.cameras import projective
     if generate_rays is None:
@@ -518,6 +533,10 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
     if ("tex_spread" in inspect.signature(trace_fn).parameters
             and "tex_spread" not in trace_kwargs):
         trace_kwargs["tex_spread"] = camera_pixel_spread(camera)
+    measure = (stats is not None
+               and "count_rays" in inspect.signature(trace_fn).parameters)
+    if measure:
+        trace_kwargs["count_rays"] = "full"
 
     H, W = film.height, film.width
     if crop_window is not None and tuple(crop_window) != (0.0, 1.0, 0.0, 1.0):
@@ -543,8 +562,9 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
                  aligned_base=None):
         ray, weight, pfilm, pid, sidx = camera_rays_for_pixels(
             camera, W, H, cfg, pixel_ids, sample_idx, generate_rays)
-        L = trace_fn(scene, ray, pid, sidx, cfg, max_depth=max_depth,
-                     **trace_kwargs)
+        out = trace_fn(scene, ray, pid, sidx, cfg, max_depth=max_depth,
+                       **trace_kwargs)
+        L, nvec = out if measure else (out, jnp.zeros(4))
         if max_sample_luminance is not None:
             # clamp overly bright samples (reference maxSampleLuminance,
             # film.h:123-163) — scales the spectrum to the luminance cap
@@ -555,7 +575,7 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
                               1.0)
             L = L * scale[:, None]
         return filmmod.add_samples(film, pfilm, L, weight,
-                                   aligned_base=aligned_base)
+                                   aligned_base=aligned_base), nvec
 
     all_ids = np.empty(n_chunks * chunk, dtype=np.uint32)
     all_ids[:n_pix] = pix_list
@@ -582,10 +602,13 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
         last_save = _time.monotonic()
     done = start_spp * n_chunks
     total = spp * n_chunks
+    nvec_acc = None
     for s in range(start_spp, spp):
         for ids, base in zip(id_chunks, chunk_base):
-            film = one_pass(scene, camera, film, ids, jnp.uint32(s),
-                            aligned_base=base)
+            film, nvec = one_pass(scene, camera, film, ids, jnp.uint32(s),
+                                  aligned_base=base)
+            if measure:
+                nvec_acc = nvec if nvec_acc is None else nvec_acc + nvec
             done += 1
             if progress is not None:
                 progress(done, total)
@@ -595,4 +618,11 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
                 jax.block_until_ready(film.weighted)
                 ckpt.save(checkpoint_path, film, s + 1, fp)
                 last_save = now
+    if measure and nvec_acc is not None:
+        nv = np.asarray(nvec_acc)
+        stats.add("Integrator/Camera rays traced", nv[2])
+        stats.add("Intersections/Regular ray intersection tests", nv[0])
+        stats.add("Intersections/Shadow ray intersection tests", nv[1])
+        stats.add("Integrator/Path vertices shaded", nv[3])
+        stats.ratios["Integrator/Path length"] = (nv[3], max(nv[2], 1.0))
     return film

@@ -83,3 +83,63 @@ def build_bvh_native(prim_lo, prim_hi, max_leaf):
     hit = hit[:8 * N].reshape(8, N).copy()
     miss = miss[:8 * N].reshape(8, N).copy()
     return packed[:N].copy(), hit, miss, order
+
+
+_EXR_LIB = None
+_EXR_TRIED = False
+
+
+def load_exr():
+    """Compile + load the OpenEXR reader shim (native/exr_reader.cc).
+
+    Links the system OpenEXR 3.1 — the same library the reference uses
+    for ALL its EXR io (imageio.cpp:124+) — so PIZ/PXR24/B44/DWA files
+    read natively; returns None (silent fallback) when the toolchain or
+    the library is absent."""
+    global _EXR_LIB, _EXR_TRIED
+    if _EXR_LIB is not None or _EXR_TRIED:
+        return _EXR_LIB
+    _EXR_TRIED = True
+    src = os.path.join(_SRC_DIR, "exr_reader.cc")
+    try:
+        with open(src, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+        out = os.path.join(_cache_dir(), f"libpbrt_exr_{tag}.so")
+        if not os.path.exists(out):
+            cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                   "-I/usr/include/OpenEXR", "-I/usr/include/Imath",
+                   src, "-o", out, "-lOpenEXR-3_1", "-lIex-3_1",
+                   "-lImath-3_1", "-lIlmThread-3_1", "-pthread"]
+            subprocess.run(cmd, check=True, capture_output=True,
+                           timeout=120)
+        lib = ctypes.CDLL(out)
+        lib.pbrt_exr_size.restype = ctypes.c_int
+        lib.pbrt_exr_size.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.pbrt_exr_read_rgba.restype = ctypes.c_int
+        lib.pbrt_exr_read_rgba.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)]
+        _EXR_LIB = lib
+    except Exception as e:  # pragma: no cover - toolchain-dependent
+        log.info("native EXR reader unavailable (%s)", e)
+        _EXR_LIB = None
+    return _EXR_LIB
+
+
+def read_exr_native(path):
+    """[H,W,4] float32 RGBA via OpenEXR, or None if unavailable."""
+    lib = load_exr()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.pbrt_exr_size(path.encode(), ctypes.byref(w),
+                         ctypes.byref(h)) != 0:
+        return None
+    out = np.zeros((h.value, w.value, 4), np.float32)
+    if lib.pbrt_exr_read_rgba(
+            path.encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))) != 0:
+        return None
+    return out

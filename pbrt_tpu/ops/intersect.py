@@ -366,7 +366,8 @@ def quadric_normal_obj(qtype, params, ph):
 # BVH traversal
 # ---------------------------------------------------------------------------
 
-def _leaf_test(scene: SceneData, o, d, offs, count, t_best, leaf_mask):
+def _leaf_test(scene: SceneData, o, d, offs, count, t_best, leaf_mask,
+               time=None):
     """Test the K primitives of each lane's leaf. Returns updated
     (t_best, prim_best, b1, b2) candidates."""
     K = scene.max_leaf
@@ -383,6 +384,15 @@ def _leaf_test(scene: SceneData, o, d, offs, count, t_best, leaf_mask):
     v0 = tp[..., 0:3]
     e1 = tp[..., 3:6]
     e2 = tp[..., 6:9]
+    if scene.has_animated_mesh and time is not None:
+        # mesh motion blur: per-ray time interpolates the two-keyframe
+        # vertex positions (reference TransformedPrimitive +
+        # AnimatedTransform, primitive.cpp:73-89)
+        tm = scene.tri_motion[pid_safe]
+        u = jnp.clip(time, 0.0, 1.0)[:, None, None]
+        v0 = v0 + u * tm[..., 0:3]
+        e1 = e1 + u * tm[..., 3:6]
+        e2 = e2 + u * tm[..., 6:9]
     t_tri, b1, b2, hit_tri = ray_triangle(o, d, v0, e1, e2, t_best)
     t_cand, hit = t_tri, valid & hit_tri
     u_cand, v_cand = b1, b2
@@ -427,6 +437,8 @@ def intersect(scene: SceneData, ray: geom.Ray, any_hit: bool = False,
         return _intersect_dense(scene, ray, presorted=presorted,
                                 anyhit_mask=anyhit_mask,
                                 interpret=FORCE_DENSE_INTERPRET)
+    if scene.use_kd:
+        return _intersect_kd(scene, ray, any_hit)
     return _intersect_bvh(scene, ray, any_hit)
 
 
@@ -562,7 +574,8 @@ def _intersect_bvh(scene: SceneData, ray: geom.Ray, any_hit: bool = False):
         cnt = leaf_bits & 31
         leaf_mask = box_hit & is_leaf
         hit_new, t_new, prim_new, u_new, v_new = _leaf_test(
-            scene, o, d, jnp.maximum(offs, 0), cnt, t_best, leaf_mask)
+            scene, o, d, jnp.maximum(offs, 0), cnt, t_best, leaf_mask,
+            time=ray.time)
         t_best = jnp.where(hit_new, t_new, t_best)
         prim = jnp.where(hit_new, prim_new, prim)
         u = jnp.where(hit_new, u_new, u)
@@ -593,6 +606,115 @@ def _intersect_bvh(scene: SceneData, ray: geom.Ray, any_hit: bool = False):
 
 def _f32_bits_to_i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _intersect_kd(scene: SceneData, ray: geom.Ray, any_hit: bool = False):
+    """Lockstep KD-RESTART traversal of the SAH kd-tree
+    (accel/kdtree.py; reference build: kdtreeaccel.cpp).
+
+    Instead of the reference's per-ray KdToDo stack (kdtreeaccel.cpp:415)
+    each lane tracks its current segment (t_entry, cell t_exit): interior
+    nodes descend toward the child containing the point at t_entry
+    (shrinking the cell t_exit when the split plane is crossed inside the
+    segment), leaves test their duplicated prims, then t_entry advances
+    past the cell and the descent restarts from the root.  ~2x node
+    visits vs a stack, but no per-lane stacks — the right trade on a
+    lockstep vector machine.  Results match the BVH exactly.
+    """
+    o, d = ray.o, ray.d
+    B = o.shape[0]
+    inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, jnp.sign(d) * 1e20 + 1e20)
+    t_init = ray.tmax.astype(jnp.float32)
+    prim_init = jnp.full((B,), -1, jnp.int32)
+    if scene.n_quadrics > 0:
+        tq, qprim, qhit = all_quadrics_test(scene, o, d, t_init,
+                                            time=ray.time)
+        t_init = jnp.where(qhit, tq, t_init)
+        prim_init = jnp.where(qhit, qprim, prim_init)
+    # global segment vs root bounds
+    blo = scene.kd_bounds[0][None, :]
+    bhi = scene.kd_bounds[1][None, :]
+    ta = (blo - o) * inv_d
+    tb = (bhi - o) * inv_d
+    t0g = jnp.maximum(jnp.max(jnp.minimum(ta, tb), -1), 0.0)
+    t1g = jnp.min(jnp.maximum(ta, tb), -1)
+    live = (t0g <= t1g * 1.0001 + 1e-5) & (ray.tmax > 0)
+    M = scene.kd_prim_idx.shape[0]
+    K = scene.kd_max_leaf
+    N = scene.kd_packed.shape[0]
+
+    def cond(s):
+        return jnp.any(s[0] >= 0)
+
+    def body(s):
+        node, t_entry, t_cell, t_best, prim, u, v = s
+        act = node >= 0
+        row = scene.kd_packed[jnp.maximum(node, 0)]          # [B,4]
+        split = row[:, 0]
+        ri = _f32_bits_to_i32(row[:, 1:4])
+        axis = ri[:, 0]
+        is_leaf = axis == 3
+        # ---- interior descent step ----
+        o_ax = jnp.take_along_axis(o, jnp.minimum(axis, 2)[:, None],
+                                   1)[:, 0]
+        d_ax = jnp.take_along_axis(d, jnp.minimum(axis, 2)[:, None],
+                                   1)[:, 0]
+        inv_ax = jnp.take_along_axis(inv_d, jnp.minimum(axis, 2)[:, None],
+                                     1)[:, 0]
+        p_at = o_ax + t_entry * d_ax
+        below_first = (p_at < split) | ((p_at == split) & (d_ax <= 0))
+        near = jnp.where(below_first, node + 1, ri[:, 1])
+        t_split = (split - o_ax) * inv_ax
+        crosses = (t_split > t_entry) & (t_split < t_cell)
+        t_cell_int = jnp.where(crosses, jnp.minimum(t_cell, t_split),
+                               t_cell)
+        # ---- leaf test (duplicated prim list indirection) ----
+        offs = ri[:, 1]
+        cnt = ri[:, 2]
+        kk = jnp.arange(K, dtype=jnp.int32)[None, :]
+        valid = (is_leaf & act)[:, None] & (kk < cnt[:, None])
+        pid = scene.kd_prim_idx[jnp.clip(offs[:, None] + kk, 0, M - 1)]
+        tp = scene.tri_packed[pid]
+        v0k = tp[..., 0:3]
+        e1k = tp[..., 3:6]
+        e2k = tp[..., 6:9]
+        if scene.has_animated_mesh:
+            tmk = scene.tri_motion[pid]
+            ut = jnp.clip(ray.time, 0.0, 1.0)[:, None, None]
+            v0k = v0k + ut * tmk[..., 0:3]
+            e1k = e1k + ut * tmk[..., 3:6]
+            e2k = e2k + ut * tmk[..., 6:9]
+        t_tri, b1, b2, hit_tri = ray_triangle(o, d, v0k, e1k, e2k, t_best)
+        hit = valid & hit_tri
+        t_masked = jnp.where(hit, t_tri, F32_MAX)
+        kb = jnp.argmin(t_masked, axis=1)
+        t_new = jnp.take_along_axis(t_masked, kb[:, None], 1)[:, 0]
+        hit_best = jnp.take_along_axis(hit, kb[:, None], 1)[:, 0]
+        upd = hit_best & (t_new < t_best)
+        t_best = jnp.where(upd, t_new, t_best)
+        prim = jnp.where(upd, jnp.take_along_axis(
+            pid, kb[:, None], 1)[:, 0], prim)
+        u = jnp.where(upd, jnp.take_along_axis(b1, kb[:, None], 1)[:, 0], u)
+        v = jnp.where(upd, jnp.take_along_axis(b2, kb[:, None], 1)[:, 0], v)
+        # ---- restart past the finished cell ----
+        adv = t_cell + 1e-5 * jnp.maximum(jnp.abs(t_cell), 1.0)
+        limit = jnp.minimum(t_best, t1g)
+        done = (adv >= limit) | ((prim >= 0) if any_hit
+                                 else jnp.zeros_like(act))
+        node = jnp.where(~act, node,
+                         jnp.where(is_leaf,
+                                   jnp.where(done, -1, 0),
+                                   jnp.minimum(near, N - 1)))
+        t_entry = jnp.where(act & is_leaf, adv, t_entry)
+        t_cell = jnp.where(act & is_leaf, t1g, t_cell_int)
+        return node, t_entry, t_cell, t_best, prim, u, v
+
+    zf = jnp.zeros_like(t_init)
+    node0 = jnp.where(live, 0, -1)
+    state = (node0, jnp.where(live, t0g, 0.0), jnp.where(live, t1g, 0.0),
+             t_init, prim_init, zf, zf)
+    _, _, _, t, prim, u, v = jax.lax.while_loop(cond, body, state)
+    return t, prim, u, v, prim >= 0
 
 
 def nee_ignore_light(scene: SceneData, l):
@@ -666,11 +788,21 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
     t = jnp.where(found, t, 1.0)
     e1 = sf[:, 0:3]
     e2 = sf[:, 3:6]
+    dmotion = None
+    if scene.has_animated_mesh:
+        # hit data at the ray's time: shift v0/e1/e2 by the per-prim
+        # two-keyframe motion (primitive.cpp:73-89)
+        dmotion = scene.tri_motion[pid]
+        u_t = jnp.clip(ray.time, 0.0, 1.0)[:, None]
+        e1 = e1 + u_t * dmotion[:, 3:6]
+        e2 = e2 + u_t * dmotion[:, 6:9]
     # exact t/u/v for triangle winners via one fp32 MT solve (the dense
     # kernel reports a bf16x2-quantized t and no barycentrics; recovering
     # them here rides the SAME packed gather — v0 in cols 21:24 — instead
     # of a second row-serial [B,12] gather per trace call)
     v0 = sf[:, 21:24]
+    if dmotion is not None:
+        v0 = v0 + u_t * dmotion[:, 0:3]
     pvec = jnp.cross(ray.d, e2)
     det = jnp.sum(e1 * pvec, -1)
     # safe-denominator form: where(c, 1/det, 0) computes 1/0 = inf in the

@@ -92,13 +92,18 @@ def build_dense_tables(v0, e1, e2):
     Pp = max(((P + CHUNK - 1) // CHUNK) * CHUNK, CHUNK)
     center = v0.mean(0) if P else np.zeros(3)
 
-    # 4 sections per tri: s1 | s2 | num | nd.  The third edge side s0 is
-    # NOT stored: the three Pluecker edge forms of a triangle satisfy
+    # 4 sections per tri: s1 | s2 | num | s0.  The plane denominator nd
+    # is NOT stored: the three Pluecker edge forms of a triangle satisfy
     # s0+s1+s2 = nd after a per-triangle rescale, so the kernel derives
-    # s0 = nd - s1 - s2 — one fifth less MXU output, VMEM traffic and
-    # table DMA.  That identity requires the three edge columns and the
-    # nd column to share ONE common scale per triangle (not the per-edge
-    # max-normalization used when sections were independent).
+    # nd = s0+s1+s2 — one fifth less MXU output, VMEM traffic and table
+    # DMA.  Derive the DENOMINATOR, never a sign quantity: an earlier
+    # variant derived s0 = nd-s1-s2 and the bf16x2 rounding of nd/s1/s2
+    # put an ABSOLUTE ~2^-17*mag error on s0, flipping the inside test's
+    # sign for rays near edge 0 (found-agree fell to 0.9756 on the chip
+    # smoke); stored sections only carry error RELATIVE to their own
+    # magnitude, and nd's ~1e-5 relative error just perturbs t.  The
+    # identity requires the three edge columns to share ONE common scale
+    # per triangle (not per-edge max-normalization).
     Wsep = np.zeros((4, 16, Pp), np.float32)
     if P:
         a0, b0 = v0 - center, v0 + e1 - center
@@ -124,7 +129,9 @@ def build_dense_tables(v0, e1, e2):
         # computes  nv0 - n.(o-c)  directly; t = num / nd
         Wsep[2, 6:9, :P] = -nn.T
         Wsep[2, 15, :P] = nv0
-        Wsep[3, 0:3, :P] = nn.T       # nd = n.d
+        c0 = cols[0] * inv            # s0 stored; nd derived in-kernel
+        Wsep[3, 0:3, :P] = c0[:, :3].T
+        Wsep[3, 3:6, :P] = c0[:, 3:].T
 
     # bf16x2 split, pre-stacked for a SINGLE K=48 MXU pass per group:
     #   [r_hi | r_lo | r_hi] @ [w_hi ; w_hi ; w_lo]
@@ -189,18 +196,21 @@ def ray_vectors(o, d, center, anyhit=None):
 
 def _kernel_loop(cl_ref, na_ref, nl_ref, r48_ref, meta_ref, w_hbm, cb_ref,
                  t_ref, prim_ref, wbuf, sems, *, resident):
-    """Chunk-loop kernel: one grid step covers TPG ray tiles (a
-    fori_loop over sub-tiles — the ~7us-per-grid-step floor measured on
-    v5e amortizes TPG-fold).  Each tile's active chunks (front-to-back)
-    are visited in GROUPS of PICK chunks by an in-kernel while_loop with
-    FRONT-TO-BACK EARLY EXIT: group j's near_list value lower-bounds
-    every lane's slab entry t for this and all later groups (sorted), so
-    once max-lane t_best <= that bound no remaining chunk can improve
-    any lane and the loop stops (the reference's ordered traversal +
-    shrinking tMax, bvh.cpp:662-700, recovered at tile granularity).
-    The PICK chunks of a group are independently chosen fine chunks —
-    same MXU/epilogue width per iteration as one fat chunk, but far
-    fewer triangles tested per ray.
+    """Chunk-loop kernel: one grid step covers TPG ray tiles via a
+    SINGLE merged while_loop over flat (tile, group) work items —
+    per-tile loop constructs measured a ~7-9us floor each on v5e, so
+    tiles with one group of real work were paying 2x overhead; the
+    merged loop pays it once per grid step.
+
+    Each tile's active chunks (front-to-back) are visited in GROUPS of
+    PICK chunks with FRONT-TO-BACK EARLY EXIT: group j's near_list value
+    lower-bounds every lane's slab entry t for this and all later groups
+    (sorted), so once max-lane t_best <= that bound no remaining chunk
+    can improve any lane and the item index jumps to the next tile (the
+    reference's ordered traversal + shrinking tMax, bvh.cpp:662-700,
+    recovered at tile granularity).  The PICK chunks of a group are
+    independently chosen fine chunks — same MXU/epilogue width per
+    iteration as one fat chunk, but far fewer triangles tested per ray.
 
     resident=True keeps the whole W table in VMEM (small scenes), so the
     group assembly copies are VMEM->VMEM; resident=False streams W slabs
@@ -214,136 +224,178 @@ def _kernel_loop(cl_ref, na_ref, nl_ref, r48_ref, meta_ref, w_hbm, cb_ref,
     tpg = r48_ref.shape[0]
     T = r48_ref.shape[1]
     PC = PICK * CHUNK
-    # hoisted out of all loops: the flat lane iota (pick*CHUNK+lane)
+    base = pl.program_id(0) * tpg
+    # hoisted out of the loop: the flat lane iota (pick*CHUNK+lane)
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, PC), 1)
     BIG = jnp.int32(0x7F7FFFFF)
     dn = (((1,), (0,)), ((), ()))
 
-    def tile_body(tt, carry):
-        i = pl.program_id(0) * tpg + tt      # global tile id
-        ng = na_ref[i]                       # number of ACTIVE GROUPS
-        # r48 ([T,48] bf16 = [r_hi | r_lo | r_hi]) is PREASSEMBLED by the
-        # caller — building it in-kernel cost ~7us/tile in bf16 concat
-        # relayouts, dwarfing the actual per-group work
-        r48 = r48_ref[tt]
-        anyhit = meta_ref[tt, 1:2] > 0.5     # [1,T]
+    # initialize every sub-tile's outputs to the miss result; visited
+    # tiles are overwritten at flush time
+    t_ref[:] = meta_ref[:, 0:1]
+    prim_ref[:] = jnp.full_like(prim_ref, -1)
 
-        def entry(j, s):
-            # fine-chunk list is PACKED two u16 ids per i32 word and
-            # stored TRANSPOSED [words, n_tiles] (SMEM is 1MB on v5e; an
-            # unpacked [n_tiles, C] list at 256-tri chunks pads past it);
-            # the list is padded so group j's picks are always in range
-            idx = j * PICK + s
-            word = cl_ref[idx >> 1, i]
-            return jax.lax.select((idx & 1) == 0, word & 0xFFFF,
-                                  (word >> 16) & 0xFFFF)
+    # exclusive prefix of per-tile group counts: item k belongs to tile
+    # tt iff offs[tt] <= k < offs[tt+1]  (tile-major item order)
+    offs = [jnp.int32(0)]
+    for t in range(tpg):
+        offs.append(offs[-1] + na_ref[base + t])
+    total = offs[-1]
 
-        def dma(slot, j, s, sec):
-            # W is section-major [4, 48, Pp]; each (section, pick) slab
-            # lands at cols sec*PC + s*CHUNK, so the assembled operand's
-            # dot output has the four sections CONTIGUOUS — the epilogue
-            # slices them for free (the old chunk-interleaved layout
-            # needed lane-strided extraction that tripled the VPU cost)
-            c = entry(j, s)
-            return pltpu.make_async_copy(
-                w_hbm.at[sec, :, pl.ds(c * CHUNK, CHUNK)],
-                wbuf.at[slot, :, pl.ds(sec * PC + s * CHUNK, CHUNK)],
-                sems.at[slot, sec * PICK + s])
+    def tt_of(k):
+        tt = jnp.int32(0)
+        for t in range(1, tpg):
+            tt = tt + (k >= offs[t]).astype(jnp.int32)
+        return tt
 
-        def dma_all(slot, j):
-            return [dma(slot, j, s, sec)
-                    for sec in range(4) for s in range(PICK)]
+    def sel_by_tt(tt, vals):
+        out = vals[0]
+        for t in range(1, tpg):
+            out = jax.lax.select(tt == t, vals[t], out)
+        return out
 
-        @pl.when(ng > 0)
+    def entry(k, s):
+        # fine-chunk list is PACKED two u16 ids per i32 word and stored
+        # TRANSPOSED [words, n_tiles] (SMEM is 1MB on v5e; an unpacked
+        # [n_tiles, C] list at 256-tri chunks pads past it); the list is
+        # padded so a group's picks are always in range
+        tt = tt_of(k)
+        j = k - sel_by_tt(tt, offs[:tpg])
+        idx = j * PICK + s
+        word = cl_ref[idx >> 1, base + tt]
+        return jax.lax.select((idx & 1) == 0, word & 0xFFFF,
+                              (word >> 16) & 0xFFFF)
+
+    def dma(slot, k, s, sec):
+        # W is section-major [4, 48, Pp]; each (section, pick) slab
+        # lands at cols sec*PC + s*CHUNK, so the assembled operand's
+        # dot output has the four sections CONTIGUOUS — the epilogue
+        # slices them for free (the old chunk-interleaved layout needed
+        # lane-strided extraction that tripled the VPU cost)
+        c = entry(k, s)
+        return pltpu.make_async_copy(
+            w_hbm.at[sec, :, pl.ds(c * CHUNK, CHUNK)],
+            wbuf.at[slot, :, pl.ds(sec * PC + s * CHUNK, CHUNK)],
+            sems.at[slot, sec * PICK + s])
+
+    def dma_item(k):
+        slot = k % 2
+        return [dma(slot, k, s, sec)
+                for sec in range(4) for s in range(PICK)]
+
+    @pl.when(total > 0)
+    def _():
+        for cp in dma_item(jnp.int32(0)):
+            cp.start()
+
+    def body(state):
+        k, tt_cur, t_best, prim = state          # t_best/prim [1,T]
+        tt = tt_of(k)
+        changed = tt != tt_cur
+
+        # tile transition: flush the finished tile's results, reset the
+        # carry from the new tile's tmax row
+        @pl.when(changed)
         def _():
-            for cp in dma_all(0, 0):
+            t_ref[tt_cur] = t_best
+            prim_ref[tt_cur] = prim
+        t_best = jnp.where(changed, meta_ref[tt, 0:1], t_best)
+        prim = jnp.where(changed, -1, prim)
+        anyhit = meta_ref[tt, 1:2] > 0.5         # [1,T]
+
+        # speculative prefetch of the next item (sequential case)
+        @pl.when(k + 1 < total)
+        def _():
+            for cp in dma_item(k + 1):
                 cp.start()
+        for cp in dma_item(k):
+            cp.wait()
 
-        def body(state):
-            j, t_best, prim = state              # t_best/prim [1,T]
+        r48 = r48_ref[tt]
+        out = jax.lax.dot_general(r48, wbuf[k % 2], dn,
+                                  preferred_element_type=jnp.float32)
+        # out cols are section-major: [s1|s2|num|nd][pick][lane] — each
+        # section is ONE contiguous [T, PC] slice (no relayout)
+        s1 = out[:, 0 * PC:1 * PC]
+        s2 = out[:, 1 * PC:2 * PC]
+        num = out[:, 2 * PC:3 * PC]
+        s0 = out[:, 3 * PC:4 * PC]
+        nd = s0 + s1 + s2              # derived denominator (see tables)
+        i0 = s0.view(jnp.int32)
+        i1 = s1.view(jnp.int32)
+        i2 = s2.view(jnp.int32)
+        inside = ((i0 ^ i1) | (i0 ^ i2)) >= 0
+        # approx reciprocal is ~1e-3 on the VPU — one Newton step
+        # recovers ~f32 (t also carries the 13-bit lane-id quantization)
+        rcp = pl.reciprocal(nd, approx=True)
+        rcp = rcp * (2.0 - nd * rcp)
+        t = num * rcp
+        # NOTE: no per-pick AABB slab test — with an unconditional dot
+        # the acceptance below (t < t_best, t_best > 0) already implies
+        # every predicate the slab test checked; t_best <= 0 parks
+        # shadow winners and dead lanes
+        tb = jnp.where(t_best > 0, t_best, -F32_MAX)    # [1,T]
+        hit = inside & (t > 1e-4) & (t < tb[0][:, None])
+        # the lane id IS the (pick, in-chunk lane) pair (columns are
+        # pick-major within a section)
+        key = (t.view(jnp.int32) & jnp.int32(~LANE_MASK)) | lane
+        kmin = jnp.min(jnp.where(hit, key, BIG), axis=1)[None, :]
+        upd = kmin < BIG
+        t_new = (kmin & jnp.int32(~LANE_MASK)).view(jnp.float32)
+        kk = kmin & jnp.int32(LANE_MASK)
+        t_new = jnp.where(anyhit, -1.0, t_new)
+        # winner's fine chunk: the pick index rides in kk's high bits
+        if PICK == 1:
+            c_win = entry(k, 0)
+        else:
+            s_win = kk >> LANE_BITS_CHUNK
+            c_win = jnp.full_like(kk, entry(k, 0))
+            for s in range(1, PICK):
+                c_win = jnp.where(s_win == s, entry(k, s), c_win)
+        t_best = jnp.where(upd, t_new, t_best)
+        prim = jnp.where(upd, c_win * CHUNK + (kk & (CHUNK - 1)), prim)
 
-            @pl.when(j + 1 < ng)
+        # front-to-back early exit: the NEXT group's near bound lower-
+        # bounds every later group of this tile; if no lane can improve,
+        # jump k to the next tile's first item.  Shadow lanes park at
+        # t=-1 on first hit and dead lanes start at tmax=-1, so both
+        # drop out of the max automatically.
+        if EARLY_EXIT:
+            j1 = jnp.minimum(k - sel_by_tt(tt, offs[:tpg]) + 1,
+                             nl_ref.shape[0] - 1)
+            done_tile = jnp.max(t_best) <= nl_ref[j1, base + tt]
+            k_next = jax.lax.select(done_tile,
+                                    sel_by_tt(tt, offs[1:]), k + 1)
+        else:
+            k_next = k + 1
+        # the speculative prefetch targeted k+1; on a jump, drain it and
+        # start the jump target instead (same semaphore slots)
+        if EARLY_EXIT:
+            jumped = k_next != k + 1
+
+            @pl.when(jumped & (k + 1 < total))
             def _():
-                for cp in dma_all((j + 1) % 2, j + 1):
+                for cp in dma_item(k + 1):
+                    cp.wait()
+
+            @pl.when(jumped & (k_next < total))
+            def _():
+                for cp in dma_item(k_next):
                     cp.start()
-            for cp in dma_all(j % 2, j):
-                cp.wait()
+        return (k_next, tt, t_best, prim)
 
-            out = jax.lax.dot_general(r48, wbuf[j % 2], dn,
-                                      preferred_element_type=jnp.float32)
-            # out cols are section-major: [s1|s2|num|nd][pick][lane] —
-            # each section is ONE contiguous [T, PC] slice (no relayout)
-            s1 = out[:, 0 * PC:1 * PC]
-            s2 = out[:, 1 * PC:2 * PC]
-            num = out[:, 2 * PC:3 * PC]
-            nd = out[:, 3 * PC:4 * PC]
-            s0 = nd - s1 - s2
-            i0 = s0.view(jnp.int32)
-            i1 = s1.view(jnp.int32)
-            i2 = s2.view(jnp.int32)
-            inside = ((i0 ^ i1) | (i0 ^ i2)) >= 0
-            t = num * pl.reciprocal(nd, approx=True)
-            # NOTE: no per-pick AABB slab test — with an unconditional
-            # dot the acceptance below (t < t_best, t_best > 0) already
-            # implies every predicate the slab test checked; t_best <= 0
-            # parks shadow winners and dead lanes
-            tb = jnp.where(t_best > 0, t_best, -F32_MAX)    # [1,T]
-            hit = inside & (t > 1e-4) & (t < tb[0][:, None])
-            # the lane id IS the (pick, in-chunk lane) pair (columns are
-            # pick-major within a section)
-            key = (t.view(jnp.int32) & jnp.int32(~LANE_MASK)) | lane
-            kmin = jnp.min(jnp.where(hit, key, BIG), axis=1)[None, :]
-            upd = kmin < BIG
-            t_new = (kmin & jnp.int32(~LANE_MASK)).view(jnp.float32)
-            k = kmin & jnp.int32(LANE_MASK)
-            t_new = jnp.where(anyhit, -1.0, t_new)
-            # winner's fine chunk: the pick index rides in k's high bits
-            if PICK == 1:
-                c_win = entry(j, 0)
-            else:
-                s_win = k >> LANE_BITS_CHUNK
-                c_win = jnp.full_like(k, entry(j, 0))
-                for s in range(1, PICK):
-                    c_win = jnp.where(s_win == s, entry(j, s), c_win)
-            return (j + 1,
-                    jnp.where(upd, t_new, t_best),
-                    jnp.where(upd, c_win * CHUNK + (k & (CHUNK - 1)), prim))
+    def cond(state):
+        return state[0] < total
 
-        def cond(state):
-            # continue iff some lane could still be improved by group j:
-            # near_list[j, i] lower-bounds every lane's entry t for this
-            # and all later groups, so max-lane t_best <= bound ends the
-            # tile.  Shadow lanes park at t=-1 on first hit and dead
-            # lanes start at tmax=-1, so both drop out of the max.
-            j, t_best, _ = state
-            if not EARLY_EXIT:
-                return j < ng
-            # & is not short-circuit: when the loop runs out (j == ng)
-            # the nl read would be out of bounds — clamp (the j<ng term
-            # already kills the result there)
-            jc = jnp.minimum(j, nl_ref.shape[0] - 1)
-            return (j < ng) & (jnp.max(t_best) > nl_ref[jc, i])
-
-        t_init = meta_ref[tt, 0:1]           # [1,T]
-        prim_init = jnp.full(t_init.shape, -1, jnp.int32)
-        j_end, t_best, prim = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), t_init, prim_init))
-        # the body speculatively prefetches group j+1; on early exit
-        # those copies (slot j_end%2) are still in flight — drain them so
-        # the semaphore/scratch state is clean for the next sub-tile
-        @pl.when(j_end < ng)
-        def _():
-            for cp in dma_all(j_end % 2, j_end):
-                cp.wait()
-        t_ref[tt] = t_best
-        prim_ref[tt] = prim
-        return carry
-
-    # static unroll: a lax.fori_loop here adds per-iteration Mosaic loop
-    # overhead on top of the while_loop's — measured as a ~7us/sub-tile
-    # floor at ng=0
-    for tt in range(tpg):
-        tile_body(tt, 0)
+    tt0 = tt_of(jnp.int32(0))
+    state0 = (jnp.int32(0), tt0, meta_ref[tt0, 0:1],
+              jnp.full((1, T), -1, jnp.int32))
+    k_end, tt_last, t_best, prim = jax.lax.while_loop(cond, body, state0)
+    # flush the last visited tile (loop exits without a transition)
+    @pl.when(total > 0)
+    def _():
+        t_ref[tt_last] = t_best
+        prim_ref[tt_last] = prim
 
 
 # W tables up to this size stay VMEM-resident in the loop kernel (the
@@ -372,15 +424,25 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad,
     r16t = r16.reshape(n_tiles, RAY_TILE, 16)
     tmax_t = tmax.reshape(n_tiles, RAY_TILE)
     # preassembled bf16x2 dot operand [r_hi | r_lo | r_hi] (one fused
-    # XLA pass; building it per-tile in-kernel measured ~7us/tile)
-    r_hi = r16.astype(jnp.bfloat16)
-    r_lo = (r16 - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # XLA pass; building it per-tile in-kernel measured ~7us/tile).
+    # The hi/lo split is done by INTEGER MASKING, not converts: the TPU
+    # toolchain compiles with --xla_allow_excess_precision=true, which
+    # legally elides the bf16 round-trip in (x - f32(bf16(x))), making
+    # r_lo ~ 0 and silently degrading the operand to single-bf16 — that
+    # shipped as 50/2048 wrong closest hits on the round-3 chip smoke
+    # (sign flips near edges + 1e-3 t error).  Masking the low 16
+    # mantissa bits is exact, bf16-representable, and un-elidable.
+    hi_f = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(r16, jnp.int32)
+        & jnp.int32(-65536), jnp.float32)
+    r_hi = hi_f.astype(jnp.bfloat16)
+    r_lo = (r16 - hi_f).astype(jnp.bfloat16)
     r48t = jnp.concatenate([r_hi, r_lo, r_hi], -1) \
         .reshape(n_tiles, RAY_TILE, 48)
     # meta rows: 0 = per-ray tmax (dead lanes < 0), 1 = anyhit flag
     meta = jnp.stack([tmax_t, r16t[:, :, 12]], 1)   # [n_tiles, 2, T]
-    chunk_list, n_active, near_list = _tile_chunk_lists(r16t, tmax_t,
-                                                        chunk_bounds)
+    chunk_list, n_active, near_list = _tile_chunk_lists(
+        r16t, tmax_t, chunk_bounds, interpret=interpret)
     # group the fine-chunk list into PICK-wide loop iterations: pad the
     # list length to a multiple of 2*PICK (repeating the last column — a
     # duplicated chunk can't double-count: t updates are strictly-less),
@@ -439,7 +501,40 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad,
     return t_out.reshape(-1)[:B], prim_out.reshape(-1)[:B]
 
 
-def _tile_chunk_lists(r16_t, tmax_t, chunk_bounds):
+def _queue_kernel(r16_ref, tmax_ref, cb_ref, hits_ref, nears_ref):
+    """Per-(tile, chunk) slab cull, fully VMEM-resident.
+
+    One grid step covers TPG tiles; each sub-tile computes the [Cp, T]
+    slab test in straight-line VPU code and writes only the [Cp]
+    reductions (any-ray-hits, min entry t).  The XLA formulations
+    (one [tiles,C,T] pass, or a chunk-blocked lax.scan) materialized
+    multi-MB intermediates to HBM — measured 5-7ms/call on killeroo vs
+    the whole kernel's ~4ms; here the intermediates never leave VMEM.
+    """
+    tpg = r16_ref.shape[0]
+    Cp = cb_ref.shape[0]
+    for tt in range(tpg):
+        r = r16_ref[tt]                             # [T,16]
+        tm = tmax_ref[tt, 0:1]                      # [1,T]
+        tnear = jnp.full((Cp, r.shape[0]), -F32_MAX)
+        tfar = jnp.full_like(tnear, F32_MAX)
+        for ax in range(3):
+            lo = cb_ref[:, ax][:, None]             # [Cp,1]
+            hi = cb_ref[:, 4 + ax][:, None]
+            oca = r[:, 6 + ax][None, :]             # [1,T]
+            inva = r[:, 9 + ax][None, :]
+            t0 = (lo - oca) * inva
+            t1 = (hi - oca) * inva
+            tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+            tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
+        hit = (tnear <= tfar * 1.0001 + 1e-5) & (tfar > 0) \
+            & (tnear < tm) & (tm > 0)
+        hits_ref[tt] = jnp.any(hit, axis=1).astype(jnp.float32)
+        nears_ref[tt] = jnp.min(
+            jnp.where(hit, jnp.maximum(tnear, 0.0), F32_MAX), axis=1)
+
+
+def _tile_chunk_lists(r16_t, tmax_t, chunk_bounds, interpret=False):
     """Per-ray-tile active-chunk lists for the scalar-prefetch grid.
 
     r16_t [n_tiles,T,16], tmax_t [n_tiles,T], chunk_bounds [C,8].
@@ -448,45 +543,39 @@ def _tile_chunk_lists(r16_t, tmax_t, chunk_bounds):
     entry (shrinks t_best fastest), then the last active index repeated
     so inactive grid steps re-fetch nothing.
     """
-    # slab test with the ray axis LAST and the CHUNK axis SCANNED in
-    # blocks: one [n_tiles, C, T] pass materializes ~6 x 135MB
-    # intermediates to HBM (measured 7ms/call on killeroo — half the
-    # intersect cost); a lax.scan over 16-chunk blocks keeps each step's
-    # [n_tiles, 16, T] intermediates fused in-register and writes only
-    # the [n_tiles, 16] reductions
-    ray_ok = tmax_t > 0
+    n_tiles, T, _ = r16_t.shape
     C = chunk_bounds.shape[0]
-    CB = 16
-    Cp = ((C + CB - 1) // CB) * CB
+    Cp = ((C + 7) // 8) * 8
     cbp = jnp.pad(chunk_bounds, ((0, Cp - C), (0, 0)))
-    oc = r16_t[..., 6:9]                            # [n_tiles, T, 3]
-    da = r16_t[..., 0:3]
-    inv = 1.0 / jnp.where(jnp.abs(da) > 1e-20, da, 1e-20)
-
-    def step(_, cb_blk):                            # cb_blk [CB, 8]
-        tnear = jnp.full(tmax_t.shape[:1] + (CB, tmax_t.shape[1]),
-                         -F32_MAX)
-        tfar = jnp.full_like(tnear, F32_MAX)
-        for ax in range(3):
-            oca = oc[..., ax][:, None, :]           # [n_tiles, 1, T]
-            inva = inv[..., ax][:, None, :]
-            lo = cb_blk[None, :, ax, None]          # [1, CB, 1]
-            hi = cb_blk[None, :, 4 + ax, None]
-            t0 = (lo - oca) * inva
-            t1 = (hi - oca) * inva
-            tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
-            tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
-        hit = (tnear <= tfar * 1.0001 + 1e-5) & (tfar > 0) \
-            & (tnear < tmax_t[:, None, :]) & ray_ok[:, None, :]
-        hits_b = hit.any(-1)                        # [n_tiles, CB]
-        nears_b = jnp.min(jnp.where(hit, jnp.maximum(tnear, 0.0),
-                                    F32_MAX), -1)
-        return None, (hits_b, nears_b)
-
-    _, (hits_s, nears_s) = jax.lax.scan(
-        step, None, cbp.reshape(Cp // CB, CB, 8))
-    hits = jnp.moveaxis(hits_s, 0, 1).reshape(-1, Cp)[:, :C]
-    nears = jnp.moveaxis(nears_s, 0, 1).reshape(-1, Cp)[:, :C]
+    # inactive padding chunks: empty AABBs already fail the slab test
+    tmax2 = tmax_t.reshape(n_tiles, 1, T)
+    tq = max(1, min(TPG, n_tiles))
+    nt_p = ((n_tiles + tq - 1) // tq) * tq
+    r16p = r16_t if nt_p == n_tiles else jnp.pad(
+        r16_t, ((0, nt_p - n_tiles), (0, 0), (0, 0)))
+    tmax2p = tmax2 if nt_p == n_tiles else jnp.pad(
+        tmax2, ((0, nt_p - n_tiles), (0, 0), (0, 0)),
+        constant_values=-1.0)
+    hits_f, nears = pl.pallas_call(
+        _queue_kernel,
+        grid=(nt_p // tq,),
+        in_specs=[
+            pl.BlockSpec((tq, T, 16), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tq, 1, T), lambda i: (i, 0, 0)),
+            pl.BlockSpec((Cp, 8), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tq, Cp), lambda i: (i, 0)),
+            pl.BlockSpec((tq, Cp), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt_p, Cp), jnp.float32),
+            jax.ShapeDtypeStruct((nt_p, Cp), jnp.float32),
+        ],
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(r16p, tmax2p, cbp)
+    hits = hits_f[:n_tiles, :C] > 0.5
+    nears = nears[:n_tiles, :C]
     sort_key = jnp.where(hits, nears, F32_MAX)
     order = jnp.argsort(sort_key, axis=1).astype(jnp.int32)
     n_active = hits.sum(-1).astype(jnp.int32)

@@ -885,6 +885,14 @@ class PbrtAPI:
             self._medium_index(g.outside_medium))
 
         def record_or_add_mesh(verts, idx, norms=None, uvs=None):
+            # two-sample CTM => mesh motion blur: both keyframes'
+            # world-space vertices (reference: AnimatedTransform on the
+            # TransformedPrimitive, primitive.cpp:73-89 +
+            # transform.cpp:255+ — here baked as per-vertex linear
+            # motion between the TransformTimes keyframes)
+            import numpy as _np
+            xf1 = (self.ctm[1] if not _np.allclose(self.ctm[1].m, xf.m)
+                   else None)
             if self.current_object is not None:
                 # store in object space of definition (apply CTM now; the
                 # instance transform is applied on top, like the reference's
@@ -898,7 +906,8 @@ class PbrtAPI:
                 self.builder.add_triangle_mesh(
                     verts, idx, mat, normals=norms, uvs=uvs,
                     light_id=light_id, instance_id=inst,
-                    flip_normal=flip, object_to_world=xf)
+                    flip_normal=flip, object_to_world=xf,
+                    object_to_world1=xf1)
 
         def record_or_add_quadric(qtype, params):
             # two-sample CTM => quadric motion blur (reference:
@@ -1089,12 +1098,13 @@ class PbrtAPI:
             "filmdistance": cp.find_one_float("filmdistance", 70.0),
             "filmdiag": cp.find_one_float("filmdiag", 35.0),
         }
-        split = {"bvh": "sah", "kdtree": "middle"}.get(
-            self.accel_kind, "sah")
-        if self.accel_kind == "kdtree":
-            log.info("kdtree accelerator -> spatial-median kd-style splits "
-                     "in the flattened BVH layout")
-        scene = self.builder.build(split_method=split)
+        # kdtree: a real SAH kd-tree (accel/kdtree.py, reference
+        # kdtreeaccel.cpp) with primitive duplication, traversed by
+        # lockstep kd-restart; the BVH is still built (the dense TPU
+        # kernel takes its leaf order), but CPU-path intersections run
+        # the kd-tree when selected
+        scene = self.builder.build(split_method="sah",
+                                   accel=self.accel_kind)
         return RenderJob(
             scene=scene, builder=self.builder,
             camera_kind=self.camera_kind, camera_params=cam_params,

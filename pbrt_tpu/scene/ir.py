@@ -240,6 +240,18 @@ class SceneData:
     clip_quadrics: bool = struct.field(pytree_node=False, default=False)
     use_dense: bool = struct.field(pytree_node=False, default=False)
     dense_npad: int = struct.field(pytree_node=False, default=0)
+    # SAH kd-tree (Accelerator "kdtree", accel/kdtree.py): packed node
+    # rows [split_bits, flags, above|off, nprims] + duplicated prim list
+    # mesh motion blur: [P,12] = d0|de1|de2|pad so the leaf test forms
+    # v0+t*d0, e1+t*de1, e2+t*de2 per ray (reference TransformedPrimitive
+    # AnimatedTransform, primitive.cpp:73-89)
+    tri_motion: Optional[jnp.ndarray] = None
+    has_animated_mesh: bool = struct.field(pytree_node=False, default=False)
+    kd_packed: Optional[jnp.ndarray] = None    # [N,4] f32 (ints bitcast)
+    kd_prim_idx: Optional[jnp.ndarray] = None  # [M] int32
+    kd_bounds: Optional[jnp.ndarray] = None    # [2,3]
+    use_kd: bool = struct.field(pytree_node=False, default=False)
+    kd_max_leaf: int = struct.field(pytree_node=False, default=0)
 
 
 # packed material-table column layout (SceneData.mat_packed).  Integer
@@ -374,6 +386,7 @@ class SceneBuilder:
         # chunked SoA storage: one entry per mesh/quadric call, concatenated
         # at build() — keeps scene assembly vectorized for large meshes
         self._chunks = []     # dicts of per-prim arrays
+        self.has_animated_mesh = False
         self._n_prims = 0
         self.quads = []       # list of (o2w 4x4, w2o 4x4, params[4])
         self.materials: list[MaterialSpec] = []
@@ -425,9 +438,10 @@ class SceneBuilder:
         return self._n_prims
 
     def _add_chunk(self, F, tri_v, tri_ns, tri_uv, ptype, quad_ref,
-                   material_id, light_id, instance_id, flip):
+                   material_id, light_id, instance_id, flip, tri_dv=None):
         self._chunks.append(dict(
             tri_v=tri_v, tri_ns=tri_ns, tri_uv=tri_uv,
+            tri_dv=(np.zeros((F, 3, 3)) if tri_dv is None else tri_dv),
             prim_type=np.full(F, ptype, np.int32)
             if np.isscalar(ptype) else ptype,
             quad_refs=np.full(F, quad_ref, np.int32),
@@ -457,17 +471,28 @@ class SceneBuilder:
     def add_triangle_mesh(self, vertices, indices, material_id,
                           normals=None, uvs=None, light_id=-1,
                           instance_id=0, flip_normal=False,
-                          object_to_world: Optional[Transform] = None):
-        """vertices [V,3], indices [F,3].  Transforms verts to world."""
+                          object_to_world: Optional[Transform] = None,
+                          object_to_world1: Optional[Transform] = None):
+        """vertices [V,3], indices [F,3].  Transforms verts to world.
+
+        object_to_world1: second CTM keyframe — mesh MOTION BLUR
+        (reference AnimatedTransform on TransformedPrimitive,
+        primitive.cpp:73-89): vertices move linearly between the two
+        keyframes' world positions over the TransformTimes window."""
         vertices = np.asarray(vertices, np.float64).reshape(-1, 3)
         indices = np.asarray(indices, np.int64).reshape(-1, 3)
         if object_to_world is not None:
             w_verts = object_to_world.apply_point(vertices)
             if normals is not None:
+                # keep vertex normals UNNORMALIZED like the reference
+                # (TriangleMesh stores the transformed N as-is;
+                # triangle.cpp:352 interpolates the raw vectors, so
+                # per-vertex magnitudes weight the interpolation —
+                # loopsubdiv limit normals vary ~2x per triangle and
+                # normalizing here skewed interpolated normals by
+                # multiple degrees in bumpy regions)
                 w_norms = object_to_world.apply_normal(
                     np.asarray(normals, np.float64).reshape(-1, 3))
-                nrm = np.linalg.norm(w_norms, axis=-1, keepdims=True)
-                w_norms = w_norms / np.maximum(nrm, 1e-20)
             else:
                 w_norms = None
             if object_to_world.swaps_handedness():
@@ -480,6 +505,12 @@ class SceneBuilder:
                if uvs is not None else None)
         F = len(indices)
         tri_v = w_verts[indices]                               # [F,3,3]
+        if object_to_world1 is not None:
+            w_verts1 = object_to_world1.apply_point(vertices)
+            tri_dv = (w_verts1 - w_verts)[indices]             # [F,3,3]
+            self.has_animated_mesh = True
+        else:
+            tri_dv = np.zeros((F, 3, 3))
         tri_ns = (w_norms[indices] if w_norms is not None
                   else np.zeros((F, 3, 3)))
         tri_uv = (uvs[indices] if uvs is not None
@@ -488,7 +519,7 @@ class SceneBuilder:
                       (F, 3, 2)).copy())
         first = self._add_chunk(F, tri_v, tri_ns, tri_uv, PRIM_TRIANGLE,
                                 -1, material_id, light_id, instance_id,
-                                flip_normal)
+                                flip_normal, tri_dv=tri_dv)
         if light_id >= 0:
             self._mesh_light_tris.setdefault(light_id, []).extend(
                 range(first, first + F))
@@ -566,11 +597,13 @@ class SceneBuilder:
     # -- compile -----------------------------------------------------------
     def _concat(self):
         """Concatenate chunks into per-prim SoA arrays (vectorized)."""
-        keys = ("tri_v", "tri_ns", "tri_uv", "prim_type", "quad_refs",
+        keys = ("tri_v", "tri_ns", "tri_uv", "tri_dv", "prim_type",
+                "quad_refs",
                 "prim_material", "prim_light", "prim_instance", "prim_flip",
                 "prim_face", "prim_medium_in", "prim_medium_out")
         if not self._chunks:
-            return {k: np.zeros((0, 3, 3) if k == "tri_v" or k == "tri_ns"
+            return {k: np.zeros((0, 3, 3) if k in ("tri_v", "tri_ns",
+                                                   "tri_dv")
                                 else (0, 3, 2) if k == "tri_uv" else (0,),
                                 np.float64 if k.startswith("tri")
                                 else np.int32 if k != "prim_flip" else bool)
@@ -580,8 +613,13 @@ class SceneBuilder:
 
     def _prim_bounds(self, soa):
         P = self._n_prims
-        lo = soa["tri_v"].min(1).astype(np.float64)
-        hi = soa["tri_v"].max(1).astype(np.float64)
+        # animated meshes: bound the FULL shutter (union of both
+        # keyframes — linear motion stays inside, transform.cpp:255+)
+        v1 = soa["tri_v"] + soa["tri_dv"]
+        lo = np.minimum(soa["tri_v"].min(1),
+                        v1.min(1)).astype(np.float64)
+        hi = np.maximum(soa["tri_v"].max(1),
+                        v1.max(1)).astype(np.float64)
         # quadric bounds: per-quadric (few) transformed object boxes
         is_quad = soa["prim_type"] != PRIM_TRIANGLE
         for i in np.nonzero(is_quad)[0]:
@@ -603,13 +641,20 @@ class SceneBuilder:
             lo[i], hi[i] = wc.min(0), wc.max(0)
         return lo, hi
 
-    def build(self, max_leaf_size=4, split_method="sah") -> SceneData:
+    def build(self, max_leaf_size=4, split_method="sah",
+              accel="bvh") -> SceneData:
         P = self._n_prims
         soa = self._concat()
         lo, hi = (self._prim_bounds(soa) if P else
                   (np.zeros((0, 3)), np.zeros((0, 3))))
         bvh = build_bvh(lo, hi, max_leaf_size, split_method)
         order = bvh.prim_order if P else np.zeros(0, np.int32)
+        kd = None
+        if accel == "kdtree" and P:
+            # SAH kd-tree over the POST-REORDER prim bounds so its
+            # duplicated prim list indexes the same arrays as the BVH
+            from pbrt_tpu.accel.kdtree import build_kdtree
+            kd = build_kdtree(lo[order], hi[order])
 
         def reorder(key, dtype=np.float32):
             arr = soa[key]
@@ -814,8 +859,18 @@ class SceneBuilder:
         # dense MXU intersector tables (triangles only; zero rows for
         # quadric placeholder prims never hit)
         from pbrt_tpu.ops.pallas_intersect import build_dense_tables
-        use_dense = 0 < P <= 300_000
+        # the dense kernel bakes static Pluecker tables, so animated
+        # meshes take the BVH path (its leaf test interpolates vertices
+        # per-ray); quadric-only motion keeps dense (quadrics pre-test)
+        use_dense = 0 < P <= 300_000 and not self.has_animated_mesh
         dtab = build_dense_tables(tri_v0[:Pp], tri_e1[:Pp], tri_e2[:Pp])
+        # per-prim vertex motion [P,12]: d0 | de1 | de2 | pad, so
+        # v0(t) = v0 + t*d0, e1(t) = e1 + t*de1, e2(t) = e2 + t*de2
+        tri_dv = reorder("tri_dv")
+        tri_motion = np.zeros((Pp, 12), np.float32)
+        tri_motion[:, 0:3] = tri_dv[:, 0]
+        tri_motion[:, 3:6] = tri_dv[:, 1] - tri_dv[:, 0]
+        tri_motion[:, 6:9] = tri_dv[:, 2] - tri_dv[:, 0]
         return SceneData(
             bvh_packed=jnp.asarray(bvh.packed),
             bvh_hit=jnp.asarray(bvh.hit_links),
@@ -825,6 +880,8 @@ class SceneBuilder:
             shade_all=jnp.asarray(shade_all),
             tri_v0=jnp.asarray(tri_v0, f32), tri_e1=jnp.asarray(tri_e1, f32),
             tri_e2=jnp.asarray(tri_e2, f32),
+            tri_motion=jnp.asarray(tri_motion),
+            has_animated_mesh=bool(self.has_animated_mesh),
             tri_ns=jnp.asarray(reorder("tri_ns")),
             tri_uv=jnp.asarray(reorder("tri_uv")),
             quad_idx=jnp.asarray(reorder("quad_refs", np.int32)),
@@ -961,4 +1018,13 @@ class SceneBuilder:
             clip_quadrics=bool(clip_q),
             use_dense=use_dense,
             dense_npad=dtab["n_pad"],
+            kd_packed=(None if kd is None else jnp.asarray(
+                np.concatenate([
+                    kd["nodes_f"][:, None],
+                    kd["nodes_i"].astype(np.int32).view(np.float32)], 1))),
+            kd_prim_idx=(None if kd is None
+                         else jnp.asarray(kd["prim_idx"])),
+            kd_bounds=(None if kd is None else jnp.asarray(kd["bounds"])),
+            use_kd=kd is not None,
+            kd_max_leaf=(0 if kd is None else kd["max_leaf"]),
         )

@@ -157,7 +157,7 @@ def _shape_to_ply(g, base, n_ply):
 def run_job(job, spp=None, max_depth=None, quiet=False,
             max_rays_per_pass=1 << 18, progress=True,
             checkpoint_path=None, checkpoint_every=60.0,
-            sampler_override=None):
+            sampler_override=None, stats=None):
     """Render a RenderJob -> (film, integrator_kind).
 
     sampler_override="refsobol" selects the matched-RNG parity mode
@@ -202,7 +202,8 @@ def run_job(job, spp=None, max_depth=None, quiet=False,
     film = dispatch.render_with_integrator(
         job, camera, film, cfg, spp, max_depth,
         max_rays_per_pass=max_rays_per_pass, progress=prog,
-        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every)
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        stats=stats)
     if not quiet and progress:
         print()
     return film, camera
@@ -284,7 +285,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     from pbrt_tpu.parser.api import parse_scene
-    from pbrt_tpu.utils.stats import Stats, count_render_work
+    from pbrt_tpu.utils.stats import Stats, count_scene
     stats = Stats()
     with stats.phase("Parsing + scene compile"):
         job = parse_scene(args.scene)
@@ -300,19 +301,24 @@ def main(argv=None):
                                quiet=args.quiet,
                                checkpoint_path=args.checkpoint,
                                checkpoint_every=args.checkpoint_interval,
-                               sampler_override=args.sampler)
+                               sampler_override=args.sampler, stats=stats)
         # drain async dispatches so the phase accounting is honest
         # (otherwise the render work completes inside "Film output")
         import jax
         jax.block_until_ready(film.weighted)
     dt = stats.times["Rendering"]
-    eff_spp = spp or job.spp
-    eff_depth = max_depth or job.integrator_params["maxdepth"]
-    count_render_work(stats, job.film_width, job.film_height, eff_spp,
-                      eff_depth, job.scene.n_prims, job.scene.n_lights)
+    count_scene(stats, job.scene.n_prims, job.scene.n_lights,
+                job.scene.n_nodes)
     if not args.quiet:
-        n_rays = job.film_width * job.film_height * eff_spp
-        print(f"rendered in {dt:.1f}s ({n_rays/dt:,.0f} camera rays/s)")
+        # measured counters when the integrator reported them; the
+        # W*H*spp product only as a fallback label
+        n_rays = (stats.counters.get("Intersections/Regular ray "
+                                     "intersection tests", 0)
+                  + stats.counters.get("Intersections/Shadow ray "
+                                       "intersection tests", 0))
+        if not n_rays:
+            n_rays = job.film_width * job.film_height * (spp or job.spp)
+        print(f"rendered in {dt:.1f}s ({n_rays/dt:,.0f} rays/s)")
     with stats.phase("Film output"):
         write_outputs(job, film, args.outfile, args.quiet)
     if not args.quiet:

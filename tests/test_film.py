@@ -62,3 +62,32 @@ def test_triangle_filter_footprint_keeps_scatter_path():
     b = fm.add_samples(film2, pfilm, L, aligned_base=jnp.uint32(0))
     np.testing.assert_allclose(np.asarray(a.weighted),
                                np.asarray(b.weighted), atol=1e-6)
+
+
+def test_exr_piz_pxr24_b44_read():
+    """PIZ / PXR24 / B44 EXRs decode through the native OpenEXR shim
+    (native/exr_reader.cc; the reference reads every EXR via OpenEXR,
+    imageio.cpp:124+).  Fixtures written by OpenEXR itself with a known
+    pattern."""
+    import os
+    import numpy as np
+    import pytest
+    from pbrt_tpu.film import io as fio
+    from pbrt_tpu.native.build import load_exr
+
+    if load_exr() is None:
+        pytest.skip("system OpenEXR unavailable")
+    base = os.path.join(os.path.dirname(__file__), "data")
+    w, h = 37, 23
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    want_r = (xs * 0.25 + ys).astype(np.float32)
+    want_b = (ys * 0.5).astype(np.float32)
+    for name, tol in [("exr_piz.exr", 1e-3), ("exr_pxr24.exr", 1e-2),
+                      ("exr_b44.exr", 0.2)]:
+        img = fio.read_exr(os.path.join(base, name))
+        assert img.shape == (h, w, 3), name
+        # half precision + lossy-for-b44 tolerances, relative to scale
+        scale = np.maximum(np.abs(want_r), 1.0)
+        assert (np.abs(img[..., 0] - want_r) / scale).max() < tol, name
+        assert (np.abs(img[..., 2] - want_b)
+                / np.maximum(want_b, 1.0)).max() < tol, name

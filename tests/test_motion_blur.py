@@ -107,3 +107,66 @@ def test_camera_motion_blur():
         on = np.nonzero(prof > prof.max() * 0.02)[0]
         return on.max() - on.min()
     assert width(img_m) > width(img_s) + 3, (width(img_s), width(img_m))
+
+
+def test_mesh_motion_blur():
+    """Two-keyframe TRIANGLE MESH motion (VERDICT r2 item 5; reference
+    TransformedPrimitive + AnimatedTransform, primitive.cpp:73-89 +
+    transform.cpp:255+): a quad translating across the frame must (a)
+    intersect at its time-t position per ray, (b) blur across the
+    shutter in a render, (c) match the static render at shutter [0,0]."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pbrt_tpu.parser.api import PbrtAPI
+    from pbrt_tpu.core import geometry as geom
+    from pbrt_tpu.ops import intersect as isect
+
+    def scene_text(shutter):
+        return f"""
+        LookAt 0 0 5  0 0 0  0 1 0
+        Camera "perspective" "float fov" [60]
+            "float shutteropen" [{shutter[0]}]
+            "float shutterclose" [{shutter[1]}]
+        Film "image" "integer xresolution" [32] "integer yresolution" [32]
+        WorldBegin
+        LightSource "distant" "rgb L" [3 3 3] "point from" [0 0 5]
+        Material "matte" "rgb Kd" [.8 .8 .8]
+        ActiveTransform EndTime
+        Translate 2 0 0
+        ActiveTransform All
+        Shape "trianglemesh" "point P" [-1 -1 0  1 -1 0  1 1 0  -1 1 0]
+            "integer indices" [0 1 2 2 3 0]
+        WorldEnd
+        """
+
+    job = PbrtAPI().parse_string(scene_text((0.0, 1.0)))
+    scene = job.scene
+    assert scene.has_animated_mesh
+    assert not scene.use_dense          # animated meshes take the BVH path
+
+    # (a) time-dependent intersection: a ray at x=1.5 only hits the quad
+    # once it has translated far enough (x in [-1+2t, 1+2t])
+    o = jnp.asarray([[1.5, 0.0, 5.0]] * 3, jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]] * 3, jnp.float32)
+    ray = geom.Ray.make(o, d, time=jnp.asarray([0.0, 0.5, 1.0]))
+    t, prim, _, _, found = isect.intersect(scene, ray)
+    found = np.asarray(found)
+    assert not found[0]                 # at t=0 the quad spans [-1, 1]
+    assert found[1] and found[2]        # at t>=0.25 it covers x=1.5
+
+    # (b)/(c) render-level: shutter [0,0] must match a static render,
+    # and a full shutter must spread energy over the swept region
+    from pbrt_tpu.tools.pbrt import run_job
+    film0, _ = run_job(PbrtAPI().parse_string(scene_text((0.0, 0.0))),
+                       spp=16, max_depth=1, quiet=True, progress=False)
+    filmb, _ = run_job(job, spp=16, max_depth=1, quiet=True,
+                       progress=False)
+    img0 = np.asarray(film0.weighted).sum(-1)
+    imgb = np.asarray(filmb.weighted).sum(-1)
+    # raster x is MIRRORED w.r.t. world +x for this LookAt (camera
+    # right = -x), so the +2 world sweep blurs toward raster col 0.
+    # static: nothing left of the quad's edge; blurred: energy there
+    assert img0[:, :6].max() < 1e-4
+    assert imgb[16, :6].max() > 1e-3
+    # a mid-sweep column is dimmer than the always-covered center
+    assert imgb[16, 2] < 0.9 * imgb[16, 14] + 1e-6

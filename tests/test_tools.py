@@ -80,9 +80,11 @@ def test_bsdftest_harness():
 
 
 def test_stats_report(capsys):
-    from pbrt_tpu.utils.stats import Stats, count_render_work
+    from pbrt_tpu.utils.stats import Stats, count_scene
     s = Stats()
-    count_render_work(s, 64, 64, 8, 5, 100, 2)
+    count_scene(s, 100, 2, 37)
+    s.add("Integrator/Camera rays traced", 64 * 64 * 8)
+    s.ratios["Integrator/Path length"] = (1000.0, 400.0)
     with s.phase("Rendering"):
         pass
     s.report()
