@@ -105,8 +105,14 @@ def build_kdtree(lo, hi, isect_cost=80, traversal_cost=1,
             nodes_i[node] = [KD_LEAF, len(prim_idx), n]
             prim_idx.extend(prims.tolist())
             return node
-        # primitive duplication: straddlers go to BOTH children
-        below = prims[lo[prims, axis_b] < split]
+        # primitive duplication: straddlers go to BOTH children.  A
+        # zero-extent prim lying exactly ON the split plane (axis-aligned
+        # quad at the SAH+empty-bonus-preferred position) satisfies
+        # neither strict inequality — keep it below, matching pbrt's
+        # edge-index classification which always lands such prims on one
+        # side (kdtreeaccel.cpp prims0/prims1 loops).
+        on_plane = (lo[prims, axis_b] == split) & (hi[prims, axis_b] == split)
+        below = prims[(lo[prims, axis_b] < split) | on_plane]
         above = prims[hi[prims, axis_b] > split]
         lo_hi = nb_hi.copy()
         lo_hi[axis_b] = split

@@ -697,7 +697,13 @@ def _intersect_kd(scene: SceneData, ray: geom.Ray, any_hit: bool = False):
         u = jnp.where(upd, jnp.take_along_axis(b1, kb[:, None], 1)[:, 0], u)
         v = jnp.where(upd, jnp.take_along_axis(b2, kb[:, None], 1)[:, 0], v)
         # ---- restart past the finished cell ----
-        adv = t_cell + 1e-5 * jnp.maximum(jnp.abs(t_cell), 1.0)
+        # advance by a few float ULPs (bit increment), not a relative
+        # epsilon: a 1e-5*|t| step can overshoot cells thinner than
+        # that along the ray and skip their prims (ADVICE r3).
+        adv_bits = jax.lax.bitcast_convert_type(
+            jnp.maximum(t_cell, 0.0).astype(jnp.float32), jnp.int32) + 4
+        adv = jax.lax.bitcast_convert_type(adv_bits, jnp.float32)
+        adv = jnp.where(t_cell <= 0.0, 1e-30, adv)
         limit = jnp.minimum(t_best, t1g)
         done = (adv >= limit) | ((prim >= 0) if any_hit
                                  else jnp.zeros_like(act))

@@ -529,8 +529,8 @@ def _queue_kernel(r16_ref, tmax_ref, cb_ref, hits_ref, nears_ref):
             tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
         hit = (tnear <= tfar * 1.0001 + 1e-5) & (tfar > 0) \
             & (tnear < tm) & (tm > 0)
-        hits_ref[tt] = jnp.any(hit, axis=1).astype(jnp.float32)
-        nears_ref[tt] = jnp.min(
+        hits_ref[tt, 0] = jnp.any(hit, axis=1).astype(jnp.float32)
+        nears_ref[tt, 0] = jnp.min(
             jnp.where(hit, jnp.maximum(tnear, 0.0), F32_MAX), axis=1)
 
 
@@ -565,17 +565,17 @@ def _tile_chunk_lists(r16_t, tmax_t, chunk_bounds, interpret=False):
             pl.BlockSpec((Cp, 8), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((tq, Cp), lambda i: (i, 0)),
-            pl.BlockSpec((tq, Cp), lambda i: (i, 0)),
+            pl.BlockSpec((tq, 1, Cp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tq, 1, Cp), lambda i: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nt_p, Cp), jnp.float32),
-            jax.ShapeDtypeStruct((nt_p, Cp), jnp.float32),
+            jax.ShapeDtypeStruct((nt_p, 1, Cp), jnp.float32),
+            jax.ShapeDtypeStruct((nt_p, 1, Cp), jnp.float32),
         ],
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(r16p, tmax2p, cbp)
-    hits = hits_f[:n_tiles, :C] > 0.5
-    nears = nears[:n_tiles, :C]
+    hits = hits_f[:n_tiles, 0, :C] > 0.5
+    nears = nears[:n_tiles, 0, :C]
     sort_key = jnp.where(hits, nears, F32_MAX)
     order = jnp.argsort(sort_key, axis=1).astype(jnp.int32)
     n_active = hits.sum(-1).astype(jnp.int32)

@@ -897,6 +897,11 @@ class PbrtAPI:
                 # store in object space of definition (apply CTM now; the
                 # instance transform is applied on top, like the reference's
                 # TransformedPrimitive, primitive.cpp:73-89)
+                if xf1 is not None:
+                    log.warning(
+                        "mesh motion blur inside ObjectBegin/%s is not "
+                        "propagated through instances; second keyframe "
+                        "ignored", self.current_object)
                 wv = xf.apply_point(np.asarray(verts, np.float64))
                 wn = (xf.apply_normal(np.asarray(norms, np.float64))
                       if norms is not None else None)

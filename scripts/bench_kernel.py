@@ -52,7 +52,7 @@ def shoot(seed):
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     r16 = pdense.ray_vectors(o, d, center)
     tmax = jnp.full((B,), 1e30, jnp.float32)
-    t, prim = pdense.dense_intersect(r16, tmax, W, cb, tab["n_pad"])
+    t, prim = pdense.dense_intersect_loop(r16, tmax, W, cb, tab["n_pad"])
     return t.sum(), (prim >= 0).mean()
 
 

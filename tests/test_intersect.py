@@ -227,3 +227,42 @@ def test_kdtree_matches_bvh():
     occ1 = np.asarray(isect.occluded(s_kd, sray))
     occ2 = np.asarray(isect.occluded(s_bvh, sray))
     assert (occ1 == occ2).all()
+
+
+def test_kdtree_flat_quad_on_split_plane():
+    """A zero-extent axis-aligned quad lying exactly on the best SAH
+    split plane must stay in the tree (ADVICE r3: strict-inequality
+    classification dropped such prims from BOTH children, leaving holes
+    in kdtree scenes with axis-aligned walls/floors)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pbrt_tpu.core import geometry as geom
+    from pbrt_tpu.scene.ir import SceneBuilder, MaterialSpec
+    from pbrt_tpu.ops import intersect as isect
+
+    b = SceneBuilder()
+    m = b.add_material(MaterialSpec())
+    # flat quad at y=0 (two triangles), plus two prim clusters above and
+    # below so SAH wants to split at exactly y=0 (empty-gap boundary)
+    quad = np.array([[-4, 0, -4], [4, 0, -4], [4, 0, 4], [-4, 0, 4]],
+                    np.float32)
+    b.add_triangle_mesh(quad, [[0, 1, 2], [0, 2, 3]], m)
+    rs = np.random.RandomState(0)
+    for yc in (3.0, -3.0):
+        base = rs.rand(40, 3).astype(np.float32)
+        base[:, 1] = yc + base[:, 1] * 0.5
+        for i in range(40):
+            tri = np.stack([base[i], base[i] + [0.3, 0, 0],
+                            base[i] + [0, 0.1, 0.3]])
+            b.add_triangle_mesh(tri, [[0, 1, 2]], m)
+    scene = b.build(accel="kdtree")
+    assert scene.use_kd
+    # rays straight down at the quad: every one must hit it
+    o = np.stack([np.linspace(-3.5, 3.5, 64),
+                  np.full(64, 10.0), np.linspace(-3.5, 3.5, 64)], -1)
+    d = np.tile(np.array([[0.0, -1.0, 0.0]], np.float32), (64, 1))
+    ray = geom.Ray.make(jnp.asarray(o, jnp.float32), jnp.asarray(d))
+    t, p, u, v, f = isect.intersect(scene, ray)
+    assert np.asarray(f).all(), "flat quad on split plane vanished"
+    # every ray hits the quad (t=10) unless a cluster tri is in the way
+    assert (np.asarray(t)[np.asarray(f)] <= 10.0 + 1e-3).all()
