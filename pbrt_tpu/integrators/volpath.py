@@ -144,19 +144,31 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
                     & ~spec.is_black(f)
                 sp_org = jnp.where(in_medium[:, None], p_med, hit.p)
                 sp_n = jnp.where(in_medium[:, None], wi, hit.ng)
-                sray = isect.spawn_shadow_ray(sp_org, sp_n, wi, dist,
-                                              cand, ray.wavelength, time=ray.time)
-                occ = isect.occluded(scene, sray,
-                                      ignore_light=isect.nee_ignore_light(scene, l))
-                # transmittance along the unoccluded shadow path (per-
-                # prim: the vertex's own medium attenuates the whole
-                # segment — boundary changes mid-segment are ignored)
-                sh_dist = jnp.where(jnp.isfinite(dist), dist,
-                                    2 * scene.world_radius)
                 if per_prim:
-                    tr = med_mod.transmittance_lanes(lane_sa + lane_ss,
-                                                     sh_dist)
+                    # walk medium interfaces along the shadow segment
+                    # (Scene::IntersectTr, scene.cpp:57-81): per-
+                    # sub-segment Tr of the medium actually occupying
+                    # it, switching at material-less boundary prims
+                    scale = jnp.maximum(jnp.max(jnp.abs(sp_org), -1), 1.0)
+                    eps = (1e-4 * scale)[:, None]
+                    off = jnp.where(geom.dot(wi, sp_n)[:, None] >= 0,
+                                    eps, -eps) * sp_n
+                    blocked, optical = isect.intersect_tr_walk(
+                        scene, sp_org + off, wi,
+                        (dist - geom.dot(off, wi)) * 0.999, cand,
+                        cur_med, ray.wavelength, time=ray.time,
+                        ignore_light=isect.nee_ignore_light(scene, l))
+                    occ = blocked
+                    tr = jnp.exp(-optical)
                 else:
+                    sray = isect.spawn_shadow_ray(
+                        sp_org, sp_n, wi, dist, cand, ray.wavelength,
+                        time=ray.time)
+                    occ = isect.occluded(
+                        scene, sray,
+                        ignore_light=isect.nee_ignore_light(scene, l))
+                    sh_dist = jnp.where(jnp.isfinite(dist), dist,
+                                        2 * scene.world_radius)
                     tr = med_mod.transmittance(
                         medium, sp_org, wi, sh_dist,
                         pixel_id, sample_idx, salt + 128)

@@ -27,7 +27,7 @@ from flax import struct
 from pbrt_tpu.core import geometry as geom
 from pbrt_tpu.scene.ir import (SceneData, PRIM_TRIANGLE, PRIM_SPHERE,
                                PRIM_CYLINDER, PRIM_DISK, PRIM_CONE,
-                               PRIM_PARABOLOID, PRIM_HYPERBOLOID)
+                               PRIM_PARABOLOID, PRIM_HYPERBOLOID, MAT_NONE)
 
 F32_MAX = jnp.float32(3.4e38)
 
@@ -334,10 +334,15 @@ def all_quadrics_test(scene: SceneData, o, d, tmax, time=None):
     hit = use0 | use1
     t = jnp.where(use0, t0, t1)
     t_masked = jnp.where(hit, t, F32_MAX)
-    k = jnp.argmin(t_masked, axis=1)
-    t_best = jnp.take_along_axis(t_masked, k[:, None], 1)[:, 0]
-    hit_any = jnp.take_along_axis(hit, k[:, None], 1)[:, 0]
-    prim = scene.quad_prim[k]
+    # min-reduction + one-hot select instead of argmin/take_along_axis/
+    # table gather: those lower to row-serial TPU gathers (~2GB/s) that
+    # profiled at ~4ms per 262k-ray call on v5e — 20+ ms/pass on the
+    # killeroo bench — while the reductions below are plain VPU passes
+    t_best = jnp.min(t_masked, axis=1)
+    hit_any = jnp.any(hit, axis=1)
+    eq = t_masked <= t_best[:, None]
+    first = eq & (jnp.cumsum(eq.astype(jnp.int32), axis=1) == 1)
+    prim = jnp.sum(jnp.where(first, scene.quad_prim[None, :], 0), axis=1)
     return t_best, prim, hit_any
 
 
@@ -758,6 +763,98 @@ def _shadow_anyhit(scene: SceneData, ignore_light, B):
     return ~((ignore_light >= 0) & (lq < 0))
 
 
+def intersect_tr_walk(scene: SceneData, org, wi, dist, cand, cur_med,
+                      wavelength, time=None, ignore_light=None,
+                      max_crossings=4):
+    """Shadow-ray transmittance walk across medium interfaces.
+
+    TPU redesign of Scene::IntersectTr (reference scene.cpp:57-81): the
+    reference loops per ray — intersect; if the hit primitive has a
+    material it blocks; a material-less interface accumulates the
+    CURRENT medium's Tr over the sub-segment, switches to the crossed
+    side's medium and continues.  Here the loop is a statically-unrolled
+    wavefront walk of `max_crossings` whole-batch closest-hit dispatches;
+    lanes that hit a real surface park as blocked, lanes whose segment
+    ends drop out, so later steps run on nearly-empty (cheap, the dense
+    queue culls dead tiles).  Homogeneous media only (the per-prim
+    MediumInterface table, scene/ir.py:140-146); grid media remain
+    scene-global in volpath's ratio-tracking path.
+
+    Returns (blocked [B] bool, seg_sigt_sum [B,NS] f32): Tr =
+    exp(-seg_sigt_sum); lanes still crossing after max_crossings stop
+    accumulating (truncation, conservative toward brighter).
+    """
+    from pbrt_tpu.core import spectrum as spec
+    B = org.shape[0]
+    NS = spec.N_SPECTRAL_SAMPLES
+    P = scene.prim_type.shape[0]
+    M = scene.mat_type.shape[0]
+    n_med = scene.med_sigma_a.shape[0]
+    sig_t_tab = scene.med_sigma_a + scene.med_sigma_s      # [K,NS]
+    remaining = jnp.where(jnp.isfinite(dist), dist,
+                          2 * scene.world_radius)
+    med = cur_med
+    act = cand
+    blocked = jnp.zeros(B, bool)
+    optical = jnp.zeros((B, NS))
+    p = org
+    for _ in range(max_crossings):
+        ray = geom.Ray.make(p, wi, tmax=jnp.where(act, remaining, -1.0),
+                            wavelength=wavelength, time=time)
+        t, prim, _, _, found = intersect(scene, ray)
+        seg = jnp.where(found, t, remaining)
+        # current medium's optical depth over the sub-segment
+        mk = jnp.clip(med, 0, n_med - 1)
+        sig_t = jnp.where((med >= 0)[:, None], sig_t_tab[mk], 0.0)
+        optical = optical + jnp.where(
+            act[:, None], sig_t * jnp.maximum(seg, 0.0)[:, None], 0.0)
+        # classify the hit: material-less prims are pass-through medium
+        # interfaces; the sampled light's own geometry passes too
+        pid = jnp.clip(prim, 0, P - 1)
+        sa = scene.shade_all[pid]
+        si = jax.lax.bitcast_convert_type(sa[:, 24:32], jnp.int32)
+        mat_idx = si[:, 2]
+        mtype = jnp.where(mat_idx >= 0,
+                          scene.mat_type[jnp.clip(mat_idx, 0, M - 1)],
+                          MAT_NONE)
+        is_iface = found & (mtype == MAT_NONE)
+        if ignore_light is not None:
+            is_ignored = found & (ignore_light >= 0) \
+                & (si[:, 3] == ignore_light)
+        else:
+            is_ignored = jnp.zeros(B, bool)
+        blocked = blocked | (act & found & ~is_iface & ~is_ignored)
+        # medium switch at interfaces: crossing against the outward
+        # geometric normal enters the prim's inside medium
+        ng = jnp.cross(sa[:, 0:3], sa[:, 3:6])
+        if scene.n_quadrics > 0:
+            # quadric prims carry zeroed triangle rows — derive their
+            # normal the way make_hit does (w2o fetch + gradient)
+            from pbrt_tpu.ops import fetch
+            qi = jnp.clip(si[:, 1], 0, scene.quad_params.shape[0] - 1)
+            w2o, qparams = fetch.fetch_many(
+                [scene.quad_w2o, scene.quad_params], qi)
+            ph_w = p + jnp.where(found, t, 1.0)[:, None] * wi
+            ph = jnp.einsum('bij,bj->bi', w2o[:, :3, :3], ph_w) \
+                + w2o[:, :3, 3]
+            n_obj = quadric_normal_obj(si[:, 0], qparams, ph)
+            ng_quad = jnp.einsum('bji,bj->bi', w2o[:, :3, :3], n_obj)
+            ng = jnp.where((si[:, 0] == PRIM_TRIANGLE)[:, None],
+                           ng, ng_quad)
+        ng = jnp.where((si[:, 5] != 0)[:, None], -ng, ng)
+        entering = geom.dot(wi, ng) < 0
+        pmio = jnp.stack([scene.prim_medium_in,
+                          scene.prim_medium_out], 1)[pid]
+        new_med = jnp.where(entering, pmio[:, 0], pmio[:, 1])
+        med = jnp.where(act & is_iface, new_med, med)
+        # advance past the crossing with a relative-eps offset
+        adv = seg + 1e-4 * jnp.maximum(jnp.abs(seg), 1e-3)
+        p = jnp.where(act[:, None], p + adv[:, None] * wi, p)
+        remaining = remaining - adv
+        act = act & found & (is_iface | is_ignored) & (remaining > 0)
+    return blocked, optical
+
+
 def occluded(scene: SceneData, ray: geom.Ray, ignore_light=None):
     """Shadow-ray IntersectP (reference scene.h:59).
 
@@ -766,9 +863,13 @@ def occluded(scene: SceneData, ray: geom.Ray, ignore_light=None):
     only sphere lights carry the exclusion)."""
     amask = _shadow_anyhit(scene, ignore_light, ray.o.shape[0])
     _, prim, _, _, found = intersect(scene, ray, anyhit_mask=amask)
-    if ignore_light is not None:
-        P = scene.prim_type.shape[0]
-        hit_light = scene.prim_light[jnp.clip(prim, 0, P - 1)]
+    if ignore_light is not None and scene.quad_prim.shape[0] > 0:
+        # same quadric one-hot as trace_pair (nee_ignore_light only
+        # excludes sphere lights; avoids a [P]-table row-serial gather)
+        qlight = scene.prim_light[scene.quad_prim]
+        qmatch = prim[:, None] == scene.quad_prim[None, :]
+        hit_light = jnp.sum(
+            jnp.where(qmatch, qlight[None, :] + 1, 0), axis=1) - 1
         found = found & ~((ignore_light >= 0) & (hit_light == ignore_light))
     return found
 
@@ -942,9 +1043,16 @@ def trace_pair(scene: SceneData, nray: geom.Ray, sray, ignore_light=None):
     t, prim, u, v, found = intersect(scene, both, anyhit_mask=amask)
     hit = make_hit(scene, nray, t[:B], prim[:B], u[:B], v[:B], found[:B])
     occ = found[B:]
-    if ignore_light is not None:
-        P = scene.prim_type.shape[0]
-        hit_light = scene.prim_light[jnp.clip(prim[B:], 0, P - 1)]
+    if ignore_light is not None and scene.quad_prim.shape[0] > 0:
+        # nee_ignore_light only ever excludes SPHERE (quadric) lights,
+        # so the winner can be the ignored light's geometry only when
+        # prim is a quadric prim id — resolve its light via a small
+        # [sB, nq] one-hot instead of a [P]-table row-serial gather
+        # (profiled ~1ms per 131k-ray call on v5e)
+        qlight = scene.prim_light[scene.quad_prim]          # [nq] tiny
+        qmatch = prim[B:, None] == scene.quad_prim[None, :]
+        hit_light = jnp.sum(
+            jnp.where(qmatch, qlight[None, :] + 1, 0), axis=1) - 1
         occ = occ & ~((ignore_light >= 0) & (hit_light == ignore_light))
     return hit, occ
 
