@@ -60,8 +60,14 @@ LANE_BITS_CHUNK = (CHUNK - 1).bit_length()   # lane-within-chunk bits
 # independently CHOSEN fine chunks — same per-iteration width and one
 # early-exit/DMA-wait, but each ray tests far fewer irrelevant tris.
 F32_MAX = 3.4e38     # python float: jnp scalars would be captured kernel consts
-# ablation knob: disable the front-to-back early exit in the loop kernel
-EARLY_EXIT = _os.environ.get("PBRT_TPU_EARLY_EXIT", "1") != "0"
+# ablation knob: the front-to-back early exit in the loop kernel.
+# DEFAULT OFF (r4.2 A/B, docs/KERNEL_LOG.md): with the chunk-major DMA
+# and finer-morton tiles the per-group exit machinery (cross-lane max +
+# conditional prefetch drain/restart) costs more than the groups it
+# skips on both bench scenes (killeroo 63.1->61.7ms, cornell
+# 31.1->30.6ms); the queue's near-sorted order still shrinks t_best
+# fastest so the epilogue's t<t_best mask does the real culling.
+EARLY_EXIT = _os.environ.get("PBRT_TPU_EARLY_EXIT", "0") != "0"
 # ray tiles processed per grid step: the per-grid-step floor measured
 # ~7us on v5e (block DMA latencies + step bookkeeping) — far more than a
 # camera tile's ~1 group of real work — so each step loops over TPG
@@ -77,13 +83,12 @@ def build_dense_tables(v0, e1, e2):
     """Per-triangle Pluecker/plane tables + per-chunk AABBs.
 
     v0,e1,e2: [P,3] float arrays (BVH-leaf order, so chunks are spatially
-    tight).  Returns dict with W [4, 48, Pp] bf16 SECTION-MAJOR
-    (s1|s2|num|nd planes, rows = [w_hi; w_hi; w_lo]), chunk_bounds [C,8],
-    center [3], n_pad.  Section-major means the kernel assembles its dot
-    operand with sections CONTIGUOUS in the lane axis, so the epilogue
-    slices the dot output with free contiguous slices — the previous
-    chunk-interleaved layout forced lane-strided section extraction that
-    made the VPU epilogue ~4x more expensive than its op count.
+    tight).  Returns dict with W [C, 48, 4*CHUNK] bf16 CHUNK-MAJOR
+    (per chunk: s1|s2|num|s0 sections contiguous, rows =
+    [w_hi; w_hi; w_lo]), chunk_bounds [C,8], center [3], n_pad.
+    Chunk-major means one DMA per pick moves a whole chunk into the dot
+    operand (4x fewer DMA issues than the section-major layout) while
+    the epilogue still slices each pick's sections contiguously.
     """
     v0 = np.asarray(v0, np.float64)
     e1 = np.asarray(e1, np.float64)
@@ -138,13 +143,22 @@ def build_dense_tables(v0, e1, e2):
     #     = r_hi@w_hi + r_lo@w_hi + r_hi@w_lo  (~f32 accuracy)
     # One dot instead of three means `out` is written once, K rises from
     # 16 to 48 of the MXU's 128 contraction rows, and Mosaic never
-    # materializes the two partial accumulations.  Sections stay in
-    # SEPARATE planes ([4, 48, Pp]); the kernel DMAs each (section, pick)
-    # slab to a section-contiguous spot of its dot operand.
+    # materializes the two partial accumulations.  The table is stored
+    # CHUNK-MAJOR [C, 48, 4*CHUNK]: one chunk's four sections
+    # (s1|s2|num|s0, each CHUNK wide) are contiguous, so a group's PICK
+    # chunks load with PICK DMAs instead of 4*PICK — on v5e the 16
+    # per-group DMA issue/wait pairs of the section-major layout were a
+    # measured ~2x overhead on the loop's critical path.  The epilogue
+    # slices each pick's sections contiguously (see _kernel_loop).
     import jax.numpy as _jnp
     w_hi = np.asarray(np.asarray(Wsep, np.float32).astype(_jnp.bfloat16))
     w_lo = np.asarray((Wsep - w_hi.astype(np.float32)).astype(_jnp.bfloat16))
     W2 = np.concatenate([w_hi, w_hi, w_lo], 1)     # [4, 48, Pp] bf16
+    C = Pp // CHUNK
+    # [4, 48, C, CHUNK] -> [C, 48, 4, CHUNK] -> [C, 48, 4*CHUNK]
+    W2 = np.ascontiguousarray(
+        W2.reshape(4, 48, C, CHUNK).transpose(2, 1, 0, 3)
+        .reshape(C, 48, 4 * CHUNK))
 
     # chunk AABBs in centered coordinates (8-wide rows for clean VMEM tiles)
     C = Pp // CHUNK
@@ -225,8 +239,9 @@ def _kernel_loop(cl_ref, na_ref, nl_ref, r48_ref, meta_ref, w_hbm, cb_ref,
     T = r48_ref.shape[1]
     PC = PICK * CHUNK
     base = pl.program_id(0) * tpg
-    # hoisted out of the loop: the flat lane iota (pick*CHUNK+lane)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (T, PC), 1)
+    # hoisted out of the loop: the in-chunk lane iota (pick id is added
+    # per pick in the epilogue)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, CHUNK), 1)
     BIG = jnp.int32(0x7F7FFFFF)
     dn = (((1,), (0,)), ((), ()))
 
@@ -266,22 +281,21 @@ def _kernel_loop(cl_ref, na_ref, nl_ref, r48_ref, meta_ref, w_hbm, cb_ref,
         return jax.lax.select((idx & 1) == 0, word & 0xFFFF,
                               (word >> 16) & 0xFFFF)
 
-    def dma(slot, k, s, sec):
-        # W is section-major [4, 48, Pp]; each (section, pick) slab
-        # lands at cols sec*PC + s*CHUNK, so the assembled operand's
-        # dot output has the four sections CONTIGUOUS — the epilogue
-        # slices them for free (the old chunk-interleaved layout needed
-        # lane-strided extraction that tripled the VPU cost)
+    def dma(slot, k, s):
+        # W is chunk-major [C, 48, 4*CHUNK]: ONE copy moves a pick's
+        # whole chunk (all four sections contiguous) into its [48, 4C]
+        # slot of the dot operand — PICK DMAs per group instead of
+        # 4*PICK, and the epilogue still slices each pick's sections
+        # contiguously
         c = entry(k, s)
         return pltpu.make_async_copy(
-            w_hbm.at[sec, :, pl.ds(c * CHUNK, CHUNK)],
-            wbuf.at[slot, :, pl.ds(sec * PC + s * CHUNK, CHUNK)],
-            sems.at[slot, sec * PICK + s])
+            w_hbm.at[c],
+            wbuf.at[slot, :, pl.ds(s * 4 * CHUNK, 4 * CHUNK)],
+            sems.at[slot, s])
 
     def dma_item(k):
         slot = k % 2
-        return [dma(slot, k, s, sec)
-                for sec in range(4) for s in range(PICK)]
+        return [dma(slot, k, s) for s in range(PICK)]
 
     @pl.when(total > 0)
     def _():
@@ -314,32 +328,41 @@ def _kernel_loop(cl_ref, na_ref, nl_ref, r48_ref, meta_ref, w_hbm, cb_ref,
         r48 = r48_ref[tt]
         out = jax.lax.dot_general(r48, wbuf[k % 2], dn,
                                   preferred_element_type=jnp.float32)
-        # out cols are section-major: [s1|s2|num|nd][pick][lane] — each
-        # section is ONE contiguous [T, PC] slice (no relayout)
-        s1 = out[:, 0 * PC:1 * PC]
-        s2 = out[:, 1 * PC:2 * PC]
-        num = out[:, 2 * PC:3 * PC]
-        s0 = out[:, 3 * PC:4 * PC]
-        nd = s0 + s1 + s2              # derived denominator (see tables)
-        i0 = s0.view(jnp.int32)
-        i1 = s1.view(jnp.int32)
-        i2 = s2.view(jnp.int32)
-        inside = ((i0 ^ i1) | (i0 ^ i2)) >= 0
-        # approx reciprocal is ~1e-3 on the VPU — one Newton step
-        # recovers ~f32 (t also carries the 13-bit lane-id quantization)
-        rcp = pl.reciprocal(nd, approx=True)
-        rcp = rcp * (2.0 - nd * rcp)
-        t = num * rcp
-        # NOTE: no per-pick AABB slab test — with an unconditional dot
-        # the acceptance below (t < t_best, t_best > 0) already implies
-        # every predicate the slab test checked; t_best <= 0 parks
-        # shadow winners and dead lanes
+        # out cols are pick-major: pick s occupies [s*4C, (s+1)*4C) with
+        # its four sections (s1|s2|num|s0) contiguous inside — the
+        # epilogue runs per pick on [T, CHUNK] slices (same total VPU op
+        # count as one fused [T, PC] pass; Mosaic keeps each slice a
+        # free contiguous view)
         tb = jnp.where(t_best > 0, t_best, -F32_MAX)    # [1,T]
-        hit = inside & (t > 1e-4) & (t < tb[0][:, None])
-        # the lane id IS the (pick, in-chunk lane) pair (columns are
-        # pick-major within a section)
-        key = (t.view(jnp.int32) & jnp.int32(~LANE_MASK)) | lane
-        kmin = jnp.min(jnp.where(hit, key, BIG), axis=1)[None, :]
+        tbc = tb[0][:, None]
+        kmin = None
+        for s in range(PICK):
+            cb0 = s * 4 * CHUNK
+            s1 = out[:, cb0 + 0 * CHUNK:cb0 + 1 * CHUNK]
+            s2 = out[:, cb0 + 1 * CHUNK:cb0 + 2 * CHUNK]
+            num = out[:, cb0 + 2 * CHUNK:cb0 + 3 * CHUNK]
+            s0 = out[:, cb0 + 3 * CHUNK:cb0 + 4 * CHUNK]
+            nd = s0 + s1 + s2          # derived denominator (see tables)
+            i0 = s0.view(jnp.int32)
+            i1 = s1.view(jnp.int32)
+            i2 = s2.view(jnp.int32)
+            inside = ((i0 ^ i1) | (i0 ^ i2)) >= 0
+            # approx reciprocal is ~1e-3 on the VPU — one Newton step
+            # recovers ~f32 (t also carries the lane-id quantization)
+            rcp = pl.reciprocal(nd, approx=True)
+            rcp = rcp * (2.0 - nd * rcp)
+            t = num * rcp
+            # NOTE: no per-pick AABB slab test — with an unconditional
+            # dot the acceptance below (t < t_best, t_best > 0) already
+            # implies every predicate the slab test checked; t_best <= 0
+            # parks shadow winners and dead lanes
+            hit = inside & (t > 1e-4) & (t < tbc)
+            # the lane id IS the (pick, in-chunk lane) pair
+            key = (t.view(jnp.int32) & jnp.int32(~LANE_MASK)) \
+                | (lane + s * CHUNK)
+            km = jnp.min(jnp.where(hit, key, BIG), axis=1)
+            kmin = km if kmin is None else jnp.minimum(kmin, km)
+        kmin = kmin[None, :]
         upd = kmin < BIG
         t_new = (kmin & jnp.int32(~LANE_MASK)).view(jnp.float32)
         kk = kmin & jnp.int32(LANE_MASK)
@@ -486,7 +509,7 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 48, PICK * 4 * CHUNK), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, 4 * PICK)),
+            pltpu.SemaphoreType.DMA((2, PICK)),
         ],
     )
     t_out, prim_out = pl.pallas_call(
@@ -514,24 +537,37 @@ def _queue_kernel(r16_ref, tmax_ref, cb_ref, hits_ref, nears_ref):
     tpg = r16_ref.shape[0]
     Cp = cb_ref.shape[0]
     for tt in range(tpg):
-        r = r16_ref[tt]                             # [T,16]
         tm = tmax_ref[tt, 0:1]                      # [1,T]
-        tnear = jnp.full((Cp, r.shape[0]), -F32_MAX)
-        tfar = jnp.full_like(tnear, F32_MAX)
-        for ax in range(3):
-            lo = cb_ref[:, ax][:, None]             # [Cp,1]
-            hi = cb_ref[:, 4 + ax][:, None]
-            oca = r[:, 6 + ax][None, :]             # [1,T]
-            inva = r[:, 9 + ax][None, :]
-            t0 = (lo - oca) * inva
-            t1 = (hi - oca) * inva
-            tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
-            tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
-        hit = (tnear <= tfar * 1.0001 + 1e-5) & (tfar > 0) \
-            & (tnear < tm) & (tm > 0)
-        hits_ref[tt, 0] = jnp.any(hit, axis=1).astype(jnp.float32)
-        nears_ref[tt, 0] = jnp.min(
-            jnp.where(hit, jnp.maximum(tnear, 0.0), F32_MAX), axis=1)
+        # dead tiles (all lanes tmax<=0 — late-bounce batches are mostly
+        # dead and the coherence sort sinks them to the back) skip the
+        # whole [Cp,T] slab test; the flat cost was ~40% of the queue
+        # kernel's time on killeroo bounce batches
+        live = jnp.max(tm) > 0.0
+
+        @pl.when(~live)
+        def _():
+            hits_ref[tt, 0] = jnp.zeros((Cp,), jnp.float32)
+            nears_ref[tt, 0] = jnp.full((Cp,), F32_MAX, jnp.float32)
+
+        @pl.when(live)
+        def _():
+            r = r16_ref[tt]                         # [T,16]
+            tnear = jnp.full((Cp, r.shape[0]), -F32_MAX)
+            tfar = jnp.full_like(tnear, F32_MAX)
+            for ax in range(3):
+                lo = cb_ref[:, ax][:, None]         # [Cp,1]
+                hi = cb_ref[:, 4 + ax][:, None]
+                oca = r[:, 6 + ax][None, :]         # [1,T]
+                inva = r[:, 9 + ax][None, :]
+                t0 = (lo - oca) * inva
+                t1 = (hi - oca) * inva
+                tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+                tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
+            hit = (tnear <= tfar * 1.0001 + 1e-5) & (tfar > 0) \
+                & (tnear < tm) & (tm > 0)
+            hits_ref[tt, 0] = jnp.any(hit, axis=1).astype(jnp.float32)
+            nears_ref[tt, 0] = jnp.min(
+                jnp.where(hit, jnp.maximum(tnear, 0.0), F32_MAX), axis=1)
 
 
 def _tile_chunk_lists(r16_t, tmax_t, chunk_bounds, interpret=False):

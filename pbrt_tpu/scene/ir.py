@@ -186,7 +186,7 @@ class SceneData:
     tex_c2: jnp.ndarray          # [T,3]
 
     # --- dense MXU intersector tables (ops/pallas_intersect.py) ---
-    dense_w: jnp.ndarray       # [48, 4*Pp] bf16 (s1|s2|num|nd sections)
+    dense_w: jnp.ndarray       # [C, 48, 4*CHUNK] bf16 chunk-major
     dense_cb: jnp.ndarray      # [C, 8] chunk AABBs (centered coords)
     dense_center: jnp.ndarray  # [3]
 
