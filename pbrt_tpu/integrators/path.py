@@ -218,7 +218,8 @@ def _sss_event(scene, hit, mat, beta, alive, ss, ts, pixel_id, sample_idx,
 def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
                 cfg: SamplerConfig, max_depth=5, rr_threshold=1.0,
                 wavelength_mask=None, light_strategy="uniform",
-                uniforms=None, count_rays=False, tex_spread=0.0):
+                uniforms=None, count_rays=False, tex_spread=0.0,
+                ray_diff=None):
     """Estimate radiance for a batch of camera rays; returns L [B,31].
 
     wavelength_mask: optional [B,31] 0/1 mask restricting transport to a
@@ -260,7 +261,8 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
     # camera-ray closest hit; every later bounce traces its closest-hit
     # and NEE shadow rays through ONE combined batch (_trace_pair) so the
     # sparse kernel pays one sort + one queue + one launch per bounce
-    hit = isect.intersect_full(scene, ray, presorted=True)
+    hit = isect.intersect_full(scene, ray, presorted=True,
+                               ray_diff=ray_diff)
     for bounce in range(max_depth + 1):
         dnorm = geom.normalize(ray.d)
 
@@ -310,9 +312,11 @@ def trace_paths(scene: ir.SceneData, ray: geom.Ray, pixel_id, sample_idx,
                 and scene.tex_type.shape[0] > 1:
             spread_b = tex_spread if bounce == 0 else max(tex_spread, 0.2)
             uv_w = hit.uv_density * hit.t * spread_b
+        # first-hit ray differentials (when carried) select EWA
+        # anisotropic filtering; later bounces keep the cone heuristic
         mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv, p=hit.p,
                                     u_mix=u_mix, uv_width=uv_w,
-                                    face=hit.face)
+                                    face=hit.face, duv=hit.duv)
         hit = hit.replace(ns=bsdf.bump_shading_normal(scene, hit.material,
                                                       hit))
         ss, ts = geom.coordinate_system(hit.ns)
@@ -506,6 +510,40 @@ def camera_rays_for_pixels(camera, W, H, cfg, pixel_id, sample_idx,
     return ray, weight, pfilm, pid, sidx
 
 
+def camera_ray_differentials(camera, W, H, cfg, pid, sidx,
+                             generate_rays, spp):
+    """Probe-ray camera differentials (reference camera.cpp:60-95 +
+    the 1/sqrt(spp) ScaleDifferentials of integrator.cpp:286).
+
+    Regenerates the camera ray at the SAME film sample shifted by one
+    pixel in x and in y (same lens/time samples), then pulls the probe
+    toward the base ray by 1/sqrt(spp).  Returns (rxo, rxd, ryo, ryd).
+    """
+    valid = pid < jnp.uint32(W * H)
+    pid0 = jnp.where(valid, pid, 0)
+    ix = (pid0 % W).astype(jnp.float32)
+    iy = (pid0 // W).astype(jnp.float32)
+    jx = sample_dim(cfg, pid0, sidx, DIM_PIXEL_X)
+    jy = sample_dim(cfg, pid0, sidx, DIM_PIXEL_Y)
+    ulens = jnp.stack(
+        [sample_dim(cfg, pid0, sidx, DIM_LENS_U),
+         sample_dim(cfg, pid0, sidx, DIM_LENS_V)], -1)
+    utime = sample_dim(cfg, pid0, sidx, DIM_TIME)
+    base = jnp.stack([ix + jx, iy + jy], -1)
+    ray0, _ = generate_rays(camera, base, ulens, utime, width=W, height=H)
+    rx, _ = generate_rays(camera, base + jnp.array([1.0, 0.0]),
+                          ulens, utime, width=W, height=H)
+    ry, _ = generate_rays(camera, base + jnp.array([0.0, 1.0]),
+                          ulens, utime, width=W, height=H)
+    s = 1.0 / jnp.sqrt(jnp.maximum(float(spp), 1.0))
+
+    def lerp(a, b):
+        return a + (b - a) * s
+
+    return (lerp(ray0.o, rx.o), lerp(ray0.d, rx.d),
+            lerp(ray0.o, ry.o), lerp(ray0.d, ry.d))
+
+
 def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
            generate_rays=None, trace_fn=None, progress=None,
            max_rays_per_pass=1 << 18, trace_kwargs=None,
@@ -533,6 +571,13 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
     if ("tex_spread" in inspect.signature(trace_fn).parameters
             and "tex_spread" not in trace_kwargs):
         trace_kwargs["tex_spread"] = camera_pixel_spread(camera)
+    # first-hit ray differentials -> EWA (projective cameras with image
+    # textures bound); lens cameras keep the cone heuristic
+    use_ray_diff = (
+        "ray_diff" in inspect.signature(trace_fn).parameters
+        and getattr(camera, "raster_to_camera", None) is not None
+        and getattr(scene, "tex_images", None) is not None
+        and scene.tex_type.shape[0] > 1)
     measure = (stats is not None
                and "count_rays" in inspect.signature(trace_fn).parameters)
     if measure:
@@ -562,8 +607,12 @@ def render(scene, camera, film, cfg: SamplerConfig, spp, max_depth=5,
                  aligned_base=None):
         ray, weight, pfilm, pid, sidx = camera_rays_for_pixels(
             camera, W, H, cfg, pixel_ids, sample_idx, generate_rays)
+        tkw = dict(trace_kwargs)
+        if use_ray_diff:
+            tkw["ray_diff"] = camera_ray_differentials(
+                camera, W, H, cfg, pid, sidx, generate_rays, spp)
         out = trace_fn(scene, ray, pid, sidx, cfg, max_depth=max_depth,
-                       **trace_kwargs)
+                       **tkw)
         L, nvec = out if measure else (out, jnp.zeros(4))
         if max_sample_luminance is not None:
             # clamp overly bright samples (reference maxSampleLuminance,

@@ -62,6 +62,54 @@ SUPPORTED_MATS = (ir.MAT_MATTE, ir.MAT_PLASTIC, ir.MAT_MIRROR, ir.MAT_GLASS)
 # parity scenes (cornell 99.1%, killeroo ~96.9%)
 REF_EPS_SCALE = 1.5e-6
 
+# offset scheme for secondary/shadow rays:
+#   "pbrt"   = the reference's exact construction: barycentric pHit
+#              (triangle.cpp:329), gamma(7) pError (:320-326),
+#              OffsetRayOrigin with per-component next-float rounding
+#              (geometry.h:1449-1465), parametric unnormalized shadow
+#              rays with tMax = 1-ShadowEpsilon (interaction.h SpawnRayTo)
+#   "scaled" = the earlier tuned relative-eps offsets (kept for A/B)
+import os as _os
+REF_OFFSET_MODE = _os.environ.get("PBRT_REF_OFFSET", "pbrt")
+# multiplier on the gamma(7) error box: pbrt's own bound covers pbrt's
+# arithmetic; OUR intersector (XLA fp contraction + the on-edge
+# tolerance band in ops/intersect.ray_triangle) has a wider effective
+# envelope, so the offset must clear THAT (VERDICT r3 item 3)
+REF_PERR_SCALE = float(_os.environ.get("PBRT_REF_PERR_SCALE", "1"))
+REF_EXACT_P = _os.environ.get("PBRT_REF_EXACT_P", "1") != "0"
+
+_GAMMA7 = float(7 * 2.0 ** -24 / (1 - 7 * 2.0 ** -24))
+
+
+def _next_float_up(x):
+    """pbrt NextFloatUp (pbrt.h:210): bit-increment toward +inf."""
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    bu = jnp.where(x >= 0, b + 1, b - 1)
+    bu = jnp.where(x == 0.0, jnp.int32(1), bu)          # +0 -> smallest+
+    return jax.lax.bitcast_convert_type(bu, jnp.float32)
+
+
+def _next_float_down(x):
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    bd = jnp.where(x > 0, b - 1, b + 1)
+    bd = jnp.where(x == 0.0,
+                   jnp.int32(np.int32(np.float32(-1e-45).view(np.int32))),
+                   bd)
+    return jax.lax.bitcast_convert_type(bd, jnp.float32)
+
+
+def offset_ray_origin(p, p_err, n, w):
+    """pbrt OffsetRayOrigin (geometry.h:1449): conservative offset along
+    the geometric normal by the hit's error box, rounded away per
+    component."""
+    d = geom.dot(jnp.abs(n), p_err)
+    offset = d[:, None] * n
+    offset = jnp.where(geom.dot(w, n)[:, None] < 0, -offset, offset)
+    po = p + offset
+    po = jnp.where(offset > 0, _next_float_up(po),
+                   jnp.where(offset < 0, _next_float_down(po), po))
+    return po
+
 
 # ---------------------------------------------------------------------------
 # reference-exact sampler stream
@@ -605,7 +653,20 @@ def _shading_frame(scene, hit):
     ns = jnp.where(is_tri[:, None], ns, hit.ns)
     ng = jnp.where(is_tri[:, None], ng, hit.ng)
     ts = jnp.cross(ns, ss)                      # BSDF frame ts = ns x ss
-    return ss, ts, ns, ng
+    # pbrt's triangle intersection error box (triangle.cpp:320-326):
+    # pError = gamma(7) * (|b0 p0| + |b1 p1| + |b2 p2|) per component
+    p0 = v0
+    p1 = v0 + e1
+    p2 = v0 + e2
+    b1c = jnp.clip(b1, 0.0, 1.0)[:, None]
+    b2c = jnp.clip(b2, 0.0, 1.0)[:, None]
+    b0c = jnp.clip(b0, 0.0, 1.0)[:, None]
+    p_err = (_GAMMA7 * REF_PERR_SCALE) * (
+        jnp.abs(b0c * p0) + jnp.abs(b1c * p1) + jnp.abs(b2c * p2))
+    # quadric lanes: reference sphere.cpp uses gamma(5)*|pHit|
+    p_err = jnp.where(is_tri[:, None], p_err,
+                      (5 * _GAMMA7 / 7) * jnp.abs(hit.p))
+    return ss, ts, ns, ng, p_err
 
 
 def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
@@ -624,7 +685,11 @@ def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
     eta_scale = jnp.ones(B)
     from pbrt_tpu.lights import lights as lightsmod
 
-    hit = isect.intersect_full(scene, ray, presorted=True)
+    exact_p = REF_OFFSET_MODE == "pbrt" and REF_EXACT_P
+    t0_, prim0_, u0_, v0_, found0_ = isect.intersect(scene, ray,
+                                                     presorted=True)
+    hit = isect.make_hit(scene, ray, t0_, prim0_, u0_, v0_, found0_,
+                         exact_p=exact_p)
     for bounce in range(max_depth + 1):
         # ---- Le at specular/camera vertices (path.cpp:91-100) ----------
         le = lightsmod.area_le(scene, hit.light, hit.ng, hit.wo)
@@ -640,7 +705,7 @@ def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
 
         mat = bsdf.gather_materials(scene, hit.material, uv=hit.uv,
                                     p=hit.p)
-        ss, ts, nss, ngg = _shading_frame(scene, hit)
+        ss, ts, nss, ngg, p_err = _shading_frame(scene, hit)
         wo_l = geom.world_to_frame(ss, ts, nss, hit.wo)
         n_ns = _nonspec_counts(mat)
         do_nee = alive & (n_ns > 0)
@@ -690,10 +755,19 @@ def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
         pdf_scat_l = ref_pdf(mat, wo_l, wi_Ll)
         cand_l = do_nee & (pdf_light > 0) & ~spec.is_black(li) \
             & ~spec.is_black(f_l)
-        sray = isect.spawn_shadow_ray(hit.p, ngg, wi_L, dist, cand_l,
-                                      ray.wavelength, time=ray.time,
-                                      eps_scale=REF_EPS_SCALE,
-                                      shave=1.0 - 1e-4)
+        if REF_OFFSET_MODE == "pbrt":
+            # VisibilityTester ray: SpawnRayTo(p_light) — offset origin,
+            # UNNORMALIZED direction, parametric tMax = 1-ShadowEpsilon
+            o_s = offset_ray_origin(hit.p, p_err, ngg, to_l)
+            sray = geom.Ray.make(
+                o_s, p_l - o_s,
+                tmax=jnp.where(cand_l, 1.0 - 1e-4, -1.0),
+                wavelength=ray.wavelength, time=ray.time)
+        else:
+            sray = isect.spawn_shadow_ray(hit.p, ngg, wi_L, dist, cand_l,
+                                          ray.wavelength, time=ray.time,
+                                          eps_scale=REF_EPS_SCALE,
+                                          shave=1.0 - 1e-4)
         w_l = sampling_power(pdf_light, pdf_scat_l)
         contrib_l = beta * f_l * li * (
             w_l / jnp.maximum(pdf_light, 1e-20))[:, None] * float(K)
@@ -705,8 +779,13 @@ def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
         pdf_light_s, light_hit_s = _pdf_li(lt, k, hit.p, wi_S)
         cand_s = do_nee & ok_s & ~spec.is_black(f_s) & (pdf_light_s > 0)
         w_s = sampling_power(pdf_scat, pdf_light_s)
-        pray = isect.spawn_ray(hit.p, ngg, wi_S, ray.wavelength,
-                               time=ray.time, eps_scale=REF_EPS_SCALE)
+        if REF_OFFSET_MODE == "pbrt":
+            pray = geom.Ray.make(
+                offset_ray_origin(hit.p, p_err, ngg, wi_S), wi_S,
+                wavelength=ray.wavelength, time=ray.time)
+        else:
+            pray = isect.spawn_ray(hit.p, ngg, wi_S, ray.wavelength,
+                                   time=ray.time, eps_scale=REF_EPS_SCALE)
         pray = pray.replace(tmax=jnp.where(cand_s, pray.tmax, -1.0))
         # Le orientation: triangles use the fixed normal; spheres need the
         # probe's hit point (resolved after the trace below)
@@ -727,8 +806,13 @@ def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
         beta = jnp.where(alive[:, None], beta_new, beta)
         eta_scale = eta_scale * jnp.where(alive, eta_fac, 1.0)
         specular = is_spec
-        nray = isect.spawn_ray(hit.p, ngg, wi_c, ray.wavelength,
-                               time=ray.time, eps_scale=REF_EPS_SCALE)
+        if REF_OFFSET_MODE == "pbrt":
+            nray = geom.Ray.make(
+                offset_ray_origin(hit.p, p_err, ngg, wi_c), wi_c,
+                wavelength=ray.wavelength, time=ray.time)
+        else:
+            nray = isect.spawn_ray(hit.p, ngg, wi_c, ray.wavelength,
+                                   time=ray.time, eps_scale=REF_EPS_SCALE)
         nray = nray.replace(tmax=jnp.where(alive, nray.tmax, -1.0))
         dim = dim + jnp.where(do_nee, 7, 2)
 
@@ -755,7 +839,7 @@ def trace_ref(scene: ir.SceneData, lt: RefLights, sampler: RefSampler,
         t3, prim3, u3, v3, found3 = isect.intersect(scene, all3,
                                                     anyhit_mask=amask)
         hit = isect.make_hit(scene, nray, t3[:B], prim3[:B], u3[:B],
-                             v3[:B], found3[:B])
+                             v3[:B], found3[:B], exact_p=exact_p)
         probe_prim = prim3[B:2 * B]
         probe_found = found3[B:2 * B]
         occ = found3[2 * B:]

@@ -183,7 +183,7 @@ def resolve_mix(scene: ir.SceneData, material_idx, u_mix=None, p=None):
 
 def gather_materials(scene: ir.SceneData, material_idx, uv=None,
                      p=None, u_mix=None, uv_width=None,
-                     face=None) -> MaterialParams:
+                     face=None, duv=None) -> MaterialParams:
     """Fetch per-ray material records; evaluates texture-bound Kd/Ks at
     the hit uv / world position when the scene has textures.
 
@@ -232,7 +232,8 @@ def gather_materials(scene: ir.SceneData, material_idx, uv=None,
                                tex_idx, uv, pw, uv_width=uv_width,
                                face=(face if getattr(scene, "has_ptex",
                                                      True) else None),
-                               kinds=getattr(scene, "tex_kinds", None))
+                               kinds=getattr(scene, "tex_kinds", None),
+                               duv=duv)
             s = _spec.from_rgb(rgb, "reflectance")
             if slot == "kd":
                 kd = jnp.where((tex_idx >= 0)[:, None], s, kd)

@@ -60,6 +60,10 @@ class Hit:
     uv_density: jnp.ndarray = None   # [B]
     # per-mesh face index (fork faceIndex; drives ptex per-face lookup)
     face: jnp.ndarray = None         # [B]
+    # first-hit uv screen-space gradients [dudx,dvdx,dudy,dvdy] from
+    # camera ray differentials (reference interaction.cpp
+    # ComputeDifferentials); None when the trace carries no differentials
+    duv: jnp.ndarray = None          # [B,4]
 
 
 # ---------------------------------------------------------------------------
@@ -503,13 +507,19 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False,
                                             time=ray.time)
         t_init = jnp.where(qhit, tq, t_init)
         prim_init = jnp.where(qhit, qprim, prim_init)
+    motion = getattr(scene, "dense_motion", False)
+    rtime = (jnp.clip(ray.time, 0.0, 1.0) if motion
+             else None)
     if presorted:
         r16 = pdense.ray_vectors(o, d, scene.dense_center,
                                  anyhit=anyhit_mask)
         t, prim = pdense.dense_intersect_loop(r16, t_init, scene.dense_w,
                                               scene.dense_cb,
                                               scene.dense_npad,
-                                              interpret=interpret)
+                                              interpret=interpret,
+                                              chunk=scene.dense_chunk or None,
+                                              pick=scene.dense_pick or None,
+                                              time=rtime)
     elif o.shape[0] <= (1 << 18):
         # the permutation rides the SORT NETWORK both ways: a variadic
         # sort carrying the 8 ray columns costs ~0.5ms at 2^18 on TPU
@@ -526,15 +536,20 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False,
                 else anyhit_mask.astype(jnp.float32))
         # lane rides as a value column (lax.sort is stable): all 19 key
         # bits stay available for the finer morton cell
-        _, order, o0, o1, o2, d0, d1, d2, ts, fs = jax.lax.sort(
-            (key, lane, o[:, 0], o[:, 1], o[:, 2],
-             d[:, 0], d[:, 1], d[:, 2], t_init, flag), num_keys=1)
+        cols = [key, lane, o[:, 0], o[:, 1], o[:, 2],
+                d[:, 0], d[:, 1], d[:, 2], t_init, flag]
+        if motion:
+            cols.append(rtime)
+        sorted_cols = jax.lax.sort(tuple(cols), num_keys=1)
+        _, order, o0, o1, o2, d0, d1, d2, ts, fs = sorted_cols[:10]
+        rtime_s = sorted_cols[10] if motion else None
         r16s = pdense.ray_vectors(jnp.stack([o0, o1, o2], -1),
                                   jnp.stack([d0, d1, d2], -1),
                                   scene.dense_center, anyhit=fs > 0.5)
         t_s, prim_s = pdense.dense_intersect_loop(
             r16s, ts, scene.dense_w, scene.dense_cb, scene.dense_npad,
-            interpret=interpret)
+            interpret=interpret, chunk=scene.dense_chunk or None,
+            pick=scene.dense_pick or None, time=rtime_s)
         _, t, prim = jax.lax.sort((order, t_s, prim_s), num_keys=1)
     else:
         r16 = pdense.ray_vectors(o, d, scene.dense_center,
@@ -542,7 +557,10 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False,
         order = _coherence_order(scene, o, d, t_init)
         t_s, prim_s = pdense.dense_intersect_loop(
             r16[order], t_init[order], scene.dense_w, scene.dense_cb,
-            scene.dense_npad, interpret=interpret)
+            scene.dense_npad, interpret=interpret,
+            chunk=scene.dense_chunk or None,
+            pick=scene.dense_pick or None,
+            time=(rtime[order] if motion else None))
         t = jnp.zeros_like(t_s).at[order].set(t_s)
         prim = jnp.zeros_like(prim_s).at[order].set(prim_s)
     # kernel only reports triangle wins; keep the quadric prehit otherwise
@@ -883,13 +901,21 @@ def occluded(scene: SceneData, ray: geom.Ray, ignore_light=None):
     return found
 
 
-def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
+def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found,
+             ray_diff=None, exact_p=False) -> Hit:
     """Gather full surface-interaction data for the winning primitives.
 
     All per-prim columns come from ONE packed 32-wide gather
     (shade_all: f32 columns + int columns bit-viewed as f32) —
     fine-grained gathers are serial on TPU, so the one-row layout is
     much faster than per-table lookups.
+
+    ray_diff: optional (rxo, rxd, ryo, ryd) camera ray differentials
+    (each [B,3]); when given, Hit.duv gets the screen-space uv
+    gradients via the reference's plane-projection construction
+    (camera.cpp:60-95 probe rays -> interaction.cpp:43-87
+    ComputeDifferentials), computed for triangle hits (quadric hits
+    carry zero — finest mip level, a noted deviation).
     """
     P = scene.prim_type.shape[0]
     pid = jnp.clip(prim, 0, P - 1)
@@ -945,6 +971,15 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
     u = jnp.where(found & is_tri, jnp.where(refine, b1, b1c), u)
     v = jnp.where(found & is_tri, jnp.where(refine, b2, b2c), v)
     p = ray.at(t)
+    if exact_p:
+        # pbrt constructs the triangle hit point from the barycentrics
+        # (pHit = b0*p0 + b1*p1 + b2*p2, triangle.cpp:329), which is
+        # ~gamma(7)*|p| accurate where o + t*d carries the ray-scale
+        # rounding; the matched-RNG parity integrator needs the same
+        # construction so offset/occlusion decisions line up
+        b0w = (1.0 - u - v)[:, None]
+        p_bary = b0w * v0 + u[:, None] * (v0 + e1) + v[:, None] * (v0 + e2)
+        p = jnp.where((found & is_tri)[:, None], p_bary, p)
     ng_tri = geom.normalize(jnp.cross(e1, e2))
     # triangle shading normal: barycentric interp; fall back to geometric
     b0 = (1.0 - u - v)[..., None]
@@ -1012,18 +1047,62 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found) -> Hit:
     else:
         uv_density = dens_tri
 
+    duv = None
+    if ray_diff is not None:
+        # dpdu/dpdv from the uv edge matrix (triangle.cpp:157-187)
+        det_uv = uv_e1[:, 0] * uv_e2[:, 1] - uv_e1[:, 1] * uv_e2[:, 0]
+        ok_uv = jnp.abs(det_uv) > 1e-12
+        inv_uv = jnp.where(ok_uv, 1.0 / jnp.where(ok_uv, det_uv, 1.0), 0.0)
+        dpdu = (uv_e2[:, 1:2] * e1 - uv_e1[:, 1:2] * e2) * inv_uv[:, None]
+        dpdv = (-uv_e2[:, 0:1] * e1 + uv_e1[:, 0:1] * e2) * inv_uv[:, None]
+        # auxiliary-ray plane intersections (interaction.cpp:52-66)
+        rxo, rxd, ryo, ryd = ray_diff
+        d_pl = geom.dot(ng, p)
+
+        def plane_hit(ro, rd):
+            denom = geom.dot(ng, rd)
+            okp = jnp.abs(denom) > 1e-12
+            tt = jnp.where(okp, (d_pl - geom.dot(ng, ro))
+                           / jnp.where(okp, denom, 1.0), 0.0)
+            return ro + tt[:, None] * rd, okp
+
+        px, okx = plane_hit(rxo, rxd)
+        py, oky = plane_hit(ryo, ryd)
+        dpdx = px - p
+        dpdy = py - p
+        # least-squares 2x2 (dpdx/dpdy lie in the tangent plane, so the
+        # normal-equation solve equals the reference's axis-picked exact
+        # solve without per-lane dimension gathers)
+        g11 = geom.dot(dpdu, dpdu)
+        g12 = geom.dot(dpdu, dpdv)
+        g22 = geom.dot(dpdv, dpdv)
+        det_g = g11 * g22 - g12 * g12
+        ok_g = jnp.abs(det_g) > 1e-20
+        inv_g = jnp.where(ok_g, 1.0 / jnp.where(ok_g, det_g, 1.0), 0.0)
+
+        def solve(dp):
+            b1_ = geom.dot(dp, dpdu)
+            b2_ = geom.dot(dp, dpdv)
+            return ((g22 * b1_ - g12 * b2_) * inv_g,
+                    (g11 * b2_ - g12 * b1_) * inv_g)
+
+        dudx, dvdx = solve(dpdx)
+        dudy, dvdy = solve(dpdy)
+        good = (found & is_tri & ok_uv & ok_g & okx & oky)[:, None]
+        duv = jnp.where(good, jnp.stack([dudx, dvdx, dudy, dvdy], -1), 0.0)
+        duv = jnp.where(jnp.isfinite(duv), duv, 0.0)
     return Hit(valid=found, t=t, p=p, ng=ng, ns=ns, uv=uv,
                wo=-geom.normalize(ray.d), prim=pid,
                material=jnp.where(found, si[:, 2], -1),
                light=jnp.where(found, si[:, 3], -1),
                instance=jnp.where(found, si[:, 4], -1),
-               uv_density=uv_density, face=si[:, 6])
+               uv_density=uv_density, face=si[:, 6], duv=duv)
 
 
 def intersect_full(scene: SceneData, ray: geom.Ray,
-                   presorted: bool = False) -> Hit:
+                   presorted: bool = False, ray_diff=None) -> Hit:
     t, prim, u, v, found = intersect(scene, ray, presorted=presorted)
-    return make_hit(scene, ray, t, prim, u, v, found)
+    return make_hit(scene, ray, t, prim, u, v, found, ray_diff=ray_diff)
 
 
 def trace_pair(scene: SceneData, nray: geom.Ray, sray, ignore_light=None):

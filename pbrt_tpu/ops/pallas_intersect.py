@@ -39,18 +39,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 RAY_TILE = int(_os.environ.get("PBRT_TPU_RAY_TILE", "512"))
-CHUNK = int(_os.environ.get("PBRT_TPU_CHUNK", "256"))    # tris per chunk
-# chunks visited per loop iteration: the dot stays PICK*4*CHUNK = 4096
-# columns wide, but its PICK chunks are chosen INDEPENDENTLY from the
-# tile's front-to-back list — finer chunks cull better (on killeroo
-# bounce batches 4x256 needs ~1.7x fewer full-width steps than 1x1024,
-# measured in /tmp/exp_na_chunk) while the loop/DMA/early-exit machinery
-# still amortizes over a full-width step.
-PICK = int(_os.environ.get("PBRT_TPU_PICK", str(max(1, 1024 // CHUNK))))
-# low mantissa bits of t hold the winner's (pick, lane) id
-LANE_BITS = (CHUNK * PICK - 1).bit_length()
-LANE_MASK = (1 << LANE_BITS) - 1
-LANE_BITS_CHUNK = (CHUNK - 1).bit_length()   # lane-within-chunk bits
+# tris per chunk / chunks per loop iteration, for SMALL scenes.  The
+# r4.3 sweep (docs/KERNEL_LOG.md) showed 16x128 (8192-wide groups of
+# fine chunks) beats 4x256 by ~9% on killeroo and ~1% on cornell:
+# finer chunks cull better and the wide group amortizes the per-group
+# fixed cost.  Large scenes must coarsen the chunk so the per-tile
+# chunk list stays inside SMEM — build_dense_tables picks the actual
+# (chunk, pick) per scene, keeping pick*chunk = CHUNK*PICK.
+CHUNK = int(_os.environ.get("PBRT_TPU_CHUNK", "128"))
+PICK = int(_os.environ.get("PBRT_TPU_PICK", str(max(1, 2048 // CHUNK))))
+# scenes with more than this many chunks coarsen CHUNK (packed chunk
+# list is [C/2, n_tiles] i32 in SMEM; 576 keeps it ~590KB at 512 tiles)
+MAX_CHUNKS = int(_os.environ.get("PBRT_TPU_MAX_CHUNKS", "576"))
 # NOTE(perf, measured on v5e): finer culling only pays when the loop
 # machinery still amortizes over a full-width step.  Two earlier
 # variants LOST: (a) four GATED 256-tri sub-dots per chunk (lax.cond
@@ -79,7 +79,73 @@ TPG = int(_os.environ.get("PBRT_TPU_TPG", "4"))
 # host precompute
 # ---------------------------------------------------------------------------
 
-def build_dense_tables(v0, e1, e2):
+def pick_chunking(P):
+    """Per-scene (chunk, pick): finest chunk whose count fits SMEM,
+    pick sized to keep the group width CHUNK*PICK triangles."""
+    chunk = CHUNK
+    while max(P, 1) > MAX_CHUNKS * chunk:
+        chunk *= 2
+    return chunk, max(1, (CHUNK * PICK) // chunk)
+
+
+def _plucker_cols(v0, e1, e2, center):
+    """The three Pluecker edge columns + the (unscaled) normal."""
+    a0, b0 = v0 - center, v0 + e1 - center
+    a1, b1 = b0, v0 + e2 - center
+    a2, b2 = b1, a0
+    n = np.cross(e1, e2)                           # = unscaled nd column
+    cols = [np.concatenate([np.cross(a, b), b - a], -1)
+            for a, b in [(a0, b0), (a1, b1), (a2, b2)]]
+    return cols, n
+
+
+def _plucker_scale(v0, e1, e2, center):
+    """Common per-tri scale: largest magnitude across the 3 edge columns
+    and the normal (keeps everything in healthy f32/bf16 range; signs
+    and the s0+s1+s2=nd identity are scale-invariant)."""
+    cols, n = _plucker_cols(v0, e1, e2, center)
+    mag = np.maximum.reduce([np.abs(c).max(-1) for c in cols])
+    return np.maximum(mag, np.abs(n).max(-1)) + 1e-30
+
+
+def _plucker_sections(v0, e1, e2, center, inv):
+    """[4,16,P] section table rows (s1|s2|num|s0) for one geometry
+    snapshot, at a FIXED per-tri scale `inv` [P,1] — shared scaling is
+    what lets the motion variant fit time polynomials through multiple
+    snapshots of the same triangle."""
+    P = v0.shape[0]
+    cols, n = _plucker_cols(v0, e1, e2, center)
+    W = np.zeros((4, 16, P), np.float64)
+    nn = n * inv
+    for s, col in enumerate(cols[1:]):             # store s1, s2 only
+        col = col * inv
+        W[s, 0:3] = col[:, :3].T
+        W[s, 3:6] = col[:, 3:].T
+    # "num" section: r lane 15 is the constant 1, so the matmul
+    # computes  nv0 - n.(o-c)  directly; t = num / nd
+    W[2, 6:9] = -nn.T
+    W[2, 15] = (nn * (v0 - center)).sum(-1)
+    c0 = cols[0] * inv                # s0 stored; nd derived in-kernel
+    W[3, 0:3] = c0[:, :3].T
+    W[3, 3:6] = c0[:, 3:].T
+    return W
+
+
+def _bf16x2_chunk_major(Wsep, Pp, chunk):
+    """bf16x2 split + chunk-major layout: [4,16,Pp] f32-ish ->
+    [C, 48, 4*chunk] bf16 rows [w_hi; w_hi; w_lo]."""
+    import jax.numpy as _jnp
+    w_hi = np.asarray(np.asarray(Wsep, np.float32).astype(_jnp.bfloat16))
+    w_lo = np.asarray((np.asarray(Wsep, np.float32)
+                       - w_hi.astype(np.float32)).astype(_jnp.bfloat16))
+    W2 = np.concatenate([w_hi, w_hi, w_lo], 1)     # [4, 48, Pp] bf16
+    C = Pp // chunk
+    return np.ascontiguousarray(
+        W2.reshape(4, 48, C, chunk).transpose(2, 1, 0, 3)
+        .reshape(C, 48, 4 * chunk))
+
+
+def build_dense_tables(v0, e1, e2, chunk=None):
     """Per-triangle Pluecker/plane tables + per-chunk AABBs.
 
     v0,e1,e2: [P,3] float arrays (BVH-leaf order, so chunks are spatially
@@ -94,7 +160,9 @@ def build_dense_tables(v0, e1, e2):
     e1 = np.asarray(e1, np.float64)
     e2 = np.asarray(e2, np.float64)
     P = v0.shape[0]
-    Pp = max(((P + CHUNK - 1) // CHUNK) * CHUNK, CHUNK)
+    if chunk is None:
+        chunk, _ = pick_chunking(P)
+    Pp = max(((P + chunk - 1) // chunk) * chunk, chunk)
     center = v0.mean(0) if P else np.zeros(3)
 
     # 4 sections per tri: s1 | s2 | num | s0.  The plane denominator nd
@@ -109,34 +177,11 @@ def build_dense_tables(v0, e1, e2):
     # magnitude, and nd's ~1e-5 relative error just perturbs t.  The
     # identity requires the three edge columns to share ONE common scale
     # per triangle (not per-edge max-normalization).
-    Wsep = np.zeros((4, 16, Pp), np.float32)
+    Wsep = np.zeros((4, 16, Pp), np.float64)
     if P:
-        a0, b0 = v0 - center, v0 + e1 - center
-        a1, b1 = b0, v0 + e2 - center
-        a2, b2 = b1, a0
-        n = np.cross(e1, e2)                       # = unscaled nd column
-        cols = []
-        for a, b in [(a0, b0), (a1, b1), (a2, b2)]:
-            cols.append(np.concatenate([np.cross(a, b), b - a], -1))
-        # common per-tri scale: largest magnitude across the 3 edge
-        # columns and the normal (keeps everything in healthy f32/bf16
-        # range; signs and the s0+s1+s2=nd identity are scale-invariant)
-        mag = np.maximum.reduce([np.abs(c).max(-1) for c in cols])
-        mag = np.maximum(mag, np.abs(n).max(-1)) + 1e-30
+        mag = _plucker_scale(v0, e1, e2, center)
         inv = (1.0 / mag)[:, None]
-        nn = n * inv
-        for s, col in enumerate(cols[1:]):         # store s1, s2 only
-            col = col * inv
-            Wsep[s, 0:3, :P] = col[:, :3].T
-            Wsep[s, 3:6, :P] = col[:, 3:].T
-        nv0 = (nn * (v0 - center)).sum(-1)
-        # "num" section: r lane 15 is the constant 1, so the matmul
-        # computes  nv0 - n.(o-c)  directly; t = num / nd
-        Wsep[2, 6:9, :P] = -nn.T
-        Wsep[2, 15, :P] = nv0
-        c0 = cols[0] * inv            # s0 stored; nd derived in-kernel
-        Wsep[3, 0:3, :P] = c0[:, :3].T
-        Wsep[3, 3:6, :P] = c0[:, 3:].T
+        Wsep[:, :, :P] = _plucker_sections(v0, e1, e2, center, inv)
 
     # bf16x2 split, pre-stacked for a SINGLE K=48 MXU pass per group:
     #   [r_hi | r_lo | r_hi] @ [w_hi ; w_hi ; w_lo]
@@ -150,18 +195,10 @@ def build_dense_tables(v0, e1, e2):
     # per-group DMA issue/wait pairs of the section-major layout were a
     # measured ~2x overhead on the loop's critical path.  The epilogue
     # slices each pick's sections contiguously (see _kernel_loop).
-    import jax.numpy as _jnp
-    w_hi = np.asarray(np.asarray(Wsep, np.float32).astype(_jnp.bfloat16))
-    w_lo = np.asarray((Wsep - w_hi.astype(np.float32)).astype(_jnp.bfloat16))
-    W2 = np.concatenate([w_hi, w_hi, w_lo], 1)     # [4, 48, Pp] bf16
-    C = Pp // CHUNK
-    # [4, 48, C, CHUNK] -> [C, 48, 4, CHUNK] -> [C, 48, 4*CHUNK]
-    W2 = np.ascontiguousarray(
-        W2.reshape(4, 48, C, CHUNK).transpose(2, 1, 0, 3)
-        .reshape(C, 48, 4 * CHUNK))
+    W2 = _bf16x2_chunk_major(Wsep, Pp, chunk)
+    C = Pp // chunk
 
     # chunk AABBs in centered coordinates (8-wide rows for clean VMEM tiles)
-    C = Pp // CHUNK
     cb = np.zeros((C, 8), np.float32)
     cb[:, 0:3] = 1e30
     cb[:, 4:7] = -1e30
@@ -169,12 +206,93 @@ def build_dense_tables(v0, e1, e2):
         verts = np.stack([v0 - center, v0 + e1 - center,
                           v0 + e2 - center], 1)
         for c in range(C):
-            s0, s1 = c * CHUNK, min((c + 1) * CHUNK, P)
+            s0, s1 = c * chunk, min((c + 1) * chunk, P)
             if s0 < P:
                 vv = verts[s0:s1].reshape(-1, 3)
                 cb[c, 0:3] = vv.min(0) - 1e-4
                 cb[c, 4:7] = vv.max(0) + 1e-4
-    return dict(W=W2, chunk_bounds=cb,
+    return dict(W=W2, chunk_bounds=cb, chunk=chunk,
+                center=center.astype(np.float32), n_pad=Pp)
+
+
+# time nodes the motion tables are fitted through (cubic => 4 nodes,
+# exact: every section entry is a polynomial of degree <= 3 in shutter
+# time — edge Pluecker moments are quadratic, nv0 = n.(v0-c) is cubic)
+_MOTION_NODES = np.array([0.0, 1.0 / 3.0, 2.0 / 3.0, 1.0])
+N_COEF = 4
+
+
+def build_dense_tables_motion(v0, e1, e2, dmotion, chunk=None):
+    """Motion-blur variant of build_dense_tables (reference: the
+    accelerator applying AnimatedTransform inside traversal,
+    primitive.cpp:73-89).
+
+    Vertices move linearly over the shutter: v0(t) = v0 + t*d0 etc.
+    (scene/ir.py tri_motion [P,12] = d0|de1|de2|pad).  Every Pluecker
+    section entry is then a cubic polynomial in t, so the table stores
+    the 4 MONOMIAL COEFFICIENT planes (fitted exactly through 4 time
+    nodes at one shared per-tri scale) and the kernel Horner-combines
+    the 4 dot outputs with each ray's own time.  Layout:
+    W [C, 48, N_COEF*4*chunk] chunk-major, coefficient-major inside a
+    chunk ([coef][sec][lane]) so one DMA still moves a whole chunk.
+    Chunk AABBs are expanded over the whole shutter (conservative cull
+    at any ray time).
+    """
+    v0 = np.asarray(v0, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    dm = np.asarray(dmotion, np.float64)
+    P = v0.shape[0]
+    if chunk is None:
+        chunk, _ = pick_chunking(P)
+    Pp = max(((P + chunk - 1) // chunk) * chunk, chunk)
+    center = v0.mean(0) if P else np.zeros(3)
+    C = Pp // chunk
+
+    Wk = np.zeros((N_COEF, 4, 16, Pp), np.float64)
+    if P:
+        d0, de1, de2 = dm[:, 0:3], dm[:, 3:6], dm[:, 6:9]
+        # one scale per tri across the whole shutter
+        mag = None
+        snaps = []
+        for t in _MOTION_NODES:
+            vt, e1t, e2t = v0 + t * d0, e1 + t * de1, e2 + t * de2
+            snaps.append((vt, e1t, e2t))
+            m = _plucker_scale(vt, e1t, e2t, center)
+            mag = m if mag is None else np.maximum(mag, m)
+        inv = (1.0 / mag)[:, None]
+        Wn = np.stack([_plucker_sections(vt, e1t, e2t, center, inv)
+                       for (vt, e1t, e2t) in snaps])      # [4nodes,4,16,P]
+        # monomial coefficients: solve the 4x4 Vandermonde (exact for
+        # cubics; f64 keeps the conditioning harmless)
+        V = np.vander(_MOTION_NODES, N_COEF, increasing=True)  # [4,4]
+        A = np.linalg.inv(V)                                   # [4,4]
+        Wk[:, :, :, :P] = np.einsum('kn,nsrp->ksrp', A, Wn)
+
+    W2 = np.stack([_bf16x2_chunk_major(Wk[k], Pp, chunk)
+                   for k in range(N_COEF)], 2)  # [C,48,N_COEF,4*chunk]
+    W2 = np.ascontiguousarray(W2.reshape(C, 48, N_COEF * 4 * chunk))
+
+    # shutter-expanded chunk AABBs
+    cb = np.zeros((C, 8), np.float32)
+    cb[:, 0:3] = 1e30
+    cb[:, 4:7] = -1e30
+    if P:
+        pts = []
+        for t in (0.0, 1.0):
+            vt = v0 + t * dm[:, 0:3]
+            e1t = e1 + t * dm[:, 3:6]
+            e2t = e2 + t * dm[:, 6:9]
+            pts.append(np.stack([vt - center, vt + e1t - center,
+                                 vt + e2t - center], 1))
+        verts = np.concatenate(pts, 1)             # [P,6,3]
+        for c in range(C):
+            s0, s1 = c * chunk, min((c + 1) * chunk, P)
+            if s0 < P:
+                vv = verts[s0:s1].reshape(-1, 3)
+                cb[c, 0:3] = vv.min(0) - 1e-4
+                cb[c, 4:7] = vv.max(0) + 1e-4
+    return dict(W=W2, chunk_bounds=cb, chunk=chunk,
                 center=center.astype(np.float32), n_pad=Pp)
 
 
@@ -209,7 +327,8 @@ def ray_vectors(o, d, center, anyhit=None):
 # ---------------------------------------------------------------------------
 
 def _kernel_loop(cl_ref, na_ref, nl_ref, r48_ref, meta_ref, w_hbm, cb_ref,
-                 t_ref, prim_ref, wbuf, sems, *, resident):
+                 t_ref, prim_ref, wbuf, sems, *, resident, chunk, pick,
+                 n_coef=1):
     """Chunk-loop kernel: one grid step covers TPG ray tiles via a
     SINGLE merged while_loop over flat (tile, group) work items —
     per-tile loop constructs measured a ~7-9us floor each on v5e, so
@@ -237,11 +356,15 @@ def _kernel_loop(cl_ref, na_ref, nl_ref, r48_ref, meta_ref, w_hbm, cb_ref,
     del resident
     tpg = r48_ref.shape[0]
     T = r48_ref.shape[1]
-    PC = PICK * CHUNK
+    PC = pick * chunk
+    CW = n_coef * 4 * chunk       # operand columns per (pick) chunk
+    lane_bits = (PC - 1).bit_length()     # low t-mantissa bits = lane id
+    lane_mask = (1 << lane_bits) - 1
+    lane_bits_chunk = (chunk - 1).bit_length()
     base = pl.program_id(0) * tpg
     # hoisted out of the loop: the in-chunk lane iota (pick id is added
     # per pick in the epilogue)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (T, CHUNK), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, chunk), 1)
     BIG = jnp.int32(0x7F7FFFFF)
     dn = (((1,), (0,)), ((), ()))
 
@@ -276,7 +399,7 @@ def _kernel_loop(cl_ref, na_ref, nl_ref, r48_ref, meta_ref, w_hbm, cb_ref,
         # padded so a group's picks are always in range
         tt = tt_of(k)
         j = k - sel_by_tt(tt, offs[:tpg])
-        idx = j * PICK + s
+        idx = j * pick + s
         word = cl_ref[idx >> 1, base + tt]
         return jax.lax.select((idx & 1) == 0, word & 0xFFFF,
                               (word >> 16) & 0xFFFF)
@@ -290,12 +413,12 @@ def _kernel_loop(cl_ref, na_ref, nl_ref, r48_ref, meta_ref, w_hbm, cb_ref,
         c = entry(k, s)
         return pltpu.make_async_copy(
             w_hbm.at[c],
-            wbuf.at[slot, :, pl.ds(s * 4 * CHUNK, 4 * CHUNK)],
+            wbuf.at[slot, :, pl.ds(s * CW, CW)],
             sems.at[slot, s])
 
     def dma_item(k):
         slot = k % 2
-        return [dma(slot, k, s) for s in range(PICK)]
+        return [dma(slot, k, s) for s in range(pick)]
 
     @pl.when(total > 0)
     def _():
@@ -335,13 +458,31 @@ def _kernel_loop(cl_ref, na_ref, nl_ref, r48_ref, meta_ref, w_hbm, cb_ref,
         # free contiguous view)
         tb = jnp.where(t_best > 0, t_best, -F32_MAX)    # [1,T]
         tbc = tb[0][:, None]
+        if n_coef > 1:
+            # per-ray shutter time for the Horner combine (meta row 2)
+            tc = meta_ref[tt, 2][:, None]               # [T,1]
+
+        def sec(s, j):
+            cb0 = s * CW
+            if n_coef == 1:
+                return out[:, cb0 + j * chunk:cb0 + (j + 1) * chunk]
+            # coefficient planes are [coef][sec][lane] within the
+            # chunk: Horner in the ray's time (cubic, exact — see
+            # build_dense_tables_motion)
+            acc = out[:, cb0 + (n_coef - 1) * 4 * chunk + j * chunk:
+                      cb0 + (n_coef - 1) * 4 * chunk + (j + 1) * chunk]
+            for kk_ in reversed(range(n_coef - 1)):
+                acc = acc * tc + out[:, cb0 + kk_ * 4 * chunk + j * chunk:
+                                     cb0 + kk_ * 4 * chunk
+                                     + (j + 1) * chunk]
+            return acc
+
         kmin = None
-        for s in range(PICK):
-            cb0 = s * 4 * CHUNK
-            s1 = out[:, cb0 + 0 * CHUNK:cb0 + 1 * CHUNK]
-            s2 = out[:, cb0 + 1 * CHUNK:cb0 + 2 * CHUNK]
-            num = out[:, cb0 + 2 * CHUNK:cb0 + 3 * CHUNK]
-            s0 = out[:, cb0 + 3 * CHUNK:cb0 + 4 * CHUNK]
+        for s in range(pick):
+            s1 = sec(s, 0)
+            s2 = sec(s, 1)
+            num = sec(s, 2)
+            s0 = sec(s, 3)
             nd = s0 + s1 + s2          # derived denominator (see tables)
             i0 = s0.view(jnp.int32)
             i1 = s1.view(jnp.int32)
@@ -358,25 +499,25 @@ def _kernel_loop(cl_ref, na_ref, nl_ref, r48_ref, meta_ref, w_hbm, cb_ref,
             # parks shadow winners and dead lanes
             hit = inside & (t > 1e-4) & (t < tbc)
             # the lane id IS the (pick, in-chunk lane) pair
-            key = (t.view(jnp.int32) & jnp.int32(~LANE_MASK)) \
-                | (lane + s * CHUNK)
+            key = (t.view(jnp.int32) & jnp.int32(~lane_mask)) \
+                | (lane + s * chunk)
             km = jnp.min(jnp.where(hit, key, BIG), axis=1)
             kmin = km if kmin is None else jnp.minimum(kmin, km)
         kmin = kmin[None, :]
         upd = kmin < BIG
-        t_new = (kmin & jnp.int32(~LANE_MASK)).view(jnp.float32)
-        kk = kmin & jnp.int32(LANE_MASK)
+        t_new = (kmin & jnp.int32(~lane_mask)).view(jnp.float32)
+        kk = kmin & jnp.int32(lane_mask)
         t_new = jnp.where(anyhit, -1.0, t_new)
         # winner's fine chunk: the pick index rides in kk's high bits
-        if PICK == 1:
+        if pick == 1:
             c_win = entry(k, 0)
         else:
-            s_win = kk >> LANE_BITS_CHUNK
+            s_win = kk >> lane_bits_chunk
             c_win = jnp.full_like(kk, entry(k, 0))
-            for s in range(1, PICK):
+            for s in range(1, pick):
                 c_win = jnp.where(s_win == s, entry(k, s), c_win)
         t_best = jnp.where(upd, t_new, t_best)
-        prim = jnp.where(upd, c_win * CHUNK + (kk & (CHUNK - 1)), prim)
+        prim = jnp.where(upd, c_win * chunk + (kk & (chunk - 1)), prim)
 
         # front-to-back early exit: the NEXT group's near bound lower-
         # bounds every later group of this tile; if no lane can improve,
@@ -426,9 +567,10 @@ def _kernel_loop(cl_ref, na_ref, nl_ref, r48_ref, meta_ref, w_hbm, cb_ref,
 VMEM_RESIDENT_BYTES = 6 * 1024 * 1024
 
 
-@partial(jax.jit, static_argnames=("n_pad", "interpret"))
+@partial(jax.jit, static_argnames=("n_pad", "interpret", "chunk", "pick"))
 def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad,
-                         interpret=False):
+                         interpret=False, chunk=None, pick=None,
+                         time=None):
     """Chunk-loop variant of dense_intersect (same contract).
 
     interpret=True runs the kernel under the Pallas TPU interpreter (any
@@ -436,6 +578,18 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad,
     CPU suite (tests/test_dense_kernel.py); production never sets it.
     """
     B = r16.shape[0]
+    # the table's own layout is authoritative: W is [C, 48, 4*chunk]
+    # (motion tables: [C, 48, N_COEF*4*chunk]); a mismatched explicit
+    # chunk would DMA wrong-shaped slabs
+    n_coef = N_COEF if time is not None else 1
+    chunk = W.shape[2] // (4 * n_coef)
+    if pick is None:
+        pick = max(1, (CHUNK * PICK) // chunk)
+        if n_coef > 1:
+            # motion groups are N_COEF x wider per chunk; shrink pick so
+            # the dot width (and VMEM scratch) stays in the static
+            # kernel's envelope
+            pick = max(1, pick // n_coef)
     # pad to a whole number of GRID STEPS (TPG tiles each); padded tiles
     # carry tmax=-1 so their na=0 and the sub-tile loop writes misses
     step_rays = RAY_TILE * TPG
@@ -462,8 +616,13 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad,
     r_lo = (r16 - hi_f).astype(jnp.bfloat16)
     r48t = jnp.concatenate([r_hi, r_lo, r_hi], -1) \
         .reshape(n_tiles, RAY_TILE, 48)
-    # meta rows: 0 = per-ray tmax (dead lanes < 0), 1 = anyhit flag
-    meta = jnp.stack([tmax_t, r16t[:, :, 12]], 1)   # [n_tiles, 2, T]
+    # meta rows: 0 = per-ray tmax (dead lanes < 0), 1 = anyhit flag,
+    # (motion only) 2 = per-ray shutter time
+    meta_rows = [tmax_t, r16t[:, :, 12]]
+    if time is not None:
+        time_p = jnp.pad(time, (0, Bp - B)) if Bp != B else time
+        meta_rows.append(time_p.reshape(n_tiles, RAY_TILE))
+    meta = jnp.stack(meta_rows, 1)     # [n_tiles, 2(+1), T]
     chunk_list, n_active, near_list = _tile_chunk_lists(
         r16t, tmax_t, chunk_bounds, interpret=interpret)
     # group the fine-chunk list into PICK-wide loop iterations: pad the
@@ -474,15 +633,15 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad,
     # word and TRANSPOSED [words, n_tiles]: SMEM is 1MB and an unpacked
     # [n_tiles, C] layout pads its minor dim to 128-col multiples.
     C = chunk_list.shape[1]
-    G = (C + PICK - 1) // PICK
-    CP = G * PICK + (G * PICK) % 2
+    G = (C + pick - 1) // pick
+    CP = G * pick + (G * pick) % 2
     if CP != C:
         chunk_list = jnp.concatenate(
             [chunk_list, jnp.repeat(chunk_list[:, -1:], CP - C, 1)], 1)
     cl_packed = (chunk_list[:, 0::2]
                  | (chunk_list[:, 1::2] << 16)).T  # [CP//2, n_tiles]
-    n_groups = (n_active + PICK - 1) // PICK
-    near_g = near_list[:, ::PICK]
+    n_groups = (n_active + pick - 1) // pick
+    near_g = near_list[:, ::pick]
     if near_g.shape[1] < G:
         near_g = jnp.concatenate(
             [near_g, jnp.full((n_tiles, G - near_g.shape[1]), F32_MAX)], 1)
@@ -495,7 +654,7 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad,
         in_specs=[
             pl.BlockSpec((TPG, RAY_TILE, 48),
                          lambda i, cl, na, nl: (i, 0, 0)),
-            pl.BlockSpec((TPG, 2, RAY_TILE),
+            pl.BlockSpec((TPG, meta.shape[1], RAY_TILE),
                          lambda i, cl, na, nl: (i, 0, 0)),
             pl.BlockSpec(memory_space=(pltpu.VMEM if resident
                                        else pltpu.ANY)),
@@ -508,12 +667,13 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad,
                          lambda i, cl, na, nl: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 48, PICK * 4 * CHUNK), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, PICK)),
+            pltpu.VMEM((2, 48, pick * n_coef * 4 * chunk), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, pick)),
         ],
     )
     t_out, prim_out = pl.pallas_call(
-        partial(_kernel_loop, resident=resident),
+        partial(_kernel_loop, resident=resident, chunk=chunk, pick=pick,
+                n_coef=n_coef),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.float32),

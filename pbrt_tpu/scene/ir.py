@@ -240,6 +240,14 @@ class SceneData:
     clip_quadrics: bool = struct.field(pytree_node=False, default=False)
     use_dense: bool = struct.field(pytree_node=False, default=False)
     dense_npad: int = struct.field(pytree_node=False, default=0)
+    # per-scene dense-kernel chunking (0 = module defaults): large
+    # scenes coarsen the chunk so the SMEM chunk list fits (pallas
+    # pick_chunking)
+    dense_chunk: int = struct.field(pytree_node=False, default=0)
+    dense_pick: int = struct.field(pytree_node=False, default=0)
+    # animated meshes: dense tables carry N_COEF time-coefficient
+    # planes and the kernel Horner-combines at each ray's time
+    dense_motion: bool = struct.field(pytree_node=False, default=False)
     # SAH kd-tree (Accelerator "kdtree", accel/kdtree.py): packed node
     # rows [split_bits, flags, above|off, nprims] + duplicated prim list
     # mesh motion blur: [P,12] = d0|de1|de2|pad so the leaf test forms
@@ -858,12 +866,8 @@ class SceneBuilder:
         clip_q = any(_needs_clip(q) for q in self.quads)
         # dense MXU intersector tables (triangles only; zero rows for
         # quadric placeholder prims never hit)
-        from pbrt_tpu.ops.pallas_intersect import build_dense_tables
-        # the dense kernel bakes static Pluecker tables, so animated
-        # meshes take the BVH path (its leaf test interpolates vertices
-        # per-ray); quadric-only motion keeps dense (quadrics pre-test)
-        use_dense = 0 < P <= 300_000 and not self.has_animated_mesh
-        dtab = build_dense_tables(tri_v0[:Pp], tri_e1[:Pp], tri_e2[:Pp])
+        from pbrt_tpu.ops.pallas_intersect import (
+            build_dense_tables, build_dense_tables_motion, pick_chunking)
         # per-prim vertex motion [P,12]: d0 | de1 | de2 | pad, so
         # v0(t) = v0 + t*d0, e1(t) = e1 + t*de1, e2(t) = e2 + t*de2
         tri_dv = reorder("tri_dv")
@@ -871,6 +875,24 @@ class SceneBuilder:
         tri_motion[:, 0:3] = tri_dv[:, 0]
         tri_motion[:, 3:6] = tri_dv[:, 1] - tri_dv[:, 0]
         tri_motion[:, 6:9] = tri_dv[:, 2] - tri_dv[:, 0]
+        # animated meshes keep the MXU path via time-polynomial tables
+        # (4x the table bytes — see build_dense_tables_motion), so the
+        # triangle cap is lower; beyond it the BVH fallback interpolates
+        # vertices per ray in its leaf test
+        dense_motion = bool(self.has_animated_mesh)
+        use_dense = 0 < P <= (150_000 if dense_motion else 300_000)
+        d_chunk, d_pick = pick_chunking(Pp)
+        if dense_motion:
+            # motion groups are N_COEF x wider per chunk; shrink pick so
+            # the dot width / VMEM scratch stays in the static envelope
+            d_pick = max(1, d_pick // 4)
+        if dense_motion:
+            dtab = build_dense_tables_motion(
+                tri_v0[:Pp], tri_e1[:Pp], tri_e2[:Pp], tri_motion[:Pp],
+                chunk=d_chunk)
+        else:
+            dtab = build_dense_tables(tri_v0[:Pp], tri_e1[:Pp],
+                                      tri_e2[:Pp], chunk=d_chunk)
         return SceneData(
             bvh_packed=jnp.asarray(bvh.packed),
             bvh_hit=jnp.asarray(bvh.hit_links),
@@ -1018,6 +1040,9 @@ class SceneBuilder:
             clip_quadrics=bool(clip_q),
             use_dense=use_dense,
             dense_npad=dtab["n_pad"],
+            dense_chunk=d_chunk,
+            dense_pick=d_pick,
+            dense_motion=dense_motion,
             kd_packed=(None if kd is None else jnp.asarray(
                 np.concatenate([
                     kd["nodes_f"][:, None],

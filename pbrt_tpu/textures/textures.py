@@ -137,9 +137,13 @@ _ALL_TEX = (TEX_IMAGE, TEX_CHECKER, TEX_UV, TEX_DOTS, TEX_FBM,
             TEX_MARBLE, TEX_WINDY, TEX_WRINKLED, TEX_PTEX)
 
 
+MAX_ANISO = 8.0          # mipmap.h maxAnisotropy default
+EWA_TAPS = 4             # static taps along the major axis
+
+
 def eval_texture(tex_images, tex_type, tex_params, tex_c1, tex_c2,
                  tex_idx, uv, p_world, uv_width=None, face=None,
-                 kinds=None):
+                 kinds=None, duv=None):
     """Evaluate texture `tex_idx` [B] at uv [B,2] / world point [B,3].
 
     tex_images [T,2*RES,RES,3] mip canvases; returns RGB [B,3] (promote
@@ -170,7 +174,42 @@ def eval_texture(tex_images, tex_type, tex_params, tex_c1, tex_c2,
     if TEX_IMAGE in present:
         # image: trilinear between the two bracketing mip levels
         # (mipmap.h MIPMap::Lookup; footprint scaled by the uv scale)
-        if uv_width is None:
+        if duv is not None:
+            # EWA-style anisotropic filtering (mipmap.h:103 EWA): the
+            # mip level comes from the MINOR ellipse axis and EWA_TAPS
+            # Gaussian-weighted trilinear taps march the MAJOR axis —
+            # the footprint-sampling factorization of the reference's
+            # per-texel ellipse loop (whose data-dependent bbox has no
+            # static shape); eccentricity clamped to MAX_ANISO as the
+            # reference clamps.  duv is in RAW uv; apply uscale/vscale.
+            dst0 = duv[:, 0:2] * jnp.stack([us, vs], -1)
+            dst1 = duv[:, 2:4] * jnp.stack([us, vs], -1)
+            n0 = jnp.sum(dst0 * dst0, -1)
+            n1 = jnp.sum(dst1 * dst1, -1)
+            swap = n1 > n0
+            major_v = jnp.where(swap[:, None], dst1, dst0)
+            major = jnp.sqrt(jnp.maximum(jnp.maximum(n0, n1), 1e-24))
+            minor = jnp.sqrt(jnp.maximum(jnp.minimum(n0, n1), 1e-24))
+            minor = jnp.maximum(minor, major / MAX_ANISO)
+            lvl = jnp.clip(float(MAX_LEVEL) + jnp.log2(minor),
+                           0.0, float(MAX_LEVEL))
+            l0 = lvl.astype(jnp.int32)
+            l1 = jnp.minimum(l0 + 1, MAX_LEVEL)
+            fl = (lvl - l0)[:, None]
+            acc = 0.0
+            wsum = 0.0
+            for i in range(EWA_TAPS):
+                a = (i + 0.5) / EWA_TAPS - 0.5
+                w = float(np.exp(-2.0 * (2.0 * a) ** 2))
+                ui = u + a * major_v[:, 0]
+                vi = v + a * major_v[:, 1]
+                tap = (_bilinear_level(tex_images, ti, ui, vi, l0)
+                       * (1 - fl)
+                       + _bilinear_level(tex_images, ti, ui, vi, l1) * fl)
+                acc = acc + w * tap
+                wsum = wsum + w
+            c_img = acc / wsum
+        elif uv_width is None:
             c_img = _bilinear_level(tex_images, ti, u, v,
                                     jnp.zeros(B, jnp.int32))
         else:

@@ -46,6 +46,22 @@ def main():
         except Exception as e:  # noqa: BLE001
             failures += 1
             print(f"lowering_gate: P={P} B={B} FAILED:\n{e}")
+        # motion-table variant (time-polynomial kernel)
+        dm = np.concatenate(
+            [rs.randn(P, 9) * 0.2, np.zeros((P, 3))], 1)
+        tabm = pdense.build_dense_tables_motion(v0, e1, e2, dm)
+        Wm = jnp.asarray(tabm["W"])
+        cbm = jnp.asarray(tabm["chunk_bounds"])
+        tm = jnp.zeros((B,), jnp.float32)
+        try:
+            jax.jit(
+                lambda r16, tmax, W, cb, tm: pdense.dense_intersect_loop(
+                    r16, tmax, W, cb, tabm["n_pad"], time=tm)
+            ).lower(r16, tmax, Wm, cbm, tm).compile()
+            print(f"lowering_gate: P={P} B={B} motion OK")
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            print(f"lowering_gate: P={P} B={B} motion FAILED:\n{e}")
     return 1 if failures else 0
 
 

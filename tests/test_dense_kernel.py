@@ -167,7 +167,7 @@ def test_kernel_variants_match(env):
     t0, p0 = _run_dense(v0, e1, e2, o, d, tmax)
     old = _reload(env)
     try:
-        assert pdense.PICK == int(env.get("PBRT_TPU_PICK", "4"))
+        assert pdense.PICK == int(env.get("PBRT_TPU_PICK", "16"))
         t1, p1 = _run_dense(v0, e1, e2, o, d, tmax)
     finally:
         _reload(old)
