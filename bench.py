@@ -17,14 +17,33 @@ Each timed dispatch uses a distinct (pixel-chunk, sample) range so the
 axon tunnel's identical-execution cache cannot fake the timing; all
 dispatches are issued async and synced once, measuring pipelined chip
 throughput.
+
+Exit codes (VERDICT r4 item 1c — make infra-dead distinguishable from
+kernel-hang):
+  0 = bench ran, JSON line printed
+  2 = device responded to the health probe but the bench run hung or
+      crashed twice — a real kernel/code problem
+  3 = device/tunnel unresponsive (health probe failed twice) — infra,
+      not code; the JSON line is absent by design
+
+Structure: running ``python bench.py`` starts an ORCHESTRATOR that
+(1) health-probes the device with a trivial dispatch in a subprocess
+under a 60s watchdog, retrying once, and (2) runs the actual bench in a
+fresh subprocess under a 1500s watchdog, retrying once if the device is
+still alive after a failure.  ``--probe`` / ``--run`` are the internal
+child modes.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+PROBE_TIMEOUT = 60
+RUN_TIMEOUT = 1500
 
 
 def bench_scene(scene, camera, W, H, cfg, max_depth, n_passes, B,
@@ -56,7 +75,7 @@ def bench_scene(scene, camera, W, H, cfg, max_depth, n_passes, B,
     return total_rays / dt
 
 
-def main():
+def run_bench():
     import jax
     import jax.numpy as jnp
     from pbrt_tpu.models import flagship
@@ -101,22 +120,78 @@ def main():
     return 0
 
 
-def _watchdog(seconds=1500):
-    """Fail fast instead of hanging forever if the device tunnel is
-    unreachable (a dead first-dispatch blocks indefinitely otherwise)."""
-    import threading
+def run_probe():
+    """Trivial device dispatch: proves the device/tunnel is alive.
 
-    def bail():
-        print("bench: no device response within watchdog window",
-              file=sys.stderr, flush=True)
-        os._exit(2)
+    Deliberately tiny (no scene, no Pallas): if THIS hangs, the problem
+    is infrastructure, not the renderer."""
+    import jax
+    import jax.numpy as jnp
+    x = jnp.ones((8, 8), jnp.float32)
+    y = jax.jit(lambda a: (a @ a).sum())(x)
+    jax.block_until_ready(y)
+    print(f"bench: probe ok on {jax.devices()[0].platform}:"
+          f"{jax.devices()[0].id} (sum={float(y)})", file=sys.stderr,
+          flush=True)
+    return 0
 
-    t = threading.Timer(seconds, bail)
-    t.daemon = True
-    t.start()
-    return t
+
+def _child(mode, timeout):
+    """Run `python bench.py --<mode>` in a fresh process. Returns rc
+    (124 = timeout). stdout/stderr inherit so the JSON line reaches the
+    driver directly."""
+    try:
+        p = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            f"--{mode}"], timeout=timeout)
+        return p.returncode
+    except subprocess.TimeoutExpired:
+        return 124
+
+
+def orchestrate():
+    # 1. device health probe (60s watchdog, one retry)
+    rc = _child("probe", PROBE_TIMEOUT)
+    if rc != 0:
+        print(f"bench: health probe failed (rc={rc}); retrying once in "
+              "20s", file=sys.stderr, flush=True)
+        time.sleep(20)
+        rc = _child("probe", PROBE_TIMEOUT)
+        if rc != 0:
+            print("bench: DEVICE/TUNNEL UNRESPONSIVE — a trivial 8x8 "
+                  f"matmul dispatch failed twice (rc={rc}). This is an "
+                  "infrastructure failure, not a renderer bug. rc=3.",
+                  file=sys.stderr, flush=True)
+            return 3
+
+    # 2. the real bench (1500s watchdog)
+    rc = _child("run", RUN_TIMEOUT)
+    if rc == 0:
+        return 0
+
+    # bench failed: is the device still alive?
+    print(f"bench: run failed (rc={rc}); re-probing device",
+          file=sys.stderr, flush=True)
+    if _child("probe", PROBE_TIMEOUT) != 0:
+        print("bench: device/tunnel died during the run — infra "
+              "failure. rc=3.", file=sys.stderr, flush=True)
+        return 3
+
+    # device alive → genuine bench failure; one fresh-process retry
+    print("bench: device alive; retrying bench once in a fresh process",
+          file=sys.stderr, flush=True)
+    rc = _child("run", RUN_TIMEOUT)
+    if rc == 0:
+        return 0
+    print(f"bench: bench failed twice with a responsive device "
+          f"(rc={rc}) — kernel hang or crash. rc=2.", file=sys.stderr,
+          flush=True)
+    return 2
 
 
 if __name__ == "__main__":
-    _wd = _watchdog()
-    sys.exit(main())
+    if "--probe" in sys.argv:
+        sys.exit(run_probe())
+    elif "--run" in sys.argv:
+        sys.exit(run_bench())
+    else:
+        sys.exit(orchestrate())

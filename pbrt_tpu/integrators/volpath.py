@@ -67,8 +67,32 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
                 lane_sa = jnp.where(in_any, sa_k, 0.0)
                 lane_ss = jnp.where(in_any, ss_k, 0.0)
                 g_eff = jnp.where(cur_med >= 0, g_k, 0.0)
+                is_grid_lane = (cur_med >= 0) & scene.med_is_grid[mk]
                 t_m, in_medium, w_med = med_mod.sample_distance_lanes(
-                    lane_sa, lane_ss, t_seg, pixel_id, sample_idx, salt)
+                    lane_sa, lane_ss,
+                    jnp.where(is_grid_lane, 0.0, t_seg)
+                    if getattr(scene, "has_grid_media", False) else t_seg,
+                    pixel_id, sample_idx, salt)
+                if getattr(scene, "has_grid_media", False):
+                    # bound grid media: per-lane delta tracking
+                    # (grid.cpp:62-88) against the lane's own grid
+                    w2m_b = fetch.fetch_many(
+                        [scene.med_w2m.reshape(n_med, 16)],
+                        mk)[0].reshape(B, 4, 4)
+                    st_b = jnp.max(lane_sa + lane_ss, -1)
+                    t_g, hit_g = med_mod.sample_distance_grid_lanes(
+                        scene.med_density, scene.med_dims, w2m_b,
+                        scene.med_inv_maxd[mk], st_b, ray.o, dnorm,
+                        t_seg, mk, pixel_id, sample_idx, salt + 8)
+                    # delta-tracking weight: sigma_s/sigma_t at an
+                    # event, 1 at escape (grid.cpp:82-88)
+                    w_g = jnp.where(
+                        hit_g[:, None],
+                        lane_ss / jnp.maximum(st_b, 1e-9)[:, None],
+                        jnp.ones((B, 1)))
+                    t_m = jnp.where(is_grid_lane, t_g, t_m)
+                    in_medium = jnp.where(is_grid_lane, hit_g, in_medium)
+                    w_med = jnp.where(is_grid_lane[:, None], w_g, w_med)
             else:
                 g_eff = medium.g
                 t_m, in_medium, w_med = med_mod.sample_distance(
@@ -153,13 +177,15 @@ def make_trace_volpath_medium(medium: med_mod.MediumData):
                     eps = (1e-4 * scale)[:, None]
                     off = jnp.where(geom.dot(wi, sp_n)[:, None] >= 0,
                                     eps, -eps) * sp_n
-                    blocked, optical = isect.intersect_tr_walk(
+                    blocked, optical, tr_ratio = isect.intersect_tr_walk(
                         scene, sp_org + off, wi,
                         (dist - geom.dot(off, wi)) * 0.999, cand,
                         cur_med, ray.wavelength, time=ray.time,
-                        ignore_light=isect.nee_ignore_light(scene, l))
+                        ignore_light=isect.nee_ignore_light(scene, l),
+                        pixel_id=pixel_id, sample_idx=sample_idx,
+                        dim_salt=salt + 64)
                     occ = blocked
-                    tr = jnp.exp(-optical)
+                    tr = jnp.exp(-optical) * tr_ratio[:, None]
                 else:
                     sray = isect.spawn_shadow_ray(
                         sp_org, sp_n, wi, dist, cand, ray.wavelength,

@@ -55,8 +55,8 @@ class MaterialParams:
     # per-lane grid index (None => statically skipped)
     fourier_grid: jnp.ndarray = None
     fourier_id: jnp.ndarray = None
-    fourier_cdf_mu: jnp.ndarray = None
-    fourier_cdf_phi: jnp.ndarray = None
+    fourier_a0: jnp.ndarray = None
+    fourier_lum: jnp.ndarray = None
     # tabulated BSSRDF (None => scene has no subsurface materials and
     # every sss branch is statically skipped): Sw normalization factor
     # c = 1 - 2*FresnelMoment1(1/eta) (bssrdf.h:221), profile-table id
@@ -259,10 +259,10 @@ def gather_materials(scene: ir.SceneData, material_idx, uv=None,
                       if getattr(scene, "has_fourier", False) else None),
         fourier_id=(jnp.round(row[:, ir.MPK_FOURIER]).astype(jnp.int32)
                     if getattr(scene, "has_fourier", False) else None),
-        fourier_cdf_mu=(scene.fourier_cdf_mu
-                        if getattr(scene, "has_fourier", False) else None),
-        fourier_cdf_phi=(scene.fourier_cdf_phi
-                         if getattr(scene, "has_fourier", False) else None),
+        fourier_a0=(scene.fourier_a0
+                    if getattr(scene, "has_fourier", False) else None),
+        fourier_lum=(scene.fourier_lum
+                     if getattr(scene, "has_fourier", False) else None),
         sss_c=(jnp.maximum(1.0 - 2.0 * fresnel_moment1_jnp(
             1.0 / jnp.maximum(eta, 1e-3)), 1e-4)
             if getattr(scene, "has_sss", False) else None),
@@ -983,12 +983,13 @@ def pdf_f(params: MaterialParams, wo, wi):
             alpha=params.sigma * (PI / 180.0))
         pdf = jnp.where(is_hair, pdf_hair, pdf)
     if params.fourier_id is not None:
-        if params.fourier_cdf_mu is not None:
-            # density of the baked-CDF sampler (fourier.py sample_grid)
+        if params.fourier_a0 is not None:
+            # density of the Catmull-Rom inversion sampler
+            # (fourier.py pdf_grid_cr; SampleCatmullRom2D twin)
             from pbrt_tpu.materials import fourier as fouriermod
             for gi in range(params.fourier_grid.shape[0]):
-                pdf_g = fouriermod.pdf_grid(
-                    params.fourier_cdf_mu[gi], params.fourier_cdf_phi[gi],
+                pdf_g = fouriermod.pdf_grid_cr(
+                    params.fourier_a0[gi], params.fourier_lum[gi],
                     wo, wi)
                 pdf = jnp.where((t == ir.MAT_FOURIER)
                                 & (params.fourier_id == gi), pdf_g, pdf)
@@ -1136,11 +1137,11 @@ def sample_f(params: MaterialParams, wo, u_lobe, u1, u2, u3=None):
     if params.fourier_id is not None:
         from pbrt_tpu.materials import fourier as fouriermod
         is_four = t == ir.MAT_FOURIER
-        if params.fourier_cdf_mu is not None:
+        if params.fourier_a0 is not None:
             wi_four = wi_diff
             for gi in range(params.fourier_grid.shape[0]):
-                wi_g = fouriermod.sample_grid(
-                    params.fourier_cdf_mu[gi], params.fourier_cdf_phi[gi],
+                wi_g = fouriermod.sample_grid_cr(
+                    params.fourier_a0[gi], params.fourier_lum[gi],
                     wo, u_lobe, u1, u2)
                 wi_four = jnp.where((params.fourier_id == gi)[..., None],
                                     wi_g, wi_four)

@@ -294,3 +294,226 @@ def eval_grid(grid, wo, wi):
                      * jnp.where(dp, fp, 1 - fp))
                 out = out + w[..., None] * grid[i0 + di, o0 + do, p0 + dp]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Catmull-Rom CDF inversion sampling (VERDICT r4 item 6)
+# ---------------------------------------------------------------------------
+# The reference importance-samples its measured BSDFs by analytically
+# integrating the Catmull-Rom interpolant and inverting per segment
+# with a Newton/bisection hybrid (SampleCatmullRom2D + the Fourier phi
+# inversion, interpolation.cpp:172-300 / reflection.cpp:491-573).  The
+# piecewise-constant cell CDFs used before diverge from that density at
+# coarse grids; the functions below are the vectorized twin of the
+# reference's spline inversion over the baked lattice: sampling density
+# == the Catmull-Rom interpolant of the lattice marginals, exact
+# per-segment integral, fixed-iteration Newton+bisection (TPU: no
+# data-dependent loop trip counts).
+
+_CR_NEWTON_ITERS = 12
+
+
+def _cr_derivs(F):
+    """Per-cell endpoint derivatives of the CR interpolant on a UNIFORM
+    lattice, pbrt's finite differences (interpolation.cpp:266-276).
+    F [..., N] -> (d0, d1) each [..., N-1] (scaled by cell width)."""
+    interior = (F[..., 2:] - F[..., :-2]) * 0.5
+    edge0 = (F[..., 1:2] - F[..., 0:1])
+    edge1 = (F[..., -1:] - F[..., -2:-1])
+    d0 = jnp.concatenate([edge0, interior], -1)
+    d1 = jnp.concatenate([interior, edge1], -1)
+    return d0, d1
+
+
+def _cr_cell_integrals(F):
+    """Exact integral of the CR spline over each cell, in cell-width
+    units (IntegrateCatmullRom, interpolation.cpp:260-283)."""
+    f0, f1 = F[..., :-1], F[..., 1:]
+    d0, d1 = _cr_derivs(F)
+    return (d0 - d1) * (1.0 / 12.0) + (f0 + f1) * 0.5
+
+
+def _cr_sample_1d(F, u):
+    """Draw x ~ CR-interpolant(F) over the uniform [0, N-1] lattice.
+
+    F [B, N] non-negative node values; u [B] uniforms.  Returns
+    (x [B] in [0, N-1] cell units, fhat [B] interpolant value at x,
+    total [B] integral in cell units).  pdf per cell-unit = fhat/total;
+    callers rescale by the physical cell width.  The inversion is the
+    reference's Newton-with-bisection-bracket (interpolation.cpp:
+    219-256) run a FIXED _CR_NEWTON_ITERS times (vectorized)."""
+    I = jnp.maximum(_cr_cell_integrals(F), 0.0)
+    cdf = jnp.cumsum(jnp.concatenate(
+        [jnp.zeros_like(I[..., :1]), I], -1), -1)      # [B, N]
+    total = jnp.maximum(cdf[..., -1], 1e-12)
+    up = u * total
+    idx = jnp.clip(jnp.sum((cdf <= up[..., None]).astype(jnp.int32), -1)
+                   - 1, 0, F.shape[-1] - 2)
+    take = lambda A, i: jnp.take_along_axis(A, i[..., None], -1)[..., 0]
+    f0 = take(F, idx)
+    f1 = take(F, idx + 1)
+    d0a, d1a = _cr_derivs(F)
+    d0 = take(d0a, idx)
+    d1 = take(d1a, idx)
+    uu = up - take(cdf, idx)                           # in cell units
+
+    # initial guess: invert the linear interpolant
+    lin = jnp.where(jnp.abs(f0 - f1) > 1e-12,
+                    (f0 - jnp.sqrt(jnp.maximum(
+                        f0 * f0 + 2.0 * uu * (f1 - f0), 0.0)))
+                    / jnp.where(jnp.abs(f0 - f1) > 1e-12, f0 - f1, 1.0),
+                    uu / jnp.maximum(f0, 1e-12))
+    t = jnp.clip(lin, 0.0, 1.0)
+    a = jnp.zeros_like(t)
+    b = jnp.ones_like(t)
+    fhat = f0
+    for _ in range(_CR_NEWTON_ITERS):
+        t = jnp.where((t >= a) & (t <= b), t, 0.5 * (a + b))
+        Fhat = t * (f0 + t * (0.5 * d0 + t * (
+            (1.0 / 3.0) * (-2.0 * d0 - d1) + f1 - f0
+            + t * (0.25 * (d0 + d1) + 0.5 * (f0 - f1)))))
+        fhat = f0 + t * (d0 + t * (-2.0 * d0 - d1 + 3.0 * (f1 - f0)
+                                   + t * (d0 + d1 + 2.0 * (f0 - f1))))
+        below = Fhat - uu < 0
+        a = jnp.where(below, t, a)
+        b = jnp.where(below, b, t)
+        t = t - (Fhat - uu) / jnp.where(jnp.abs(fhat) > 1e-12, fhat, 1.0)
+    t = jnp.clip(jnp.where(jnp.isfinite(t), t, 0.5), 0.0, 1.0)
+    x = idx.astype(F.dtype) + t
+    return x, jnp.maximum(fhat, 0.0), total
+
+
+def _cr_eval_1d(F, x):
+    """CR interpolant value + per-cell-unit integral total at x [B]
+    (cell units) — the pdf-side twin of _cr_sample_1d."""
+    N = F.shape[-1]
+    idx = jnp.clip(x.astype(jnp.int32), 0, N - 2)
+    t = jnp.clip(x - idx.astype(F.dtype), 0.0, 1.0)
+    take = lambda A, i: jnp.take_along_axis(A, i[..., None], -1)[..., 0]
+    f0 = take(F, idx)
+    f1 = take(F, idx + 1)
+    d0a, d1a = _cr_derivs(F)
+    d0 = take(d0a, idx)
+    d1 = take(d1a, idx)
+    fhat = f0 + t * (d0 + t * (-2.0 * d0 - d1 + 3.0 * (f1 - f0)
+                               + t * (d0 + d1 + 2.0 * (f0 - f1))))
+    I = jnp.maximum(_cr_cell_integrals(F), 0.0)
+    total = jnp.maximum(jnp.sum(I, -1), 1e-12)
+    return jnp.maximum(fhat, 0.0), total
+
+
+def _cr_weights_uniform(x, n):
+    """Vectorized CatmullRomWeights (interpolation.cpp:47) on the
+    uniform [0, n-1] lattice: returns (offset [B] = idx-1, may be -1,
+    and w [B,4]) such that sum_k w[k] * F[clip(offset+k, 0, n-1)]
+    interpolates F at x — out-of-range taps always carry weight 0, so
+    clipping their index is safe."""
+    idx = jnp.clip(x.astype(jnp.int32), 0, n - 2)
+    t = jnp.clip(x - idx.astype(x.dtype), 0.0, 1.0)
+    t2, t3 = t * t, t * t * t
+    w1 = 2 * t3 - 3 * t2 + 1
+    w2 = -2 * t3 + 3 * t2
+    w0t = t3 - 2 * t2 + t
+    w3t = t3 - t2
+    first = idx == 0
+    last = idx + 2 >= n
+    w0 = jnp.where(first, 0.0, -0.5 * w0t)
+    w1f = (w1 - jnp.where(first, w0t, 0.0)
+           - jnp.where(last, w3t, 0.5 * w3t))
+    w2f = (w2 + jnp.where(first, w0t, 0.5 * w0t)
+           + jnp.where(last, w3t, 0.0))
+    w3 = jnp.where(last, 0.0, 0.5 * w3t)
+    w = jnp.stack([w0, w1f, w2f, w3], -1)
+    return idx - 1, w
+
+
+def _cr_taps(off, n):
+    """Clipped 4-tap indices for a _cr_weights_uniform offset."""
+    return jnp.clip(off[..., None] + jnp.arange(4), 0, n - 1)
+
+
+def bake_cr_tables(grid):
+    """Compile-time marginals for the CR sampler: a0 [NMi, NMo] =
+    phi-average luminance x |mu_i| (the f*cos importance; the stored
+    lattice is f = series/|muI|, so multiplying back recovers the
+    series the reference's file CDFs integrate) and lum [NMi, NMo, NP]
+    luminance lattice for the phi conditional."""
+    lum = grid.astype(np.float64) @ np.asarray([0.2126, 0.7152, 0.0722])
+    nm = lum.shape[0]
+    mu_axis = np.linspace(-1.0, 1.0, nm)
+    a0 = lum.mean(-1) * np.abs(mu_axis)[:, None]
+    a0 = a0 + max(a0.max(), 1e-9) * 1e-5               # coverage floor
+    return (a0.astype(np.float32),
+            np.maximum(lum, lum.max() * 1e-6).astype(np.float32))
+
+
+def sample_grid_cr(a0, lum, wo, u_sign, u1, u2):
+    """Draw wi from the Catmull-Rom interpolated lattice marginals
+    (SampleCatmullRom2D twin).  a0 [NMi, NMo]; lum [NMi, NMo, NP].
+    Returns wi [B,3]; density from pdf_grid_cr (consistent pair)."""
+    nm = a0.shape[0]
+    npphi = lum.shape[2]
+    # muO spline weights at wo.z
+    xo = (wo[..., 2] + 1.0) * 0.5 * (nm - 1)
+    o_off, o_w = _cr_weights_uniform(xo, nm)
+    # conditional muI node values: CR-combine 4 muO rows
+    rows = a0.T[_cr_taps(o_off, nm)]                   # [B,4,NMi]
+    F_mu = jnp.einsum('bk,bkn->bn', o_w, rows)
+    F_mu = jnp.maximum(F_mu, 0.0)
+    x_mu, _, _ = _cr_sample_1d(F_mu, u1)
+    mu_i = -1.0 + x_mu * (2.0 / (nm - 1))
+    # phi conditional: CR in both mu axes -> [B, NP]
+    i_off, i_w = _cr_weights_uniform(x_mu, nm)
+    lum_oi = lum.transpose(1, 0, 2)                    # [NMo, NMi, NP]
+    rows2 = lum_oi[_cr_taps(o_off, nm)[..., :, None],
+                   _cr_taps(i_off, nm)[..., None, :]]
+    G_phi = jnp.einsum('bk,bl,bklp->bp', o_w, i_w,
+                       jnp.maximum(rows2, 0.0))
+    G_phi = jnp.maximum(G_phi, 0.0)
+    x_phi, _, _ = _cr_sample_1d(G_phi, u2)
+    dphi = x_phi * (np.pi / (npphi - 1))
+    sgn = jnp.where(u_sign < 0.5, 1.0, -1.0)
+    phi_w = jnp.arctan2(wo[..., 1], wo[..., 0]) + sgn * dphi
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - mu_i * mu_i, 0.0))
+    neg_wi = jnp.stack([sin_i * jnp.cos(phi_w), sin_i * jnp.sin(phi_w),
+                        mu_i], -1)
+    return -neg_wi
+
+
+def pdf_grid_cr(a0, lum, wo, wi):
+    """Solid-angle density of sample_grid_cr at (wo, wi): the CR
+    interpolant values over their integrals (per-axis pdfs in mu/phi
+    measure; dw = dmu dphi), halved for the azimuth mirror."""
+    nm = a0.shape[0]
+    npphi = lum.shape[2]
+    xo = (wo[..., 2] + 1.0) * 0.5 * (nm - 1)
+    o_off, o_w = _cr_weights_uniform(xo, nm)
+    rows = a0.T[_cr_taps(o_off, nm)]
+    F_mu = jnp.maximum(jnp.einsum('bk,bkn->bn', o_w, rows), 0.0)
+    mu_i = -wi[..., 2]
+    x_mu = (mu_i + 1.0) * 0.5 * (nm - 1)
+    f_mu, tot_mu = _cr_eval_1d(F_mu, x_mu)
+    h_mu = 2.0 / (nm - 1)
+    pdf_mu = f_mu / (tot_mu * h_mu)
+    # phi
+    xi_, yi_ = -wi[..., 0], -wi[..., 1]
+    xo_, yo_ = wo[..., 0], wo[..., 1]
+    li = jnp.sqrt(xi_ * xi_ + yi_ * yi_)
+    lo = jnp.sqrt(xo_ * xo_ + yo_ * yo_)
+    cos_dphi = jnp.where((li > 1e-9) & (lo > 1e-9),
+                         jnp.clip((xi_ * xo_ + yi_ * yo_)
+                                  / jnp.maximum(li * lo, 1e-9), -1, 1),
+                         1.0)
+    dphi = jnp.arccos(cos_dphi)
+    i_off, i_w = _cr_weights_uniform(x_mu, nm)
+    lum_oi = lum.transpose(1, 0, 2)
+    rows2 = lum_oi[_cr_taps(o_off, nm)[..., :, None],
+                   _cr_taps(i_off, nm)[..., None, :]]
+    G_phi = jnp.maximum(
+        jnp.einsum('bk,bl,bklp->bp', o_w, i_w,
+                   jnp.maximum(rows2, 0.0)), 0.0)
+    x_phi = dphi / np.pi * (npphi - 1)
+    f_phi, tot_phi = _cr_eval_1d(G_phi, x_phi)
+    h_phi = np.pi / (npphi - 1)
+    pdf_phi = f_phi / (tot_phi * h_phi)
+    return 0.5 * jnp.maximum(pdf_mu, 0.0) * jnp.maximum(pdf_phi, 0.0)

@@ -280,3 +280,138 @@ def transmittance(med: MediumData, o, d, tmax, pixel_id, sample_idx,
         t = jnp.where(live & ~esc, t_new, t)
         live = live & ~esc & (tr > 1e-5)
     return jnp.broadcast_to(tr[:, None], (B, NS))
+
+
+# ---------------------------------------------------------------------------
+# per-lane grid media (the per-primitive MediumInterface path)
+# ---------------------------------------------------------------------------
+# The functions below key every lane into the SCENE's padded medium
+# table (SceneData.med_density [K,DZ,DY,DX] + med_w2m + med_dims +
+# med_inv_maxd) so a smoke grid can be BOUND to a shape's interface like
+# the reference binds GridDensityMedium through MediumInterface
+# (api.cpp pbrtMediumInterface + scene.cpp:57-81 IntersectTr composing
+# per-segment GridDensityMedium::Tr).  Tracking loops are statically
+# unrolled; scenes without grid media never trace this code
+# (SceneData.has_grid_media gates the call sites).
+
+#: tracking steps for the per-lane walks (majorant flights per
+#: sub-segment; expected use ~ optical depth of ONE interface span)
+LANE_TRACK_STEPS = 32
+
+
+def _to_medium_lanes(w2m_b, o, d):
+    """Transform rays into each lane's medium unit-cube space.
+    w2m_b [B,4,4] per-lane world->medium matrices."""
+    om = jnp.einsum('bij,bj->bi', w2m_b[:, :3, :3], o) + w2m_b[:, :3, 3]
+    dm = jnp.einsum('bij,bj->bi', w2m_b[:, :3, :3], d)
+    return om, dm
+
+
+def _grid_span_m(om, dm, tmax):
+    """Ray interval inside the unit cube, medium-space inputs."""
+    inv = 1.0 / jnp.where(jnp.abs(dm) > 1e-12, dm, 1e-12)
+    t0 = (0.0 - om) * inv
+    t1 = (1.0 - om) * inv
+    tlo = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), 0.0)
+    thi = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), tmax)
+    return tlo, thi, thi > tlo
+
+
+def density_at_lanes(density, dims, mk, p_med):
+    """Trilinear density per lane (grid.cpp:46 GridDensityMedium::D).
+
+    density [K, DZ, DY, DX] padded row-major grids; dims [K,3]
+    (nz,ny,nx) actual extents; mk [B] per-lane medium index; p_med
+    [B,3] medium-space points.  Out-of-extent taps contribute 0 (the
+    reference's D() bounds check)."""
+    K, DZ, DY, DX = density.shape
+    flat = density.reshape(K, DZ * DY * DX)
+    dims_b = dims[mk]                                    # [B,3]
+    gx = p_med[:, 0] * dims_b[:, 2].astype(jnp.float32) - 0.5
+    gy = p_med[:, 1] * dims_b[:, 1].astype(jnp.float32) - 0.5
+    gz = p_med[:, 2] * dims_b[:, 0].astype(jnp.float32) - 0.5
+    ix = jnp.floor(gx); iy = jnp.floor(gy); iz = jnp.floor(gz)
+    fx = gx - ix; fy = gy - iy; fz = gz - iz
+    ix = ix.astype(jnp.int32); iy = iy.astype(jnp.int32)
+    iz = iz.astype(jnp.int32)
+    acc = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                jx, jy, jz = ix + dx, iy + dy, iz + dz
+                inb = ((jx >= 0) & (jy >= 0) & (jz >= 0)
+                       & (jx < dims_b[:, 2]) & (jy < dims_b[:, 1])
+                       & (jz < dims_b[:, 0]))
+                w = (jnp.where(dx, fx, 1 - fx)
+                     * jnp.where(dy, fy, 1 - fy)
+                     * jnp.where(dz, fz, 1 - fz))
+                idx = (jnp.clip(jz, 0, DZ - 1) * DY
+                       + jnp.clip(jy, 0, DY - 1)) * DX \
+                    + jnp.clip(jx, 0, DX - 1)
+                acc = acc + jnp.where(inb, w * flat[mk, idx], 0.0)
+    return acc
+
+
+def sample_distance_grid_lanes(density, dims, w2m_b, inv_maxd_b,
+                               st_scalar_b, o, d, tmax, mk,
+                               pixel_id, sample_idx, dim_salt):
+    """Per-lane delta tracking (grid.cpp:62-88) against each lane's own
+    grid.  st_scalar_b [B]: the lane medium's scalar majorant sigma_t
+    (max over bands — the reference requires spectrally uniform sigma_t
+    for grids, grid.h:67-77).  Returns (t [B], interacted [B])."""
+    import jax as _jax
+    om, dm = _to_medium_lanes(w2m_b, o, d)
+    tlo, thi, in_grid = _grid_span_m(om, dm, tmax)
+    st = jnp.maximum(st_scalar_b, 1e-9)
+    imd = jnp.maximum(inv_maxd_b, 1e-12)
+
+    def body(k, state):
+        t, live, interacted = state
+        u1 = prng.uniform_float(pixel_id, sample_idx,
+                                prng._u32(dim_salt) + 2 * k.astype(jnp.uint32))
+        u2 = prng.uniform_float(pixel_id, sample_idx,
+                                prng._u32(dim_salt) + 2 * k.astype(jnp.uint32) + 1)
+        t_new = t - jnp.log(jnp.maximum(1 - u1, 1e-9)) * imd / st
+        esc = t_new >= thi
+        dens = density_at_lanes(density, dims, mk,
+                                om + t_new[:, None] * dm)
+        real = u2 < dens * imd
+        interacted = interacted | (live & ~esc & real)
+        t = jnp.where(live & ~esc, t_new, t)
+        live = live & ~esc & ~real
+        return (t, live, interacted)
+
+    t, _, interacted = _jax.lax.fori_loop(
+        0, LANE_TRACK_STEPS, body,
+        (tlo, in_grid, jnp.zeros(o.shape[0], bool)))
+    return jnp.where(interacted, t, tmax), interacted
+
+
+def ratio_tr_lanes(density, dims, w2m_b, inv_maxd_b, st_scalar_b,
+                   o, d, tmax, mk, pixel_id, sample_idx, dim_salt):
+    """Per-lane ratio tracking Tr (grid.cpp:89+) against each lane's own
+    grid.  Returns scalar Tr [B] (spectrally uniform by construction)."""
+    import jax as _jax
+    om, dm = _to_medium_lanes(w2m_b, o, d)
+    tlo, thi, in_grid = _grid_span_m(om, dm, tmax)
+    st = jnp.maximum(st_scalar_b, 1e-9)
+    imd = jnp.maximum(inv_maxd_b, 1e-12)
+
+    def body(k, state):
+        tr, t, live = state
+        u1 = prng.uniform_float(pixel_id, sample_idx,
+                                prng._u32(dim_salt) + 2 * k.astype(jnp.uint32))
+        t_new = t - jnp.log(jnp.maximum(1 - u1, 1e-9)) * imd / st
+        esc = t_new >= thi
+        dens = density_at_lanes(density, dims, mk,
+                                om + t_new[:, None] * dm)
+        ratio = 1.0 - dens * imd
+        tr = jnp.where(live & ~esc, tr * jnp.maximum(ratio, 0.0), tr)
+        t = jnp.where(live & ~esc, t_new, t)
+        live = live & ~esc & (tr > 1e-5)
+        return (tr, t, live)
+
+    tr, _, _ = _jax.lax.fori_loop(
+        0, LANE_TRACK_STEPS, body,
+        (jnp.ones(o.shape[0]), tlo, in_grid))
+    return tr

@@ -64,6 +64,14 @@ class Hit:
     # camera ray differentials (reference interaction.cpp
     # ComputeDifferentials); None when the trace carries no differentials
     duv: jnp.ndarray = None          # [B,4]
+    # world-space footprint offsets + shading-normal screen gradients
+    # (isect.dpdx/dpdy and dndu*dudx+dndv*dvdx of integrator.cpp:
+    # 361-368) — carried so specular bounces can propagate the
+    # differentials (SpecularReflect/Transmit, integrator.cpp:344-429)
+    dpdx: jnp.ndarray = None         # [B,3]
+    dpdy: jnp.ndarray = None         # [B,3]
+    dndx: jnp.ndarray = None         # [B,3]
+    dndy: jnp.ndarray = None         # [B,3]
 
 
 # ---------------------------------------------------------------------------
@@ -517,7 +525,6 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False,
                                               scene.dense_cb,
                                               scene.dense_npad,
                                               interpret=interpret,
-                                              chunk=scene.dense_chunk or None,
                                               pick=scene.dense_pick or None,
                                               time=rtime)
     elif o.shape[0] <= (1 << 18):
@@ -548,7 +555,7 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False,
                                   scene.dense_center, anyhit=fs > 0.5)
         t_s, prim_s = pdense.dense_intersect_loop(
             r16s, ts, scene.dense_w, scene.dense_cb, scene.dense_npad,
-            interpret=interpret, chunk=scene.dense_chunk or None,
+            interpret=interpret,
             pick=scene.dense_pick or None, time=rtime_s)
         _, t, prim = jax.lax.sort((order, t_s, prim_s), num_keys=1)
     else:
@@ -558,7 +565,6 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False,
         t_s, prim_s = pdense.dense_intersect_loop(
             r16[order], t_init[order], scene.dense_w, scene.dense_cb,
             scene.dense_npad, interpret=interpret,
-            chunk=scene.dense_chunk or None,
             pick=scene.dense_pick or None,
             time=(rtime[order] if motion else None))
         t = jnp.zeros_like(t_s).at[order].set(t_s)
@@ -792,7 +798,8 @@ def _shadow_anyhit(scene: SceneData, ignore_light, B):
 
 def intersect_tr_walk(scene: SceneData, org, wi, dist, cand, cur_med,
                       wavelength, time=None, ignore_light=None,
-                      max_crossings=4):
+                      max_crossings=8, pixel_id=None, sample_idx=None,
+                      dim_salt=0x7400):
     """Shadow-ray transmittance walk across medium interfaces.
 
     TPU redesign of Scene::IntersectTr (reference scene.cpp:57-81): the
@@ -803,13 +810,20 @@ def intersect_tr_walk(scene: SceneData, org, wi, dist, cand, cur_med,
     wavefront walk of `max_crossings` whole-batch closest-hit dispatches;
     lanes that hit a real surface park as blocked, lanes whose segment
     ends drop out, so later steps run on nearly-empty (cheap, the dense
-    queue culls dead tiles).  Homogeneous media only (the per-prim
-    MediumInterface table, scene/ir.py:140-146); grid media remain
-    scene-global in volpath's ratio-tracking path.
+    queue culls dead tiles).  Homogeneous sub-segments accumulate
+    closed-form optical depth; GRID sub-segments (lanes whose current
+    medium is a bound GridDensityMedium) accumulate ratio-tracked Tr
+    (grid.cpp:89+) when pixel_id/sample_idx are given — the composition
+    the reference's IntersectTr does per segment.
 
-    Returns (blocked [B] bool, seg_sigt_sum [B,NS] f32): Tr =
-    exp(-seg_sigt_sum); lanes still crossing after max_crossings stop
-    accumulating (truncation, conservative toward brighter).
+    max_crossings bounds the statically-unrolled interface count: lanes
+    still crossing after it stop accumulating (truncation, conservative
+    toward brighter).  The default 8 covers three nested dielectrics
+    exactly; a scene needing more passes max_crossings explicitly
+    (tests/test_media_interface.py pins the truncation contract).
+
+    Returns (blocked [B] bool, seg_sigt_sum [B,NS] f32, tr_ratio [B]):
+    Tr = exp(-seg_sigt_sum) * tr_ratio[:, None].
     """
     from pbrt_tpu.core import spectrum as spec
     B = org.shape[0]
@@ -824,17 +838,37 @@ def intersect_tr_walk(scene: SceneData, org, wi, dist, cand, cur_med,
     act = cand
     blocked = jnp.zeros(B, bool)
     optical = jnp.zeros((B, NS))
+    tr_ratio = jnp.ones(B)
+    grids = bool(getattr(scene, "has_grid_media", False)) \
+        and pixel_id is not None
     p = org
-    for _ in range(max_crossings):
+    for cross_i in range(max_crossings):
         ray = geom.Ray.make(p, wi, tmax=jnp.where(act, remaining, -1.0),
                             wavelength=wavelength, time=time)
         t, prim, _, _, found = intersect(scene, ray)
         seg = jnp.where(found, t, remaining)
         # current medium's optical depth over the sub-segment
         mk = jnp.clip(med, 0, n_med - 1)
-        sig_t = jnp.where((med >= 0)[:, None], sig_t_tab[mk], 0.0)
+        in_grid_med = (med >= 0) & scene.med_is_grid[mk] if grids \
+            else jnp.zeros(B, bool)
+        sig_t = jnp.where((med >= 0) & ~in_grid_med, 1.0, 0.0)[:, None] \
+            * sig_t_tab[mk]
         optical = optical + jnp.where(
             act[:, None], sig_t * jnp.maximum(seg, 0.0)[:, None], 0.0)
+        if grids:
+            # ratio-tracked Tr of the lane's own grid over [p, p+seg*wi]
+            from pbrt_tpu.media import media as _med_mod
+            from pbrt_tpu.ops import fetch as _fetch
+            w2m_b = _fetch.fetch_many(
+                [scene.med_w2m.reshape(n_med, 16)],
+                mk)[0].reshape(B, 4, 4)
+            st_b = jnp.max(sig_t_tab[mk], -1)
+            trg = _med_mod.ratio_tr_lanes(
+                scene.med_density, scene.med_dims, w2m_b,
+                scene.med_inv_maxd[mk], st_b, p, wi,
+                jnp.maximum(seg, 0.0), mk, pixel_id, sample_idx,
+                dim_salt + 64 * cross_i)
+            tr_ratio = tr_ratio * jnp.where(act & in_grid_med, trg, 1.0)
         # classify the hit: material-less prims are pass-through medium
         # interfaces; the sampled light's own geometry passes too
         pid = jnp.clip(prim, 0, P - 1)
@@ -879,7 +913,7 @@ def intersect_tr_walk(scene: SceneData, org, wi, dist, cand, cur_med,
         p = jnp.where(act[:, None], p + adv[:, None] * wi, p)
         remaining = remaining - adv
         act = act & found & (is_iface | is_ignored) & (remaining > 0)
-    return blocked, optical
+    return blocked, optical, tr_ratio
 
 
 def occluded(scene: SceneData, ray: geom.Ray, ignore_light=None):
@@ -1091,12 +1125,35 @@ def make_hit(scene: SceneData, ray: geom.Ray, t, prim, u, v, found,
         good = (found & is_tri & ok_uv & ok_g & okx & oky)[:, None]
         duv = jnp.where(good, jnp.stack([dudx, dvdx, dudy, dvdy], -1), 0.0)
         duv = jnp.where(jnp.isfinite(duv), duv, 0.0)
+        # shading-normal derivatives for specular differential
+        # propagation (dndu/dndv from the same uv edge matrix;
+        # triangle.cpp:157-187 structure applied to per-vertex normals)
+        n0 = sf[:, 6:9]
+        dn1 = sf[:, 9:12] - n0
+        dn2 = sf[:, 12:15] - n0
+        has_ns = jnp.sum(n0 * n0, -1) > 1e-12
+        dndu = (uv_e2[:, 1:2] * dn1 - uv_e1[:, 1:2] * dn2) \
+            * inv_uv[:, None]
+        dndv = (-uv_e2[:, 0:1] * dn1 + uv_e1[:, 0:1] * dn2) \
+            * inv_uv[:, None]
+        gx = good & has_ns[:, None]
+        dndx_v = jnp.where(gx, dndu * dudx[:, None] + dndv * dvdx[:, None],
+                           0.0)
+        dndy_v = jnp.where(gx, dndu * dudy[:, None] + dndv * dvdy[:, None],
+                           0.0)
+        dpdx_v = jnp.where(good, dpdx, 0.0)
+        dpdy_v = jnp.where(good, dpdy, 0.0)
+        fin = lambda a: jnp.where(jnp.isfinite(a), a, 0.0)
+        extra = dict(dpdx=fin(dpdx_v), dpdy=fin(dpdy_v),
+                     dndx=fin(dndx_v), dndy=fin(dndy_v))
+    else:
+        extra = {}
     return Hit(valid=found, t=t, p=p, ng=ng, ns=ns, uv=uv,
                wo=-geom.normalize(ray.d), prim=pid,
                material=jnp.where(found, si[:, 2], -1),
                light=jnp.where(found, si[:, 3], -1),
                instance=jnp.where(found, si[:, 4], -1),
-               uv_density=uv_density, face=si[:, 6], duv=duv)
+               uv_density=uv_density, face=si[:, 6], duv=duv, **extra)
 
 
 def intersect_full(scene: SceneData, ray: geom.Ray,
@@ -1105,7 +1162,8 @@ def intersect_full(scene: SceneData, ray: geom.Ray,
     return make_hit(scene, ray, t, prim, u, v, found, ray_diff=ray_diff)
 
 
-def trace_pair(scene: SceneData, nray: geom.Ray, sray, ignore_light=None):
+def trace_pair(scene: SceneData, nray: geom.Ray, sray, ignore_light=None,
+               ray_diff=None):
     """Trace a bounce's closest-hit rays and NEE shadow rays as ONE batch.
 
     The wavefront integrator calls this once per bounce instead of
@@ -1115,7 +1173,7 @@ def trace_pair(scene: SceneData, nray: geom.Ray, sray, ignore_light=None):
     coherent tiles.  Returns (Hit for nray, occluded [B] for sray).
     """
     if sray is None:
-        return intersect_full(scene, nray), None
+        return intersect_full(scene, nray, ray_diff=ray_diff), None
     B = nray.o.shape[0]
     sB = sray.o.shape[0]          # may be a multiple of B (strategy "all")
     both = jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0), nray, sray)
@@ -1129,7 +1187,8 @@ def trace_pair(scene: SceneData, nray: geom.Ray, sray, ignore_light=None):
         sh_any = ignore_light < 0
     amask = jnp.concatenate([jnp.zeros(B, bool), sh_any])
     t, prim, u, v, found = intersect(scene, both, anyhit_mask=amask)
-    hit = make_hit(scene, nray, t[:B], prim[:B], u[:B], v[:B], found[:B])
+    hit = make_hit(scene, nray, t[:B], prim[:B], u[:B], v[:B], found[:B],
+                   ray_diff=ray_diff)
     occ = found[B:]
     if ignore_light is not None and scene.quad_prim.shape[0] > 0:
         # nee_ignore_light only ever excludes SPHERE (quadric) lights,

@@ -326,9 +326,9 @@ def ray_vectors(o, d, center, anyhit=None):
 # kernel
 # ---------------------------------------------------------------------------
 
-def _kernel_loop(cl_ref, na_ref, nl_ref, r48_ref, meta_ref, w_hbm, cb_ref,
-                 t_ref, prim_ref, wbuf, sems, *, resident, chunk, pick,
-                 n_coef=1):
+def _kernel_loop(cl_ref, na_ref, nl_ref, nls_ref, r48_ref, meta_ref,
+                 w_hbm, cb_ref, t_ref, prim_ref, wbuf, sems, *,
+                 resident, chunk, pick, n_coef=1):
     """Chunk-loop kernel: one grid step covers TPG ray tiles via a
     SINGLE merged while_loop over flat (tile, group) work items —
     per-tile loop constructs measured a ~7-9us floor each on v5e, so
@@ -368,208 +368,226 @@ def _kernel_loop(cl_ref, na_ref, nl_ref, r48_ref, meta_ref, w_hbm, cb_ref,
     BIG = jnp.int32(0x7F7FFFFF)
     dn = (((1,), (0,)), ((), ()))
 
-    # initialize every sub-tile's outputs to the miss result; visited
-    # tiles are overwritten at flush time
-    t_ref[:] = meta_ref[:, 0:1]
-    prim_ref[:] = jnp.full_like(prim_ref, -1)
 
-    # exclusive prefix of per-tile group counts: item k belongs to tile
-    # tt iff offs[tt] <= k < offs[tt+1]  (tile-major item order)
-    offs = [jnp.int32(0)]
-    for t in range(tpg):
-        offs.append(offs[-1] + na_ref[base + t])
-    total = offs[-1]
+    # dead grid steps (no group in any of this step's tiles; the
+    # coherence sort packs live lanes into a tile prefix, so
+    # late-bounce batches are mostly dead steps) skip the whole
+    # body: the index_map remap already elided their block DMAs,
+    # and the launcher patches the unvisited tiles' outputs to the
+    # miss result on the way out
+    @pl.when(pl.program_id(0) < nls_ref[0])
+    def _step():
+        # initialize every sub-tile's outputs to the miss result; visited
+        # tiles are overwritten at flush time
+        t_ref[:] = meta_ref[:, 0:1]
+        prim_ref[:] = jnp.full_like(prim_ref, -1)
 
-    def tt_of(k):
-        tt = jnp.int32(0)
-        for t in range(1, tpg):
-            tt = tt + (k >= offs[t]).astype(jnp.int32)
-        return tt
+        # exclusive prefix of per-tile group counts: item k belongs to tile
+        # tt iff offs[tt] <= k < offs[tt+1]  (tile-major item order)
+        offs = [jnp.int32(0)]
+        for t in range(tpg):
+            offs.append(offs[-1] + na_ref[base + t])
+        total = offs[-1]
 
-    def sel_by_tt(tt, vals):
-        out = vals[0]
-        for t in range(1, tpg):
-            out = jax.lax.select(tt == t, vals[t], out)
-        return out
+        def tt_of(k):
+            tt = jnp.int32(0)
+            for t in range(1, tpg):
+                tt = tt + (k >= offs[t]).astype(jnp.int32)
+            return tt
 
-    def entry(k, s):
-        # fine-chunk list is PACKED two u16 ids per i32 word and stored
-        # TRANSPOSED [words, n_tiles] (SMEM is 1MB on v5e; an unpacked
-        # [n_tiles, C] list at 256-tri chunks pads past it); the list is
-        # padded so a group's picks are always in range
-        tt = tt_of(k)
-        j = k - sel_by_tt(tt, offs[:tpg])
-        idx = j * pick + s
-        word = cl_ref[idx >> 1, base + tt]
-        return jax.lax.select((idx & 1) == 0, word & 0xFFFF,
-                              (word >> 16) & 0xFFFF)
+        def sel_by_tt(tt, vals):
+            out = vals[0]
+            for t in range(1, tpg):
+                out = jax.lax.select(tt == t, vals[t], out)
+            return out
 
-    def dma(slot, k, s):
-        # W is chunk-major [C, 48, 4*CHUNK]: ONE copy moves a pick's
-        # whole chunk (all four sections contiguous) into its [48, 4C]
-        # slot of the dot operand — PICK DMAs per group instead of
-        # 4*PICK, and the epilogue still slices each pick's sections
-        # contiguously
-        c = entry(k, s)
-        return pltpu.make_async_copy(
-            w_hbm.at[c],
-            wbuf.at[slot, :, pl.ds(s * CW, CW)],
-            sems.at[slot, s])
+        def entry(k, s):
+            # fine-chunk list is PACKED two u16 ids per i32 word and stored
+            # TRANSPOSED [words, n_tiles] (SMEM is 1MB on v5e; an unpacked
+            # [n_tiles, C] list at 256-tri chunks pads past it); the list is
+            # padded so a group's picks are always in range
+            tt = tt_of(k)
+            j = k - sel_by_tt(tt, offs[:tpg])
+            idx = j * pick + s
+            word = cl_ref[idx >> 1, base + tt]
+            return jax.lax.select((idx & 1) == 0, word & 0xFFFF,
+                                  (word >> 16) & 0xFFFF)
 
-    def dma_item(k):
-        slot = k % 2
-        return [dma(slot, k, s) for s in range(pick)]
+        def dma(slot, k, s):
+            # W is chunk-major [C, 48, 4*CHUNK]: ONE copy moves a pick's
+            # whole chunk (all four sections contiguous) into its [48, 4C]
+            # slot of the dot operand — PICK DMAs per group instead of
+            # 4*PICK, and the epilogue still slices each pick's sections
+            # contiguously
+            c = entry(k, s)
+            return pltpu.make_async_copy(
+                w_hbm.at[c],
+                wbuf.at[slot, :, pl.ds(s * CW, CW)],
+                sems.at[slot, s])
 
-    @pl.when(total > 0)
-    def _():
-        for cp in dma_item(jnp.int32(0)):
-            cp.start()
+        def dma_item(k):
+            slot = k % 2
+            return [dma(slot, k, s) for s in range(pick)]
 
-    def body(state):
-        k, tt_cur, t_best, prim = state          # t_best/prim [1,T]
-        tt = tt_of(k)
-        changed = tt != tt_cur
-
-        # tile transition: flush the finished tile's results, reset the
-        # carry from the new tile's tmax row
-        @pl.when(changed)
+        @pl.when(total > 0)
         def _():
-            t_ref[tt_cur] = t_best
-            prim_ref[tt_cur] = prim
-        t_best = jnp.where(changed, meta_ref[tt, 0:1], t_best)
-        prim = jnp.where(changed, -1, prim)
-        anyhit = meta_ref[tt, 1:2] > 0.5         # [1,T]
-
-        # speculative prefetch of the next item (sequential case)
-        @pl.when(k + 1 < total)
-        def _():
-            for cp in dma_item(k + 1):
+            for cp in dma_item(jnp.int32(0)):
                 cp.start()
-        for cp in dma_item(k):
-            cp.wait()
 
-        r48 = r48_ref[tt]
-        out = jax.lax.dot_general(r48, wbuf[k % 2], dn,
-                                  preferred_element_type=jnp.float32)
-        # out cols are pick-major: pick s occupies [s*4C, (s+1)*4C) with
-        # its four sections (s1|s2|num|s0) contiguous inside — the
-        # epilogue runs per pick on [T, CHUNK] slices (same total VPU op
-        # count as one fused [T, PC] pass; Mosaic keeps each slice a
-        # free contiguous view)
-        tb = jnp.where(t_best > 0, t_best, -F32_MAX)    # [1,T]
-        tbc = tb[0][:, None]
-        if n_coef > 1:
-            # per-ray shutter time for the Horner combine (meta row 2)
-            tc = meta_ref[tt, 2][:, None]               # [T,1]
+        def body(state):
+            k, tt_cur, t_best, prim = state          # t_best/prim [1,T]
+            tt = tt_of(k)
+            changed = tt != tt_cur
 
-        def sec(s, j):
-            cb0 = s * CW
-            if n_coef == 1:
-                return out[:, cb0 + j * chunk:cb0 + (j + 1) * chunk]
-            # coefficient planes are [coef][sec][lane] within the
-            # chunk: Horner in the ray's time (cubic, exact — see
-            # build_dense_tables_motion)
-            acc = out[:, cb0 + (n_coef - 1) * 4 * chunk + j * chunk:
-                      cb0 + (n_coef - 1) * 4 * chunk + (j + 1) * chunk]
-            for kk_ in reversed(range(n_coef - 1)):
-                acc = acc * tc + out[:, cb0 + kk_ * 4 * chunk + j * chunk:
-                                     cb0 + kk_ * 4 * chunk
-                                     + (j + 1) * chunk]
-            return acc
+            # tile transition: flush the finished tile's results, reset the
+            # carry from the new tile's tmax row
+            @pl.when(changed)
+            def _():
+                t_ref[tt_cur] = t_best
+                prim_ref[tt_cur] = prim
+            t_best = jnp.where(changed, meta_ref[tt, 0:1], t_best)
+            prim = jnp.where(changed, -1, prim)
+            anyhit = meta_ref[tt, 1:2] > 0.5         # [1,T]
 
-        kmin = None
-        for s in range(pick):
-            s1 = sec(s, 0)
-            s2 = sec(s, 1)
-            num = sec(s, 2)
-            s0 = sec(s, 3)
-            nd = s0 + s1 + s2          # derived denominator (see tables)
-            i0 = s0.view(jnp.int32)
-            i1 = s1.view(jnp.int32)
-            i2 = s2.view(jnp.int32)
-            inside = ((i0 ^ i1) | (i0 ^ i2)) >= 0
-            # approx reciprocal is ~1e-3 on the VPU — one Newton step
-            # recovers ~f32 (t also carries the lane-id quantization)
-            rcp = pl.reciprocal(nd, approx=True)
-            rcp = rcp * (2.0 - nd * rcp)
-            t = num * rcp
-            # NOTE: no per-pick AABB slab test — with an unconditional
-            # dot the acceptance below (t < t_best, t_best > 0) already
-            # implies every predicate the slab test checked; t_best <= 0
-            # parks shadow winners and dead lanes
-            hit = inside & (t > 1e-4) & (t < tbc)
-            # the lane id IS the (pick, in-chunk lane) pair
-            key = (t.view(jnp.int32) & jnp.int32(~lane_mask)) \
-                | (lane + s * chunk)
-            km = jnp.min(jnp.where(hit, key, BIG), axis=1)
-            kmin = km if kmin is None else jnp.minimum(kmin, km)
-        kmin = kmin[None, :]
-        upd = kmin < BIG
-        t_new = (kmin & jnp.int32(~lane_mask)).view(jnp.float32)
-        kk = kmin & jnp.int32(lane_mask)
-        t_new = jnp.where(anyhit, -1.0, t_new)
-        # winner's fine chunk: the pick index rides in kk's high bits
-        if pick == 1:
-            c_win = entry(k, 0)
-        else:
-            s_win = kk >> lane_bits_chunk
-            c_win = jnp.full_like(kk, entry(k, 0))
-            for s in range(1, pick):
-                c_win = jnp.where(s_win == s, entry(k, s), c_win)
-        t_best = jnp.where(upd, t_new, t_best)
-        prim = jnp.where(upd, c_win * chunk + (kk & (chunk - 1)), prim)
-
-        # front-to-back early exit: the NEXT group's near bound lower-
-        # bounds every later group of this tile; if no lane can improve,
-        # jump k to the next tile's first item.  Shadow lanes park at
-        # t=-1 on first hit and dead lanes start at tmax=-1, so both
-        # drop out of the max automatically.
-        if EARLY_EXIT:
-            j1 = jnp.minimum(k - sel_by_tt(tt, offs[:tpg]) + 1,
-                             nl_ref.shape[0] - 1)
-            done_tile = jnp.max(t_best) <= nl_ref[j1, base + tt]
-            k_next = jax.lax.select(done_tile,
-                                    sel_by_tt(tt, offs[1:]), k + 1)
-        else:
-            k_next = k + 1
-        # the speculative prefetch targeted k+1; on a jump, drain it and
-        # start the jump target instead (same semaphore slots)
-        if EARLY_EXIT:
-            jumped = k_next != k + 1
-
-            @pl.when(jumped & (k + 1 < total))
+            # speculative prefetch of the next item (sequential case)
+            @pl.when(k + 1 < total)
             def _():
                 for cp in dma_item(k + 1):
-                    cp.wait()
-
-            @pl.when(jumped & (k_next < total))
-            def _():
-                for cp in dma_item(k_next):
                     cp.start()
-        return (k_next, tt, t_best, prim)
+            for cp in dma_item(k):
+                cp.wait()
 
-    def cond(state):
-        return state[0] < total
+            r48 = r48_ref[tt]
+            out = jax.lax.dot_general(r48, wbuf[k % 2], dn,
+                                      preferred_element_type=jnp.float32)
+            # out cols are pick-major: pick s occupies [s*4C, (s+1)*4C) with
+            # its four sections (s1|s2|num|s0) contiguous inside — the
+            # epilogue runs per pick on [T, CHUNK] slices (same total VPU op
+            # count as one fused [T, PC] pass; Mosaic keeps each slice a
+            # free contiguous view)
+            tb = jnp.where(t_best > 0, t_best, -F32_MAX)    # [1,T]
+            tbc = tb[0][:, None]
+            if n_coef > 1:
+                # per-ray shutter time for the Horner combine (meta row 2)
+                tc = meta_ref[tt, 2][:, None]               # [T,1]
 
-    tt0 = tt_of(jnp.int32(0))
-    state0 = (jnp.int32(0), tt0, meta_ref[tt0, 0:1],
-              jnp.full((1, T), -1, jnp.int32))
-    k_end, tt_last, t_best, prim = jax.lax.while_loop(cond, body, state0)
-    # flush the last visited tile (loop exits without a transition)
-    @pl.when(total > 0)
-    def _():
-        t_ref[tt_last] = t_best
-        prim_ref[tt_last] = prim
+            def sec(s, j):
+                cb0 = s * CW
+                if n_coef == 1:
+                    return out[:, cb0 + j * chunk:cb0 + (j + 1) * chunk]
+                # coefficient planes are [coef][sec][lane] within the
+                # chunk: Horner in the ray's time (cubic, exact — see
+                # build_dense_tables_motion)
+                acc = out[:, cb0 + (n_coef - 1) * 4 * chunk + j * chunk:
+                          cb0 + (n_coef - 1) * 4 * chunk + (j + 1) * chunk]
+                for kk_ in reversed(range(n_coef - 1)):
+                    acc = acc * tc + out[:, cb0 + kk_ * 4 * chunk + j * chunk:
+                                         cb0 + kk_ * 4 * chunk
+                                         + (j + 1) * chunk]
+                return acc
+
+            kmin = None
+            for s in range(pick):
+                s1 = sec(s, 0)
+                s2 = sec(s, 1)
+                num = sec(s, 2)
+                s0 = sec(s, 3)
+                nd = s0 + s1 + s2          # derived denominator (see tables)
+                i0 = s0.view(jnp.int32)
+                i1 = s1.view(jnp.int32)
+                i2 = s2.view(jnp.int32)
+                inside = ((i0 ^ i1) | (i0 ^ i2)) >= 0
+                # approx reciprocal is ~1e-3 on the VPU — one Newton step
+                # recovers ~f32 (t also carries the lane-id quantization)
+                rcp = pl.reciprocal(nd, approx=True)
+                rcp = rcp * (2.0 - nd * rcp)
+                t = num * rcp
+                # NOTE: no per-pick AABB slab test — with an unconditional
+                # dot the acceptance below (t < t_best, t_best > 0) already
+                # implies every predicate the slab test checked; t_best <= 0
+                # parks shadow winners and dead lanes
+                hit = inside & (t > 1e-4) & (t < tbc)
+                # the lane id IS the (pick, in-chunk lane) pair
+                key = (t.view(jnp.int32) & jnp.int32(~lane_mask)) \
+                    | (lane + s * chunk)
+                km = jnp.min(jnp.where(hit, key, BIG), axis=1)
+                kmin = km if kmin is None else jnp.minimum(kmin, km)
+            kmin = kmin[None, :]
+            upd = kmin < BIG
+            t_new = (kmin & jnp.int32(~lane_mask)).view(jnp.float32)
+            kk = kmin & jnp.int32(lane_mask)
+            t_new = jnp.where(anyhit, -1.0, t_new)
+            # winner's fine chunk: the pick index rides in kk's high bits
+            if pick == 1:
+                c_win = entry(k, 0)
+            else:
+                s_win = kk >> lane_bits_chunk
+                c_win = jnp.full_like(kk, entry(k, 0))
+                for s in range(1, pick):
+                    c_win = jnp.where(s_win == s, entry(k, s), c_win)
+            t_best = jnp.where(upd, t_new, t_best)
+            prim = jnp.where(upd, c_win * chunk + (kk & (chunk - 1)), prim)
+
+            # front-to-back early exit: the NEXT group's near bound lower-
+            # bounds every later group of this tile; if no lane can improve,
+            # jump k to the next tile's first item.  Shadow lanes park at
+            # t=-1 on first hit and dead lanes start at tmax=-1, so both
+            # drop out of the max automatically.
+            if EARLY_EXIT:
+                j1 = jnp.minimum(k - sel_by_tt(tt, offs[:tpg]) + 1,
+                                 nl_ref.shape[0] - 1)
+                done_tile = jnp.max(t_best) <= nl_ref[j1, base + tt]
+                k_next = jax.lax.select(done_tile,
+                                        sel_by_tt(tt, offs[1:]), k + 1)
+            else:
+                k_next = k + 1
+            # the speculative prefetch targeted k+1; on a jump, drain it and
+            # start the jump target instead (same semaphore slots)
+            if EARLY_EXIT:
+                jumped = k_next != k + 1
+
+                @pl.when(jumped & (k + 1 < total))
+                def _():
+                    for cp in dma_item(k + 1):
+                        cp.wait()
+
+                @pl.when(jumped & (k_next < total))
+                def _():
+                    for cp in dma_item(k_next):
+                        cp.start()
+            return (k_next, tt, t_best, prim)
+
+        def cond(state):
+            return state[0] < total
+
+        tt0 = tt_of(jnp.int32(0))
+        state0 = (jnp.int32(0), tt0, meta_ref[tt0, 0:1],
+                  jnp.full((1, T), -1, jnp.int32))
+        k_end, tt_last, t_best, prim = jax.lax.while_loop(cond, body, state0)
+        # flush the last visited tile (loop exits without a transition)
+        @pl.when(total > 0)
+        def _():
+            t_ref[tt_last] = t_best
+            prim_ref[tt_last] = prim
 
 
 # W tables up to this size stay VMEM-resident in the loop kernel (the
 # whole table is ~97KB per 1024-tri chunk; 6MB = ~63k triangles)
 VMEM_RESIDENT_BYTES = 6 * 1024 * 1024
 
+# scalar-prefetch budget for the loop kernel's per-tile chunk lists
+# (SMEM is 1MB on v5e; leave headroom for Mosaic's own scalars).
+# Batches whose lists exceed it split the tile axis across launches.
+# 920KB keeps the bench's proven-fitting 768-tile killeroo batches
+# single-launch (915KB measured) while the CLI's 1024+-tile passes
+# split.
+SMEM_BUDGET = int(_os.environ.get("PBRT_TPU_SMEM_BUDGET",
+                                  str(920 * 1024)))
 
-@partial(jax.jit, static_argnames=("n_pad", "interpret", "chunk", "pick"))
+
+@partial(jax.jit, static_argnames=("n_pad", "interpret", "pick"))
 def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad,
-                         interpret=False, chunk=None, pick=None,
+                         interpret=False, pick=None,
                          time=None):
     """Chunk-loop variant of dense_intersect (same contract).
 
@@ -648,39 +666,95 @@ def dense_intersect_loop(r16, tmax, W, chunk_bounds, n_pad,
     near_g = near_g.T                              # [G, n_tiles]
     resident = (W.size * 2) <= VMEM_RESIDENT_BYTES
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,             # chunk_list, n_groups, near_g
-        grid=(n_tiles // TPG,),
-        in_specs=[
-            pl.BlockSpec((TPG, RAY_TILE, 48),
-                         lambda i, cl, na, nl: (i, 0, 0)),
-            pl.BlockSpec((TPG, meta.shape[1], RAY_TILE),
-                         lambda i, cl, na, nl: (i, 0, 0)),
-            pl.BlockSpec(memory_space=(pltpu.VMEM if resident
-                                       else pltpu.ANY)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # chunk_bounds
-        ],
-        out_specs=[
-            pl.BlockSpec((TPG, 1, RAY_TILE),
-                         lambda i, cl, na, nl: (i, 0, 0)),
-            pl.BlockSpec((TPG, 1, RAY_TILE),
-                         lambda i, cl, na, nl: (i, 0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, 48, pick * n_coef * 4 * chunk), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, pick)),
-        ],
-    )
-    t_out, prim_out = pl.pallas_call(
-        partial(_kernel_loop, resident=resident, chunk=chunk, pick=pick,
-                n_coef=n_coef),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, RAY_TILE), jnp.int32),
-        ],
-        interpret=(pltpu.InterpretParams() if interpret else False),
-    )(cl_packed, n_groups, near_g, r48t, meta, W, chunk_bounds)
+    # the prefetched chunk lists live in SMEM (1MB on v5e) and scale
+    # with n_tiles: (CP//2 + G + 1) i32 words per tile.  Large ray
+    # batches (the CLI's 1<<18-pixel passes trace 3B rays = 1536 tiles)
+    # overflow it, so split the TILE axis into multiple launches, each
+    # within budget — caught end-to-end: killeroo-simple via
+    # tools/pbrt.py failed AOT with 'Allocation would exceed memory
+    # (space=smem)' while bench.py's 768-tile batches fit.
+    per_tile_bytes = (cl_packed.shape[0] + near_g.shape[0] + 1) * 4
+    max_tiles = max((SMEM_BUDGET // per_tile_bytes) // TPG, 1) * TPG
+
+    def launch(cl_s, ng_s, nr_s, r48_s, meta_s):
+        st = r48_s.shape[0]
+        steps = st // TPG
+        # live-step count: steps past the last one with any group are
+        # DEAD (the coherence sort packs live lanes into a tile prefix,
+        # so late-bounce batches are ~90% dead steps).  Their index_map
+        # pins them to the last live block — Pallas elides a block copy
+        # whose indices didn't change, so dead steps skip the ~7us
+        # block-DMA floor — and the kernel body skips itself via
+        # pl.when.  Unvisited tiles' outputs are patched to the miss
+        # result below.
+        step_work = jnp.sum(ng_s.reshape(steps, TPG), axis=1) > 0
+        nls = jnp.max(jnp.where(
+            step_work, jnp.arange(steps, dtype=jnp.int32) + 1, 0))
+        nls_arr = nls[None]
+
+        def remap(i, cl, na, nl, ns_):
+            return (jnp.minimum(i, jnp.maximum(ns_[0] - 1, 0)), 0, 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,   # chunk_list, n_groups, near_g, nls
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec((TPG, RAY_TILE, 48), remap),
+                pl.BlockSpec((TPG, meta.shape[1], RAY_TILE), remap),
+                pl.BlockSpec(memory_space=(pltpu.VMEM if resident
+                                           else pltpu.ANY)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # chunk_bounds
+            ],
+            out_specs=[
+                pl.BlockSpec((TPG, 1, RAY_TILE), remap),
+                pl.BlockSpec((TPG, 1, RAY_TILE), remap),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 48, pick * n_coef * 4 * chunk),
+                           jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2, pick)),
+            ],
+        )
+        t_o, p_o = pl.pallas_call(
+            partial(_kernel_loop, resident=resident, chunk=chunk,
+                    pick=pick, n_coef=n_coef),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((st, 1, RAY_TILE), jnp.float32),
+                jax.ShapeDtypeStruct((st, 1, RAY_TILE), jnp.int32),
+            ],
+            interpret=(pltpu.InterpretParams() if interpret else False),
+        )(cl_s, ng_s, nr_s, nls_arr, r48_s, meta_s, W, chunk_bounds)
+        # tiles at/after the first dead step were never visited: their
+        # output blocks are unwritten — patch in the miss result
+        tid = jax.lax.broadcasted_iota(jnp.int32, (st, 1, 1), 0)
+        visited = tid < nls * TPG
+        t_o = jnp.where(visited, t_o, meta_s[:, 0:1, :])
+        p_o = jnp.where(visited, p_o, -1)
+        return t_o, p_o
+
+    if n_tiles <= max_tiles:
+        t_out, prim_out = launch(cl_packed, n_groups, near_g, r48t, meta)
+    else:
+        n_launch = (n_tiles + max_tiles - 1) // max_tiles
+        ntp = n_launch * max_tiles
+        if ntp != n_tiles:        # pad with dead tiles (na=0, tmax=-1)
+            cl_packed = jnp.pad(cl_packed, ((0, 0), (0, ntp - n_tiles)))
+            n_groups = jnp.pad(n_groups, (0, ntp - n_tiles))
+            near_g = jnp.pad(near_g, ((0, 0), (0, ntp - n_tiles)),
+                             constant_values=F32_MAX)
+            r48t = jnp.pad(r48t, ((0, ntp - n_tiles), (0, 0), (0, 0)))
+            meta = jnp.pad(meta, ((0, ntp - n_tiles), (0, 0), (0, 0)),
+                           constant_values=-1.0)
+        touts, pouts = [], []
+        for s in range(n_launch):
+            sl = slice(s * max_tiles, (s + 1) * max_tiles)
+            t_o, p_o = launch(cl_packed[:, sl], n_groups[sl],
+                              near_g[:, sl], r48t[sl], meta[sl])
+            touts.append(t_o)
+            pouts.append(p_o)
+        t_out = jnp.concatenate(touts, 0)[:n_tiles]
+        prim_out = jnp.concatenate(pouts, 0)[:n_tiles]
     return t_out.reshape(-1)[:B], prim_out.reshape(-1)[:B]
 
 

@@ -340,12 +340,19 @@ class PbrtAPI:
     def _d_MakeNamedMedium(self, s):
         name = unquote(s.next())
         ps = self._params(s)
+        # grid media need the CTM at creation (api.cpp MakeMedium passes
+        # curTransform as medium2world)
+        import pbrt_tpu.core.transform as _tfm
         self.media[name] = {"name": name, "params": ps,
-                            "type": ps.find_one_string("type", "homogeneous")}
+                            "type": ps.find_one_string("type",
+                                                       "homogeneous"),
+                            "m2w": _tfm.Transform(self.ctm[0].m)}
 
     def _medium_index(self, name):
         """Resolve a named medium to a per-primitive media-table index
-        (homogeneous only; grid media stay on the global-medium path)."""
+        (homogeneous AND grid: GridDensityMedium binds through
+        MediumInterface like the reference, api.cpp pbrtMediumInterface
+        + grid.cpp)."""
         if not name:
             return -1
         if name in self._medium_ids:
@@ -354,9 +361,6 @@ class PbrtAPI:
         idx = -1
         if m is None:
             log.warning("MediumInterface names unknown medium %r", name)
-        elif m["type"] in ("heterogeneous", "grid"):
-            log.warning("per-primitive grid medium %r unsupported — "
-                        "handled on the global-medium path", name)
         else:
             ps = m["params"]
             default_a, default_s = 1.0, 1.0
@@ -368,10 +372,33 @@ class PbrtAPI:
                 if got is not None:
                     default_a, default_s = got
             scale = ps.find_one_float("scale", 1.0)
-            idx = self.builder.add_medium_record(
-                ps.find_one_spectrum("sigma_a", default_a) * scale,
-                ps.find_one_spectrum("sigma_s", default_s) * scale,
-                ps.find_one_float("g", 0.0))
+            sig_a = ps.find_one_spectrum("sigma_a", default_a) * scale
+            sig_s = ps.find_one_spectrum("sigma_s", default_s) * scale
+            g = ps.find_one_float("g", 0.0)
+            if m["type"] in ("heterogeneous", "grid"):
+                import numpy as _np
+                nx = ps.find_one_int("nx", 1)
+                ny = ps.find_one_int("ny", 1)
+                nz = ps.find_one_int("nz", 1)
+                dvals = ps.find_floats("density")
+                dens = (_np.asarray(dvals, _np.float32)
+                        .reshape(nz, ny, nx)
+                        if dvals is not None
+                        else _np.ones((1, 1, 1), _np.float32))
+                p0 = _np.asarray(ps.find_one_point("p0", [0, 0, 0]))
+                p1 = _np.asarray(ps.find_one_point("p1", [1, 1, 1]))
+                # medium2world = CTM-at-creation * translate(p0)
+                #                * scale(p1-p0)  (medium.cpp data2Medium)
+                d2m = _np.eye(4)
+                d2m[:3, 3] = p0
+                for i in range(3):
+                    d2m[i, i] = p1[i] - p0[i]
+                m2w = _np.asarray(m["m2w"].m, _np.float64) @ d2m
+                w2m = _np.linalg.inv(m2w).astype(_np.float32)
+                idx = self.builder.add_medium_record(
+                    sig_a, sig_s, g, density=dens, world_to_medium=w2m)
+            else:
+                idx = self.builder.add_medium_record(sig_a, sig_s, g)
         self._medium_ids[name] = idx
         return idx
 
@@ -780,8 +807,10 @@ class PbrtAPI:
                 self._spectrum_or_texture(ps, "Kr", 1.0)[0], np.float32)
                 * np.float32(0.05))
             m.eta = eta
-            m.rough_u = m.rough_v = ps.find_one_float(
-                "uroughness", ps.find_one_float("roughness", 0.1))
+            # reference default is a SMOOTH FresnelSpecular interface
+            # (subsurface.cpp:127-129: uroughness/vroughness default 0)
+            m.rough_u = ps.find_one_float("uroughness", 0.0)
+            m.rough_v = ps.find_one_float("vroughness", m.rough_u)
             m.remap_roughness = ps.find_one_bool("remaproughness", True)
         else:
             log.warning("unknown material %r -> matte", mname)

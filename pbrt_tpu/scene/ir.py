@@ -113,10 +113,10 @@ class SceneData:
     # compile (materials/fourier.py bake_grid)
     fourier_grid: jnp.ndarray  # [F,NM,NM,NP,3]
     mat_fourier_id: jnp.ndarray  # [M] index into fourier_grid or -1
-    # importance-sampling cell CDFs baked from the lattice
-    # (materials/fourier.py bake_sampling)
-    fourier_cdf_mu: jnp.ndarray   # [F, NMo-1, NMi]
-    fourier_cdf_phi: jnp.ndarray  # [F, NMo-1, NMi-1, NP]
+    # Catmull-Rom sampling marginals baked from the lattice
+    # (materials/fourier.py bake_cr_tables)
+    fourier_a0: jnp.ndarray       # [F, NMi, NMo] phi-avg lum * |mu_i|
+    fourier_lum: jnp.ndarray      # [F, NMi, NMo, NP] luminance lattice
     # tabulated BSSRDF diffusion profiles, one table per distinct
     # (g, eta) (core/bssrdf.cpp ComputeBeamDiffusionBSSRDF); the rho /
     # optical-radius grids are construction-time constants shared by
@@ -144,6 +144,14 @@ class SceneData:
     med_sigma_a: jnp.ndarray      # [K,31]
     med_sigma_s: jnp.ndarray      # [K,31]
     med_g: jnp.ndarray            # [K]
+    # per-medium density grids (GridDensityMedium bound through
+    # MediumInterface, grid.cpp:46+): padded to the max extents across
+    # the scene's grid media; homogeneous rows carry a 1x1x1 ones grid
+    med_density: jnp.ndarray      # [K, DZ, DY, DX]
+    med_dims: jnp.ndarray         # [K,3] (nz,ny,nx) actual extents
+    med_w2m: jnp.ndarray          # [K,4,4] world -> unit-cube medium
+    med_inv_maxd: jnp.ndarray     # [K] 1/max density (majorant helper)
+    med_is_grid: jnp.ndarray      # [K] bool
 
     # --- light table ---
     light_type: jnp.ndarray    # [L]
@@ -236,6 +244,7 @@ class SceneData:
     # any material with a bump map (skips 3 texture evals/bounce if not)
     has_bump: bool = struct.field(pytree_node=False, default=True)
     has_prim_media: bool = struct.field(pytree_node=False, default=False)
+    has_grid_media: bool = struct.field(pytree_node=False, default=False)
     camera_medium: int = struct.field(pytree_node=False, default=-1)
     clip_quadrics: bool = struct.field(pytree_node=False, default=False)
     use_dense: bool = struct.field(pytree_node=False, default=False)
@@ -412,12 +421,18 @@ class SceneBuilder:
         from pbrt_tpu.textures.textures import TextureTable
         self.textures = TextureTable()
 
-    def add_medium_record(self, sigma_a, sigma_s, g):
-        """Register a homogeneous medium for per-primitive interfaces;
-        returns its index."""
-        self.media_table.append((np.asarray(sigma_a, np.float32),
-                                 np.asarray(sigma_s, np.float32),
-                                 float(g)))
+    def add_medium_record(self, sigma_a, sigma_s, g, density=None,
+                          world_to_medium=None):
+        """Register a medium for per-primitive interfaces; returns its
+        index.  density [nz,ny,nx] + world_to_medium [4,4] make it a
+        grid medium (GridDensityMedium, grid.cpp) — bound per-prim just
+        like homogeneous (VERDICT r4 item 4)."""
+        self.media_table.append((
+            np.asarray(sigma_a, np.float32),
+            np.asarray(sigma_s, np.float32), float(g),
+            None if density is None else np.asarray(density, np.float32),
+            np.eye(4, dtype=np.float32) if world_to_medium is None
+            else np.asarray(world_to_medium, np.float32)))
         return len(self.media_table) - 1
 
     def add_fourier_grid(self, grid):
@@ -810,15 +825,17 @@ class SceneBuilder:
         marg = np.zeros(He + 1, np.float32)
         marg[1:] = np.cumsum(cond_int) / max(cond_int.sum(), 1e-20)
 
-        # fourier importance-sampling CDFs (materials/fourier.py)
+        # fourier importance-sampling marginals for the Catmull-Rom
+        # CDF-inversion sampler (materials/fourier.py bake_cr_tables;
+        # reference SampleCatmullRom2D, interpolation.cpp:172-300)
         if self.fourier_grids:
-            from pbrt_tpu.materials.fourier import bake_sampling
-            _cdfs = [bake_sampling(g) for g in self.fourier_grids]
-            f_cdf_mu = np.stack([c[0] for c in _cdfs])
-            f_cdf_phi = np.stack([c[1] for c in _cdfs])
+            from pbrt_tpu.materials.fourier import bake_cr_tables
+            _crs = [bake_cr_tables(g) for g in self.fourier_grids]
+            f_a0 = np.stack([c[0] for c in _crs])
+            f_lum = np.stack([c[1] for c in _crs])
         else:
-            f_cdf_mu = np.zeros((1, 1, 2), np.float32)
-            f_cdf_phi = np.zeros((1, 1, 1, 2), np.float32)
+            f_a0 = np.zeros((1, 2, 2), np.float32)
+            f_lum = np.zeros((1, 2, 2, 2), np.float32)
 
         tex_imgs, tex_t, tex_p, tex_a, tex_b = self.textures.arrays()
         world_lo = lo.min(0) if P else np.zeros(3)
@@ -886,13 +903,47 @@ class SceneBuilder:
             # motion groups are N_COEF x wider per chunk; shrink pick so
             # the dot width / VMEM scratch stays in the static envelope
             d_pick = max(1, d_pick // 4)
-        if dense_motion:
+        if not use_dense:
+            # BVH-only scenes (e.g. animated meshes over the dense cap)
+            # never read dense_w — store a minimal 1-chunk placeholder
+            # instead of a full (4x for motion) table (ADVICE r4 low)
+            dtab = build_dense_tables(np.zeros((1, 3), np.float32),
+                                      np.zeros((1, 3), np.float32),
+                                      np.zeros((1, 3), np.float32),
+                                      chunk=d_chunk)
+            dense_motion = False
+        elif dense_motion:
             dtab = build_dense_tables_motion(
                 tri_v0[:Pp], tri_e1[:Pp], tri_e2[:Pp], tri_motion[:Pp],
                 chunk=d_chunk)
         else:
             dtab = build_dense_tables(tri_v0[:Pp], tri_e1[:Pp],
                                       tri_e2[:Pp], chunk=d_chunk)
+        # per-medium grid tables, padded to common extents (homogeneous
+        # rows get a 1x1x1 ones grid; never sampled because med_dims has
+        # no grid flag -- callers gate on inv_maxd/is-grid masks)
+        K_med = max(len(self.media_table), 1)
+        dens_list = [(m[3] if len(m) > 3 and m[3] is not None
+                      else np.ones((1, 1, 1), np.float32))
+                     for m in self.media_table] or [np.ones((1, 1, 1),
+                                                            np.float32)]
+        DZ = max(d.shape[0] for d in dens_list)
+        DY = max(d.shape[1] for d in dens_list)
+        DX = max(d.shape[2] for d in dens_list)
+        med_density_pad = np.zeros((K_med, DZ, DY, DX), np.float32)
+        med_dims_arr = np.ones((K_med, 3), np.int32)
+        med_w2m_arr = np.tile(np.eye(4, dtype=np.float32),
+                              (K_med, 1, 1))
+        med_inv_maxd_arr = np.ones(K_med, np.float32)
+        med_is_grid_arr = np.zeros(K_med, bool)
+        for mi, m in enumerate(self.media_table):
+            med_is_grid_arr[mi] = len(m) > 3 and m[3] is not None
+        for mi, d in enumerate(dens_list):
+            med_density_pad[mi, :d.shape[0], :d.shape[1], :d.shape[2]] = d
+            med_dims_arr[mi] = d.shape
+            med_inv_maxd_arr[mi] = 1.0 / max(float(d.max()), 1e-9)
+            if mi < len(self.media_table) and len(self.media_table[mi]) > 4:
+                med_w2m_arr[mi] = self.media_table[mi][4]
         return SceneData(
             bvh_packed=jnp.asarray(bvh.packed),
             bvh_hit=jnp.asarray(bvh.hit_links),
@@ -942,8 +993,8 @@ class SceneBuilder:
                 else np.zeros((1, 2, 2, 2, 3), np.float32)),
             mat_fourier_id=jnp.asarray([m.fourier_id for m in mats],
                                        jnp.int32),
-            fourier_cdf_mu=jnp.asarray(f_cdf_mu),
-            fourier_cdf_phi=jnp.asarray(f_cdf_phi),
+            fourier_a0=jnp.asarray(f_a0),
+            fourier_lum=jnp.asarray(f_lum),
             bssrdf_profile=jnp.asarray(
                 np.stack([t["profile"] for _, t in self.bssrdf_tables])
                 if self.bssrdf_tables else np.zeros((1, 2, 2), np.float32)),
@@ -982,7 +1033,14 @@ class SceneBuilder:
             med_g=jnp.asarray(
                 np.asarray([m[2] for m in self.media_table], np.float32)
                 if self.media_table else np.zeros(1, np.float32)),
+            med_density=jnp.asarray(med_density_pad),
+            med_dims=jnp.asarray(med_dims_arr),
+            med_w2m=jnp.asarray(med_w2m_arr),
+            med_inv_maxd=jnp.asarray(med_inv_maxd_arr),
+            med_is_grid=jnp.asarray(med_is_grid_arr),
             has_prim_media=bool(self.media_table),
+            has_grid_media=any(m[3] is not None
+                               for m in self.media_table),
             has_ptex=self._has_ptex(),
             camera_medium=int(self.camera_medium),
             has_disney=any(m.type == MAT_DISNEY for m in mats),
@@ -990,7 +1048,15 @@ class SceneBuilder:
             has_hair=any(m.type == MAT_HAIR for m in mats),
             has_beckmann=any(getattr(m, "distribution", "ggx") == "beckmann"
                              for m in mats),
-            mat_families=tuple(sorted({m.type for m in mats})),
+            # subsurface lanes mutate to MIRROR (smooth interface
+            # reflection), ROUGHGLASS (uroughness>0 interface,
+            # subsurface.cpp:68-87) and SSW at runtime — include those
+            # families so their lobes compile
+            mat_families=tuple(sorted(
+                {m.type for m in mats}
+                | ({MAT_MIRROR, MAT_ROUGHGLASS, MAT_SSW}
+                   if any(m.type in (MAT_SUBSURFACE, MAT_KDSUBSURFACE)
+                          for m in mats) else set()))),
             has_fourier=bool(self.fourier_grids),
             light_type=jnp.asarray([l["type"] for l in lights], jnp.int32),
             light_L=jnp.asarray(np.stack([l["L"] for l in lights]), f32),

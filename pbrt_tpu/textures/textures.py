@@ -209,6 +209,26 @@ def eval_texture(tex_images, tex_type, tex_params, tex_c1, tex_c2,
                 acc = acc + w * tap
                 wsum = wsum + w
             c_img = acc / wsum
+            # lanes with NO differentials (quadric first hits,
+            # degenerate-uv triangles, failed plane projections) carry
+            # duv==0; EWA would read mip level 0 unfiltered there.
+            # Per-lane fall back to the ray-cone/trilinear path instead
+            # (ADVICE r4 medium) so those lanes keep the documented
+            # cone behavior.
+            if uv_width is not None:
+                no_duv = jnp.all(duv == 0.0, axis=-1)
+                wc = uv_width * jnp.maximum(
+                    jnp.maximum(jnp.abs(us), jnp.abs(vs)), 1e-12)
+                lvlc = jnp.clip(jnp.log2(jnp.maximum(wc * RES, 1e-9)),
+                                0.0, float(MAX_LEVEL))
+                lc0 = lvlc.astype(jnp.int32)
+                lc1 = jnp.minimum(lc0 + 1, MAX_LEVEL)
+                flc = (lvlc - lc0)[:, None]
+                c_cone = (_bilinear_level(tex_images, ti, u, v, lc0)
+                          * (1 - flc)
+                          + _bilinear_level(tex_images, ti, u, v, lc1)
+                          * flc)
+                c_img = jnp.where(no_duv[:, None], c_cone, c_img)
         elif uv_width is None:
             c_img = _bilinear_level(tex_images, ti, u, v,
                                     jnp.zeros(B, jnp.int32))

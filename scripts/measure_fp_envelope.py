@@ -1,0 +1,121 @@
+"""Measure THIS intersector's fp error envelope with an f64 shadow
+intersector (VERDICT r4 item 3).
+
+Methodology — pbrt's own (efloat.h:48 derives bounds for pbrt's
+rounding; we measure ours): trace the killeroo parity crop's camera
+rays through the production f32 intersector, re-intersect each winning
+triangle in float64, and record the distributions of
+
+  * |t32 - t64| / |t64|            (parametric-distance error)
+  * |p32 - p64| / max(|p|, 1)      (hit-point reconstruction error,
+                                    the quantity a spawn offset must
+                                    clear)
+
+then report the percentile envelope against the offsets the renderer
+actually uses (REF_EPS_SCALE for the "scaled" mode; gamma(7) pError for
+the "pbrt" mode).  Run on CPU (the parity tests' backend):
+
+    JAX_PLATFORMS=cpu python scripts/measure_fp_envelope.py
+"""
+import sys
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+
+from pbrt_tpu.parser.api import parse_scene
+from pbrt_tpu.tools.pbrt import build_camera
+from pbrt_tpu.integrators import refpath
+from pbrt_tpu.cameras import projective
+from pbrt_tpu.ops import intersect as isect
+
+SCENE = "scenes/killeroo_refrng.pbrt"
+W = H = 700
+SUB = (286, 414)
+
+
+def f64_triangle_t(o, d, v0, e1, e2):
+    """Double-precision Moller-Trumbore t for given triangles."""
+    o = o.astype(np.float64)
+    d = d.astype(np.float64)
+    pvec = np.cross(d, e2)
+    det = np.sum(e1 * pvec, -1)
+    ok = np.abs(det) > 1e-300
+    inv = np.where(ok, 1.0 / np.where(det == 0, 1, det), 0.0)
+    tvec = o - v0
+    qvec = np.cross(tvec, e1)
+    t = np.sum(e2 * qvec, -1) * inv
+    b1 = np.sum(tvec * pvec, -1) * inv
+    b2 = np.sum(d * qvec, -1) * inv
+    return t, b1, b2, ok
+
+
+def main():
+    job = parse_scene(SCENE)
+    scene = job.scene
+    camera = build_camera(job, W, H)
+    sampler = refpath.RefSampler.make(W, H)
+    a, b = SUB
+    xs, ys = np.meshgrid(np.arange(a, b), np.arange(a, b))
+    pixel_ids = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
+
+    ray, weight, _pf, pid, sidx = refpath.camera_rays_ref(
+        camera, W, H, sampler, pixel_ids, jnp.uint32(0),
+        projective.generate_rays)
+    t32, prim, u, v, found = isect.intersect(scene, ray)
+    t32 = np.asarray(t32)
+    prim = np.asarray(prim)
+    found = np.asarray(found)
+    o = np.asarray(ray.o)
+    d = np.asarray(ray.d)
+
+    P = int(scene.prim_type.shape[0])
+    pidc = np.clip(prim, 0, P - 1)
+    v0 = np.asarray(scene.tri_v0, np.float64)[pidc]
+    e1 = np.asarray(scene.tri_e1, np.float64)[pidc]
+    e2 = np.asarray(scene.tri_e2, np.float64)[pidc]
+    is_tri = np.asarray(scene.prim_type)[pidc] == 0
+    sel = found & is_tri
+    t64, b1, b2, ok = f64_triangle_t(o, d, v0, e1, e2)
+    sel &= ok & (t64 > 0)
+
+    p32 = o + t32[:, None] * d
+    p64 = o.astype(np.float64) + t64[:, None] * d.astype(np.float64)
+    pscale = np.maximum(np.max(np.abs(p64), -1), 1.0)
+    rel_t = np.abs(t32 - t64)[sel] / np.maximum(np.abs(t64[sel]), 1e-12)
+    rel_p = (np.linalg.norm(p32 - p64, axis=-1) / pscale)[sel]
+
+    def pct(x):
+        return {q: float(np.percentile(x, q))
+                for q in (50, 90, 99, 99.9, 99.99)} | {
+                    "max": float(x.max())}
+
+    print(f"lanes: {sel.sum()} / {len(sel)} (tri closest hits)")
+    print("rel t error      :", pct(rel_t))
+    print("rel p error (|p|):", pct(rel_p))
+    print(f"current REF_EPS_SCALE = {refpath.REF_EPS_SCALE:g}")
+    cover = float((rel_p < refpath.REF_EPS_SCALE).mean())
+    print(f"offset covers {cover * 100:.3f}% of hit reconstruction "
+          "errors")
+    # the offset must also clear the ACCEPTANCE band of the next trace:
+    # re-spawn along the surface and count self-hits at various eps
+    ng = np.cross(e1, e2)
+    ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-30)
+    for eps in (2e-7, 5e-7, 1e-6, 1.5e-6, 3e-6, 1e-5):
+        off = (eps * pscale)[:, None] * ng
+        # a tangential ray from the offset point back at the same tri
+        o2 = p32 + np.where(
+            (np.sum(ng * d, -1) < 0)[:, None], off, -off)
+        t2, b1_, b2_, ok2 = f64_triangle_t(
+            o2.astype(np.float32), d, v0, e1, e2)
+        inside = (b1_ > 0) & (b2_ > 0) & (b1_ + b2_ < 1)
+        self_hit = (t2 > 1e-4) & (t2 < 1e-2) & inside & ok2
+        print(f"eps={eps:g}: residual self-hit fraction "
+              f"{float(self_hit[sel].mean()):.5f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

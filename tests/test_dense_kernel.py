@@ -274,3 +274,28 @@ def test_closest_hit_production_shape():
     rel = np.abs(t[ok] - tb[ok]) / np.maximum(tb[ok], 1e-6)
     assert rel.max() < 5e-3
     assert (prim[ok] == pb[ok]).mean() > 0.99
+
+
+def test_multi_launch_tile_split(monkeypatch):
+    """SMEM-budget tile split: results identical to a single launch.
+
+    Round-5 find (via end-to-end CLI drive): the CLI's 1<<18-pixel
+    passes trace 3B rays = 1536 tiles, whose prefetched chunk lists
+    overflow v5e's 1MB SMEM ('Allocation would exceed memory
+    (space=smem)') while bench.py's 768-tile batches fit — so
+    dense_intersect_loop splits the tile axis across launches when the
+    per-tile list bytes exceed SMEM_BUDGET.  Force the split with a tiny
+    budget and check exact agreement with the unsplit kernel.
+    """
+    v0, e1, e2 = _soup(seed=31)
+    o, d = _rays(n_rays=12 * pdense.RAY_TILE, seed=32, coherent=True)
+    tmax = np.full(o.shape[0], 3.0e38, np.float32)
+    t1, p1 = _run_dense(v0, e1, e2, o, d, tmax)
+    monkeypatch.setattr(pdense, "SMEM_BUDGET", 64)   # forces max_tiles=TPG
+    # distinct ray count from every other test so the tiny budget is
+    # seen at trace time (jit caches on shapes, not module globals)
+    t2, p2 = _run_dense(v0, e1, e2, o[:-pdense.RAY_TILE],
+                        d[:-pdense.RAY_TILE], tmax[:-pdense.RAY_TILE])
+    n = t2.shape[0]
+    assert (p1[:n] == p2).all()
+    assert (t1[:n] == t2).all()

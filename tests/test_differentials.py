@@ -169,3 +169,106 @@ WorldEnd
         out = np.asarray(filmmod.develop_rgb(film))
     assert np.isfinite(out).all()
     assert out.max() > 0.01
+
+
+MIRROR_SCENE = """
+LookAt 0 1 -3  0 0 0  0 1 0
+Camera "perspective" "float fov" [40]
+Film "image" "integer xresolution" [32] "integer yresolution" [32]
+Sampler "sobol" "integer pixelsamples" [1]
+Integrator "path" "integer maxdepth" [3]
+WorldBegin
+LightSource "distant" "color L" [3 3 3] "point from" [0 -1 -1] "point to" [0 0 0]
+AttributeBegin
+Material "mirror"
+Shape "trianglemesh" "point P" [-3 0 -3  3 0 -3  3 0 3  -3 0 3]
+    "integer indices" [0 2 1 0 3 2]
+AttributeEnd
+AttributeBegin
+Material "matte" "color Kd" [0.6 0.6 0.6]
+Shape "trianglemesh" "point P" [-3 0 4  3 0 4  3 6 4  -3 6 4]
+    "float uv" [0 0 1 0 1 1 0 1]
+    "integer indices" [0 1 2 2 3 0]
+AttributeEnd
+WorldEnd
+"""
+
+
+def test_specular_chain_propagates_differentials():
+    """VERDICT r4 item 7: ray differentials must propagate through
+    specular bounces (SpecularReflect dndx machinery, integrator.cpp:
+    344-429).  A camera ray reflecting off a flat mirror floor onto a
+    textured wall must carry nonzero duv at the WALL hit, and the
+    propagated dudx must match a finite difference of the actual
+    neighboring-pixel reflected path (ground truth, flat mirror =>
+    exact to first order)."""
+    from pbrt_tpu.integrators import path as pathmod
+    from pbrt_tpu.cameras import projective
+    from pbrt_tpu.samplers.samplers import SamplerConfig
+    from pbrt_tpu.ops import intersect as isect
+    from pbrt_tpu.tools.pbrt import build_camera
+
+    job = PbrtAPI().parse_string(MIRROR_SCENE)
+    scene = job.scene
+    W = H = 32
+    camera = build_camera(job, W, H)
+    cfg = SamplerConfig(kind="sobol", seed=0, spp=1)
+
+    # capture the second-bounce hit (wall) duv via a trace_pair spy
+    captured = []
+    orig = isect.trace_pair
+
+    def spy(scene_, nray, sray, ignore_light=None, ray_diff=None):
+        hit, occ = orig(scene_, nray, sray, ignore_light=ignore_light,
+                        ray_diff=ray_diff)
+        captured.append((np.asarray(hit.duv) if hit.duv is not None
+                         else None, np.asarray(hit.uv),
+                         np.asarray(hit.valid)))
+        return hit, occ
+
+    # pixels looking DOWN at the mirror (lower half of the image)
+    pids = np.array([24 * W + 10, 24 * W + 16, 26 * W + 16],
+                    np.uint32)
+    B = len(pids)
+    isect.trace_pair = spy
+    try:
+        ray, weight, pf, pid, sidx = pathmod.camera_rays_for_pixels(
+            camera, W, H, cfg, jnp.asarray(pids), jnp.uint32(0),
+            projective.generate_rays)
+        rd = pathmod.camera_ray_differentials(
+            camera, W, H, cfg, pid, sidx, projective.generate_rays, 1)
+        pathmod.trace_paths(scene, ray, pid, sidx, cfg, max_depth=3,
+                            ray_diff=rd)
+    finally:
+        isect.trace_pair = orig
+    # first spy call = bounce-1 trace (wall hits for mirror pixels)
+    duv1, uv1, valid1 = captured[0]
+    assert duv1 is not None
+    ok = valid1 & (np.abs(duv1).sum(-1) > 0)
+    assert ok.any(), "no propagated differentials at the wall hit"
+
+    # ground truth: trace the SAME probe rays the propagation started
+    # from analytically through the flat mirror (y=0 plane, reflect,
+    # wall z=4 with u=(x+3)/6, v=y/6) — exact, no jitter confound
+    rxo, rxd, ryo, ryd = [np.asarray(a) for a in rd]
+    ro, rdir = np.asarray(ray.o), np.asarray(ray.d)
+
+    def wall_uv_analytic(o, d):
+        t1 = -o[:, 1] / d[:, 1]
+        p1 = o + t1[:, None] * d
+        d2 = d * np.array([1.0, -1.0, 1.0])
+        t2 = (4.0 - p1[:, 2]) / d2[:, 2]
+        p2 = p1 + t2[:, None] * d2
+        return np.stack([(p2[:, 0] + 3.0) / 6.0, p2[:, 1] / 6.0], -1)
+
+    uv0 = wall_uv_analytic(ro, rdir)
+    duv_x = wall_uv_analytic(rxo, rxd) - uv0
+    duv_y = wall_uv_analytic(ryo, ryd) - uv0
+    for i in range(B):
+        if not ok[i]:
+            continue
+        pred = duv1[i]                      # [dudx,dvdx,dudy,dvdy]
+        want = np.concatenate([duv_x[i], duv_y[i]])
+        denom = max(np.abs(want).max(), 1e-6)
+        assert np.abs(pred - want).max() < 0.1 * denom + 1e-4, \
+            (i, pred, want)

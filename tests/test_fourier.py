@@ -121,17 +121,18 @@ def test_sampler_pdf_consistency_and_albedo(tmp_path):
     tab = fourier.read_bsdf(_lambertian_table(tmp_path))
     grid_np = fourier.bake_grid(tab, n_mu=48, n_phi=16)
     grid = jnp.asarray(grid_np)
-    cdf_mu, cdf_phi = (jnp.asarray(a) for a in fourier.bake_sampling(grid_np))
+    a0_np, lum_np = fourier.bake_cr_tables(grid_np)
+    a0, lum = jnp.asarray(a0_np), jnp.asarray(lum_np)
     B = 200_000
     rs = np.random.RandomState(1)
     wo = jnp.broadcast_to(jnp.asarray([0.25, 0.0, 0.968]), (B, 3))
     us = jnp.asarray(rs.rand(B).astype(np.float32))
     u1 = jnp.asarray(rs.rand(B).astype(np.float32))
     u2 = jnp.asarray(rs.rand(B).astype(np.float32))
-    wi = fourier.sample_grid(cdf_mu, cdf_phi, wo, us, u1, u2)
+    wi = fourier.sample_grid_cr(a0, lum, wo, us, u1, u2)
     assert np.allclose(np.linalg.norm(np.asarray(wi), axis=-1), 1.0,
                        atol=1e-5)
-    pdf = np.asarray(fourier.pdf_grid(cdf_mu, cdf_phi, wo, wi))
+    pdf = np.asarray(fourier.pdf_grid_cr(a0, lum, wo, wi))
     assert (pdf > 0).all()
     f = np.asarray(fourier.eval_grid(grid, wo, wi))[:, 0]
     cos_i = np.abs(np.asarray(wi)[:, 2])
@@ -148,7 +149,7 @@ def test_sample_f_dispatch_uses_cdfs(tmp_path):
     from pbrt_tpu.scene import ir as irmod
     tab = fourier.read_bsdf(_lambertian_table(tmp_path))
     grid_np = fourier.bake_grid(tab, n_mu=48, n_phi=16)
-    cdf_mu, cdf_phi = fourier.bake_sampling(grid_np)
+    a0_np, lum_np = fourier.bake_cr_tables(grid_np)
     B = 65536
     rs = np.random.RandomState(2)
     z31 = jnp.zeros((B, 31))
@@ -160,8 +161,8 @@ def test_sample_f_dispatch_uses_cdfs(tmp_path):
         sigma=jnp.zeros(B), opacity=z31 + 1.0,
         fourier_grid=jnp.asarray(grid_np)[None],
         fourier_id=jnp.zeros(B, jnp.int32),
-        fourier_cdf_mu=jnp.asarray(cdf_mu)[None],
-        fourier_cdf_phi=jnp.asarray(cdf_phi)[None],
+        fourier_a0=jnp.asarray(a0_np)[None],
+        fourier_lum=jnp.asarray(lum_np)[None],
         families=(irmod.MAT_FOURIER,))
     wo = jnp.broadcast_to(jnp.asarray([0.25, 0.0, 0.968]), (B, 3))
     us = jnp.asarray(rs.rand(B).astype(np.float32))
@@ -177,3 +178,46 @@ def test_sample_f_dispatch_uses_cdfs(tmp_path):
     est = (np.asarray(f)[:, 0] * np.abs(np.asarray(wi)[:, 2])
            / np.maximum(np.asarray(pdf), 1e-12))[ok].mean()
     assert abs(est - RHO) < 0.05, est
+
+
+def test_cr_sampling_chi2_coarse_grid(tmp_path):
+    """VERDICT r4 item 6: at a COARSE lattice the sampler's empirical
+    distribution must match the Catmull-Rom interpolated density (the
+    reference's SampleCatmullRom2D semantics, interpolation.cpp:172-256)
+    — a piecewise-constant cell sampler fails this chi-square check.
+
+    Bins muI at 3x the lattice resolution so sub-cell shape is tested:
+    the CR density varies INSIDE cells; cell-constant sampling is flat
+    there."""
+    tab = fourier.read_bsdf(_lambertian_table(tmp_path))
+    grid_np = fourier.bake_grid(tab, n_mu=12, n_phi=8)    # coarse
+    a0_np, lum_np = fourier.bake_cr_tables(grid_np)
+    a0, lum = jnp.asarray(a0_np), jnp.asarray(lum_np)
+    B = 300_000
+    rs = np.random.RandomState(7)
+    wo = jnp.broadcast_to(jnp.asarray([0.25, 0.0, 0.968]), (B, 3))
+    us = jnp.asarray(rs.rand(B).astype(np.float32))
+    u1 = jnp.asarray(rs.rand(B).astype(np.float32))
+    u2 = jnp.asarray(rs.rand(B).astype(np.float32))
+    wi = np.asarray(fourier.sample_grid_cr(a0, lum, wo, us, u1, u2))
+    mu = -wi[:, 2]
+    nb = (12 - 1) * 3
+    hist, edges = np.histogram(mu, bins=nb, range=(-1, 1), density=True)
+    cent = 0.5 * (edges[:-1] + edges[1:])
+    # expected marginal density in mu from the CR interpolant of a0
+    nm = a0_np.shape[0]
+    xo = (0.968 + 1.0) * 0.5 * (nm - 1)
+    o_off, o_w = fourier._cr_weights_uniform(
+        jnp.full((1,), xo, jnp.float32), nm)
+    rows = jnp.asarray(a0_np).T[fourier._cr_taps(o_off, nm)]
+    F_mu = np.asarray(jnp.einsum('bk,bkn->bn', o_w, rows))[0]
+    xq = (cent + 1.0) * 0.5 * (nm - 1)
+    fv, tot = fourier._cr_eval_1d(
+        jnp.tile(jnp.asarray(F_mu)[None], (nb, 1)),
+        jnp.asarray(xq, jnp.float32))
+    h_mu = 2.0 / (nm - 1)
+    want = np.asarray(fv) / (np.asarray(tot) * h_mu)
+    m = want > 0.05 * want.max()
+    chi2 = np.sum((hist[m] - want[m]) ** 2 / np.maximum(want[m], 1e-9))
+    # dof ~ bins; chi2/dof should be O(MC noise) << cell-constant error
+    assert chi2 / m.sum() < 0.02, chi2 / m.sum()
