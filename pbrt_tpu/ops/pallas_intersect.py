@@ -767,6 +767,11 @@ def _queue_kernel(r16_ref, tmax_ref, cb_ref, hits_ref, nears_ref):
     (one [tiles,C,T] pass, or a chunk-blocked lax.scan) materialized
     multi-MB intermediates to HBM — measured 5-7ms/call on killeroo vs
     the whole kernel's ~4ms; here the intermediates never leave VMEM.
+
+    NOTE(r5): a PrefetchScalarGridSpec dead-step remap variant (like
+    the loop kernel's) regressed Mosaic compile time from ~3 min to
+    >9.5 min for the full pass — reverted; the in-kernel dead-tile
+    skip below keeps dead steps cheap enough.
     """
     tpg = r16_ref.shape[0]
     Cp = cb_ref.shape[0]

@@ -21,7 +21,9 @@ MAX_DEPTH = int(job.integrator_params.get("maxdepth", 5))
 print("tris(padded):", scene.dense_npad, "chunks:",
       scene.dense_cb.shape[0], "maxdepth:", MAX_DEPTH, flush=True)
 
-B = 1 << 17     # pixel chunk per pass
+import os
+B = 1 << int(os.environ.get("KB_LOG2", "17"))   # pixel chunk per pass
+N_PASSES = int(os.environ.get("KB_PASSES", "8"))
 
 
 @jax.jit
@@ -42,7 +44,7 @@ out = one_pass(scene, camera, jnp.uint32(0), jnp.uint32(99))
 jax.block_until_ready(out)
 print(f"compile+first: {time.time()-t0:.1f}s n_rays={float(out[1]):.0f}",
       flush=True)
-n = 8
+n = N_PASSES
 t0 = time.time()
 outs = [one_pass(scene, camera, jnp.uint32((s % 3) * B), jnp.uint32(s))
         for s in range(n)]
