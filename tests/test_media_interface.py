@@ -345,3 +345,48 @@ def test_tr_walk_truncation_contract():
     # <= the exact depth (conservative toward brighter)
     assert abs(opt_tr[0] - 0.45) < 5e-3, opt_tr[0]
     assert opt_tr[0] < opt_full[0] + 1e-6
+
+
+def test_smoke_glass_vs_reference():
+    """Golden comparison vs the REFERENCE BINARY (VERDICT r4 item 4
+    'Done' criterion): a scattering GridDensityMedium bound inside a
+    glass sphere through MediumInterface, rendered by both renderers.
+    The reference composes per-segment GridDensityMedium Tr inside
+    Scene::IntersectTr (scene.cpp:57-81, grid.cpp:89+); pbrt_tpu's
+    volpath must reproduce it through per-lane delta tracking + the
+    boundary-walked ratio-tracked shadow Tr.
+
+    Fixture: tests/data/ref_smoke_glass.npz (48x48, 64 spp, spectral
+    reference binary; scripts/gen_smoke_fixture.py).  Independent RNG
+    -> compare 8x8-block means."""
+    import os
+    fx = os.path.join(os.path.dirname(__file__), "data",
+                      "ref_smoke_glass.npz")
+    if not os.path.exists(fx):
+        pytest.skip("no reference fixture")
+    d = np.load(fx)
+    ref_lum = d["lum"]
+    res = int(d["res"])
+
+    from pbrt_tpu.parser.api import parse_scene
+    from pbrt_tpu.film.film import develop_spectral
+    job = parse_scene(os.path.join(os.path.dirname(__file__), "..",
+                                   "scenes", "smoke_glass.pbrt"))
+    assert job.scene.has_grid_media
+    film, _ = run_job(job, spp=32, quiet=True, progress=False)
+    ours = np.asarray(develop_spectral(film)).sum(-1)
+    assert ours.shape == ref_lum.shape == (res, res)
+
+    def blocks(img, bs=8):
+        H = img.shape[0] // bs
+        return img[:H * bs, :H * bs].reshape(H, bs, H, bs).mean((1, 3))
+
+    br, bo = blocks(ref_lum), blocks(ours)
+    # overall energy within 10%
+    assert abs(bo.mean() / max(br.mean(), 1e-9) - 1.0) < 0.10, \
+        (bo.mean(), br.mean())
+    # per-block agreement where the reference has signal
+    sel = br > 0.2 * br.mean()
+    rel = np.abs(bo[sel] - br[sel]) / np.maximum(br[sel], 1e-9)
+    assert np.median(rel) < 0.15, (np.median(rel), rel.max())
+    assert (rel < 0.35).mean() > 0.85, (rel > 0.35).sum()
