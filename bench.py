@@ -148,20 +148,33 @@ def _child(mode, timeout):
         return 124
 
 
-def orchestrate():
-    # 1. device health probe (60s watchdog, one retry)
+def probe_until_alive(attempts=4, waits=(20, 60, 120)):
+    """Probe with growing backoff: the axon tunnel can take minutes to
+    recover after idling (observed repeatedly: alive at gate start,
+    dead after an 18-min CPU-only pytest phase, alive again minutes
+    later) — a single 20s retry misses that window."""
     rc = _child("probe", PROBE_TIMEOUT)
-    if rc != 0:
-        print(f"bench: health probe failed (rc={rc}); retrying once in "
-              "20s", file=sys.stderr, flush=True)
-        time.sleep(20)
+    for i in range(attempts - 1):
+        if rc == 0:
+            return 0
+        w = waits[min(i, len(waits) - 1)]
+        print(f"bench: health probe failed (rc={rc}); retry "
+              f"{i + 1}/{attempts - 1} in {w}s", file=sys.stderr,
+              flush=True)
+        time.sleep(w)
         rc = _child("probe", PROBE_TIMEOUT)
-        if rc != 0:
-            print("bench: DEVICE/TUNNEL UNRESPONSIVE — a trivial 8x8 "
-                  f"matmul dispatch failed twice (rc={rc}). This is an "
-                  "infrastructure failure, not a renderer bug. rc=3.",
-                  file=sys.stderr, flush=True)
-            return 3
+    return rc
+
+
+def orchestrate():
+    # 1. device health probe (60s watchdog, backoff retries)
+    rc = probe_until_alive()
+    if rc != 0:
+        print("bench: DEVICE/TUNNEL UNRESPONSIVE — a trivial 8x8 "
+              f"matmul dispatch failed {4} times over ~5 min "
+              f"(rc={rc}). This is an infrastructure failure, not a "
+              "renderer bug. rc=3.", file=sys.stderr, flush=True)
+        return 3
 
     # 2. the real bench (1500s watchdog)
     rc = _child("run", RUN_TIMEOUT)
@@ -171,7 +184,7 @@ def orchestrate():
     # bench failed: is the device still alive?
     print(f"bench: run failed (rc={rc}); re-probing device",
           file=sys.stderr, flush=True)
-    if _child("probe", PROBE_TIMEOUT) != 0:
+    if probe_until_alive() != 0:
         print("bench: device/tunnel died during the run — infra "
               "failure. rc=3.", file=sys.stderr, flush=True)
         return 3
