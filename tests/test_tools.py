@@ -121,3 +121,44 @@ def test_cat_and_toply(tmp_path):
     from pbrt_tpu.shapes.ply import read_ply
     verts, faces, norms, uvs = read_ply(str(plys[0]))
     assert verts.shape == (3, 3) and faces.shape == (1, 3)
+
+
+def test_metadata_depth_vs_reference():
+    """Golden depth map vs the REFERENCE BINARY's metadata integrator
+    (the fork's headline camera-simulation feature, metadata.cpp:54-90:
+    depth = |isect.p - ray.o| at the first hit, written through the
+    spectral .dat path).  Sub-pixel jitter is independent between the
+    renderers, so edge pixels differ; 6x6 block MEDIANS are
+    jitter-robust and must agree to <1%, the center pixel to <0.5%.
+
+    Fixture: tests/data/ref_metadata_depth.npz
+    (scripts/gen_depth_fixture.py)."""
+    import os
+    import numpy as np
+    fx = os.path.join(os.path.dirname(__file__), "data",
+                      "ref_metadata_depth.npz")
+    if not os.path.exists(fx):
+        import pytest
+        pytest.skip("no reference fixture")
+    ref = np.load(fx)["depth"]
+
+    from pbrt_tpu.parser.api import parse_scene
+    from pbrt_tpu.tools.pbrt import run_job
+    from pbrt_tpu.film.film import develop_spectral
+    job = parse_scene(os.path.join(os.path.dirname(__file__), "..",
+                                   "scenes", "metadata_depth.pbrt"))
+    film, _ = run_job(job, quiet=True, progress=False)
+    ours = np.asarray(develop_spectral(film))[:, :, 0]
+    assert ours.shape == ref.shape == (48, 48)
+    assert abs(ours[24, 24] / ref[24, 24] - 1.0) < 5e-3
+    bs = 6
+    H = 48 // bs
+    bm_r = np.median(ref.reshape(H, bs, H, bs), axis=(1, 3))
+    bm_o = np.median(ours.reshape(H, bs, H, bs), axis=(1, 3))
+    sel = bm_r > 1e-3                      # skip sky blocks (depth 0)
+    rel = np.abs(bm_o[sel] - bm_r[sel]) / bm_r[sel]
+    # 6x6 blocks of independently-jittered 1spp depth carry ~0.4%
+    # median residual on the grazing floor (measured); a wrong camera
+    # transform or sphere parameterization is orders beyond these
+    assert np.median(rel) < 1e-2, np.median(rel)
+    assert rel.max() < 3e-2, (rel.max(),)
